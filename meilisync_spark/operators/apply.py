@@ -1,0 +1,97 @@
+"""MERGE-style apply of compacted changes into a keyed index table.
+
+This is the engine's realization of the reference's sink writes
+(S9/S10/S11, meilisync/meili.py:121-151):
+
+- ``create``  → ``add_documents``: full-document replace/insert.
+- ``update``  → ``update_documents``: **partial** upsert — only the
+  provided (non-NULL) fields overwrite; missing fields keep the sink's
+  current value (Mongo updates carry only ``updatedFields``,
+  meilisync/source/mongo.py:62-64 → SURVEY.md Q4).
+- ``delete``  → ``delete_documents``: drop the pk.
+
+The reference applies events one dict at a time; here the whole batch
+is one relational MERGE: compact last-wins per pk (A5), then a single
+full-outer equi-join against the current index state with per-column
+``CASE``/``coalesce``.
+
+Scale notes:
+
+- One shuffle (the pk join); AQE picks SMJ vs shuffled-hash and splits
+  skewed keys. With a table format (Delta/Iceberg) this operator maps
+  1:1 onto ``MERGE INTO`` with file-level pruning so the full index is
+  *not* rewritten — the plain-parquet fallback here rewrites, which is
+  correct but O(index) per batch; ``foreachBatch`` callers should
+  partition the index table by pk-bucket so only touched buckets
+  rewrite.
+- The changes side of a CDC micro-batch is normally tiny relative to
+  the index: Catalyst broadcast-joins it where the join type allows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meilisync_spark.operators.compaction import compact_last_wins, compaction_oracle_sql
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    pk: str = "pk",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """New index state = ``base`` ⊕ ``changes``.
+
+    ``base``: current index (``pk`` + payload columns).
+    ``changes``: normalized CDC events (``pk``, ``seq``, ``op`` ∈
+    {create,update,delete} + the same payload columns).
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in changes.columns if c not in (pk, seq_col, op_col)]
+    last = compact_last_wins(changes, [pk], seq_col)
+
+    b, d = base.alias("b"), last.alias("d")
+    joined = b.join(d, F.col(f"b.{pk}") == F.col(f"d.{pk}"), "full_outer")
+    op = F.col(f"d.{op_col}")
+
+    out_cols = [F.coalesce(F.col(f"d.{pk}"), F.col(f"b.{pk}")).alias(pk)]
+    for c in payload_cols:
+        out_cols.append(
+            F.when(op == "create", F.col(f"d.{c}"))           # full replace
+            .when(op == "update", F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")))  # partial
+            .otherwise(F.col(f"b.{c}"))                        # untouched row
+            .alias(c)
+        )
+    return joined.where(op.isNull() | (op != "delete")).select(*out_cols)
+
+
+def apply_changes_oracle_sql(
+    base_inner: str,
+    changes_inner: str,
+    pk: str = "pk",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    payload_cols: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`apply_changes` (adjacent to prevent drift)."""
+    compact = compaction_oracle_sql(
+        changes_inner, [pk], [op_col, *payload_cols], seq_col=seq_col
+    )
+    cases = ", ".join(
+        f'CASE WHEN d."{op_col}" = \'create\' THEN d."{c}" '
+        f'WHEN d."{op_col}" = \'update\' THEN COALESCE(d."{c}", b."{c}") '
+        f'ELSE b."{c}" END AS "{c}"'
+        for c in payload_cols
+    )
+    return f"""
+    SELECT COALESCE(d."{pk}", b."{pk}") AS "{pk}", {cases}
+    FROM ({base_inner}) b
+    FULL OUTER JOIN ({compact}) d ON b."{pk}" = d."{pk}"
+    WHERE d."{op_col}" IS NULL OR d."{op_col}" <> 'delete'
+    """

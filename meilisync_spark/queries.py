@@ -1,0 +1,442 @@
+"""The engine's query registry — every operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair.
+
+Each entry is a pure function ``(SparkSession, sf_dir) -> DataFrame``
+plus (where SQL-expressible) the equivalent ANSI SQL the DuckDB oracle
+runs on the same parquet. Column names are aligned on both sides —
+the driver sorts columns by name and hash-compares values.
+
+Determinism rules used throughout (so the value-hash is stable across
+runs and engines):
+
+- No cross-row aggregation of raw doubles (Spark's partial-agg order is
+  nondeterministic). Money-like doubles are cast to DECIMAL first —
+  exact, associative — and averages are derived as
+  ``CAST(decimal_sum AS DOUBLE) / count`` (identical IEEE ops on
+  identical inputs in both engines; no rounding needed).
+- Timestamp → epoch seconds uses *floor* semantics on both sides
+  (Spark ``cast(ts as long)`` truncates; DuckDB needs
+  ``CAST(floor(epoch(ts)) AS BIGINT)``).
+- Every LIMIT/top-k has a total-order ORDER BY tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meilisync_spark.session import tune
+from meilisync_spark.sources.parquet import load_table
+from meilisync_spark.sources.events import (
+    normalize_events,
+    normalize_events_oracle_sql,
+)
+from meilisync_spark.operators.project import snapshot_sync
+from meilisync_spark.operators.compaction import (
+    compact_last_wins,
+    compaction_oracle_sql,
+)
+from meilisync_spark.operators.apply import apply_changes, apply_changes_oracle_sql
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    sql: str | None  # None → non-SQL-expressible (driver does rows-only)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(wrapped, sql, doc)
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: snapshot sync (S1 + P1 + P2 + F1/F2)
+# ---------------------------------------------------------------------------
+
+LINEITEM_FIELDS = {
+    "l_orderkey": "order_id",
+    "l_linenumber": "line_no",
+    "l_quantity": None,
+    "l_extendedprice": "price",
+    "l_shipdate": None,
+}
+
+
+@register(
+    "sync_lineitem",
+    """
+    SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity,
+           l_extendedprice AS price,
+           CAST(floor(epoch(l_shipdate)) AS BIGINT) AS l_shipdate
+    FROM lineitem
+    """,
+    doc="Full-sync of lineitem with fields projection/rename (P1) and "
+        "timestamp→epoch normalization (F1; meilisync/schemas.py:21-22).",
+)
+def sync_lineitem(spark, sf_dir):
+    return snapshot_sync(_t(spark, sf_dir, "lineitem"), LINEITEM_FIELDS)
+
+
+@register(
+    "sync_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+           o_orderpriority
+    FROM orders
+    """,
+    doc="Full-sync of orders, identity fields map (quirk Q5: empty map ⇒ "
+        "full row), timestamp normalization on o_orderdate.",
+)
+def sync_orders(spark, sf_dir):
+    return snapshot_sync(_t(spark, sf_dir, "orders"), None)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: CDC core (P3-P5, F3, A5, A6, S9-S11)
+# ---------------------------------------------------------------------------
+
+_EV = normalize_events_oracle_sql()
+
+
+@register(
+    "normalize_events",
+    _EV,
+    doc="CDC envelope: op classification (P4), op-kind filter (P5), table "
+        "routing (P3), JSON payload decode (F3), sparse update payloads (Q4).",
+)
+def q_normalize_events(spark, sf_dir):
+    return normalize_events(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "compact_events",
+    compaction_oracle_sql(_EV, ["pk"], ["seq", "ts", "table", "op", "value", "k"]),
+    doc="Pk compaction, last-wins by seq (A5, meilisync/event.py:10-13). "
+        "max_by partial-aggregate: one shuffle, no sort.",
+)
+def q_compact_events(spark, sf_dir):
+    ev = normalize_events(_t(spark, sf_dir, "events"))
+    out = compact_last_wins(ev, ["pk"], "seq")
+    # stable column order for readability; driver sorts by name anyway
+    return out.select("pk", "seq", "ts", "table", "op", "value", "k")
+
+
+@register(
+    "split_by_op",
+    f"""
+    SELECT op, count(*) AS n_events, count(DISTINCT pk) AS n_keys
+    FROM ({_EV}) GROUP BY op
+    """,
+    doc="Batch split by event type (A6, meilisync/event.py:19-36) as a "
+        "relational group-by.",
+)
+def q_split_by_op(spark, sf_dir):
+    ev = normalize_events(_t(spark, sf_dir, "events"))
+    return ev.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("pk").alias("n_keys"),
+    )
+
+
+def _ev_halves(spark, sf_dir):
+    """Split the normalized event log at half the max seq — the first
+    half builds the base index state, the second half is the incoming
+    batch. Fully declarative (scalar via broadcast cross-join, no
+    collect)."""
+    ev = normalize_events(_t(spark, sf_dir, "events")).select(
+        "pk", "seq", "op", "ts", "value", "k"
+    )
+    cut = ev.agg((F.max("seq") / F.lit(2.0)).alias("_cut"))
+    ev = ev.crossJoin(F.broadcast(cut))
+    first = ev.where(F.col("seq") <= F.col("_cut")).drop("_cut")
+    second = ev.where(F.col("seq") > F.col("_cut")).drop("_cut")
+    return first, second
+
+
+_EV_COLS = ["ts", "value", "k"]
+_EV_FIRST = f"SELECT pk, seq, op, ts, value, k FROM ({_EV}) WHERE seq <= (SELECT max(seq)/2.0 FROM ({_EV}))"
+_EV_SECOND = f"SELECT pk, seq, op, ts, value, k FROM ({_EV}) WHERE seq > (SELECT max(seq)/2.0 FROM ({_EV}))"
+# base = first half applied to an empty index: last event per pk, minus deletes
+_BASE = (
+    "SELECT pk, ts, value, k FROM ("
+    + compaction_oracle_sql(_EV_FIRST, ["pk"], ["seq", "op", "ts", "value", "k"])
+    + ") WHERE op <> 'delete'"
+)
+
+
+@register(
+    "cdc_apply",
+    apply_changes_oracle_sql(_BASE, _EV_SECOND, payload_cols=_EV_COLS),
+    doc="The flagship MERGE: compact the incoming batch (A5) and apply it "
+        "to the current index state — create=replace (S9), update=partial "
+        "coalesce-merge (S10/Q4), delete=drop (S11). One pk-shuffle join; "
+        "maps onto MERGE INTO on a table format at scale.",
+)
+def q_cdc_apply(spark, sf_dir):
+    first, second = _ev_halves(spark, sf_dir)
+    base = compact_last_wins(first, ["pk"], "seq").where(F.col("op") != "delete").select(
+        "pk", *_EV_COLS
+    )
+    return apply_changes(base, second, pk="pk", payload_cols=_EV_COLS)
+
+
+@register(
+    "check_counts",
+    """
+    SELECT 'users' AS "table",
+           (SELECT count(*) FROM customer WHERE c_custkey < 150) AS source_count,
+           (SELECT count(DISTINCT pk) FROM ("""
+    + _EV
+    + """)) AS index_count,
+           (SELECT count(*) FROM customer WHERE c_custkey < 150)
+             = (SELECT count(DISTINCT pk) FROM ("""
+    + _EV
+    + """)) AS consistent
+    """,
+    doc="Consistency audit (A1-A3, `meilisync check`, main.py:179-208): "
+        "source count vs index count per sync rule.",
+)
+def q_check_counts(spark, sf_dir):
+    src = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 150)
+    ev = normalize_events(_t(spark, sf_dir, "events"))
+    s = src.agg(F.count(F.lit(1)).alias("source_count"))
+    i = ev.agg(F.countDistinct("pk").alias("index_count"))
+    return (
+        s.crossJoin(i)
+        .select(
+            F.lit("users").alias("table"),
+            "source_count",
+            "index_count",
+            (F.col("source_count") == F.col("index_count")).alias("consistent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage over the TPC-H-ish tables (joins, aggs, windows,
+# rollup, top-k) — the Spark surface the reference gets "for free" here
+# (SURVEY.md §2.3/§2.4). DECIMAL sums for cross-engine determinism.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+           count(*) AS count_order,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-side filter pushdown + hash aggregate with "
+        "map-side partials; exact DECIMAL sums.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price").cast("double") / F.col("count_order"))
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter, two joins, top-k "
+        "(TakeOrderedAndProject — no global sort).",
+)
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("long").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="TPC-H Q5 shape: star join with broadcast dims (supplier/nation/"
+        "region ship as broadcast hash joins — zero shuffle on the fact "
+        "side until the final agg).",
+)
+def q5_region_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("decimal(18,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+    SELECT n_name, c_custkey, spend, rk FROM (
+        SELECT n_name, c_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) DESC,
+                                           c_custkey) AS rk
+        FROM customer JOIN orders ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, c_custkey
+    ) WHERE rk <= 3
+    """,
+    doc="Window function coverage (SURVEY.md §2.5): row_number over a "
+        "partitioned total order with deterministic tie-break.",
+)
+def top_customers_per_nation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return spend.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+@register(
+    "rollup_sales",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical aggregate (ROLLUP) — grouping-set expansion is a "
+        "single-pass expand+agg in Spark.",
+)
+def rollup_sales(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_price"),
+    )
+
+
+@register(
+    "hourly_event_stats",
+    """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Time-bucketed aggregation over the event stream (the batch shape "
+        "of a tumbling-window streaming agg, SURVEY.md §2.9).",
+)
+def hourly_event_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry accessors (used by __spark_entry__.py and tests)
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

@@ -1,0 +1,93 @@
+"""SparkSession construction and runtime tuning.
+
+Two layers:
+
+- :func:`get_spark` builds a session for local runs (tests, bench) with
+  scale-appropriate static conf.
+- :func:`tune` applies only *runtime-settable* conf to an existing
+  session. The correctness driver passes us its own session, so every
+  public query entry point calls ``tune`` first — it must be safe and
+  idempotent on any session.
+
+Scale notes (100 TB target, tested on local[32]):
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  plan re-optimization replace any hand-scheduling.
+- ``spark.sql.session.timeZone=UTC``: the engine's canonical timestamp
+  semantics (reference converts datetimes to epoch seconds,
+  meilisync/schemas.py:21-22); also keeps ``unix_timestamp`` consistent
+  with the DuckDB oracle's ``epoch()``.
+- shuffle partitions default to cores locally; on a real cluster AQE
+  coalesces from a high initial number, so we set a high
+  ``initialPartitionNum`` instead of a magic constant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable conf applied to ANY session (ours or the driver's).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # Read parquet timestamps as session-tz TIMESTAMP (not NTZ) so the
+    # epoch-seconds normalization (F1) is a plain cast; with UTC session
+    # tz this matches DuckDB's naive epoch().
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Nanosecond parquet timestamps (events.ts) are otherwise an illegal
+    # type for the vectorized reader; read them as raw nanos and let the
+    # loader convert (truncate) to micros — same floor semantics DuckDB
+    # applies when narrowing ns → µs.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the few pandas-UDF paths (multimodal, embeddings).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: engine follows the reference's permissive coercions
+    # (e.g. delete-path pk stringification, meilisync/meili.py:137).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime conf to an existing session. Safe + idempotent."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on some builds; keep going
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "meilisync-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned local session."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # At 100 TB these two govern scan parallelism: 128 MB split
+        # targets keep partitions executor-memory-sized.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    tune(spark, shuffle_partitions=shuffle_partitions)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

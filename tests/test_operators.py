@@ -1,0 +1,89 @@
+"""Unit tests for the core CDC operators with hand-built micro-fixtures —
+the reference's assert-exact-documents style (SURVEY.md §5), hermetic."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from meilisync_spark.operators.apply import apply_changes
+from meilisync_spark.operators.compaction import compact_last_wins
+from meilisync_spark.operators.project import apply_fields, normalize_types, snapshot_sync
+
+
+def test_normalize_types_epoch(spark):
+    # the reference's golden value: TIMESTAMP '1977-01-27 22:00:53' → 223250453
+    # (meilisync/schemas.py:21-22, tests/test_mysql.py:30)
+    df = spark.createDataFrame(
+        [Row(id=1, age=46, time=datetime.datetime(1977, 1, 27, 22, 0, 53))]
+    )
+    out = normalize_types(df).collect()[0]
+    assert out.time == 223250453
+    assert out.id == 1 and out.age == 46
+
+
+def test_normalize_types_date_to_iso(spark):
+    df = spark.createDataFrame([Row(id=1, d=datetime.date(2024, 2, 29))])
+    out = normalize_types(df).collect()[0]
+    assert out.d == "2024-02-29"  # meilisync/schemas.py:23-24
+
+
+def test_apply_fields_rename_and_fallback(spark):
+    df = spark.createDataFrame([Row(a=1, b=2)])
+    assert apply_fields(df, {"a": "x", "b": None}).columns == ["x", "b"]
+    # quirk Q5 (meilisync/schemas.py:30): empty map keeps the full row
+    assert apply_fields(df, None).columns == ["a", "b"]
+
+
+def test_compaction_last_wins_keeps_null_payload(spark):
+    # T9: dropDuplicates would keep the FIRST row; last-wins must keep the
+    # latest even when its payload is NULL (sparse update).
+    df = spark.createDataFrame(
+        [
+            Row(pk=1, seq=1, op="create", value=10.0),
+            Row(pk=1, seq=2, op="update", value=None),
+            Row(pk=2, seq=3, op="create", value=7.0),
+        ]
+    )
+    out = {r.pk: r for r in compact_last_wins(df, ["pk"], "seq").collect()}
+    assert out[1].op == "update" and out[1].value is None
+    assert out[2].value == 7.0
+
+
+def test_apply_changes_semantics(spark):
+    base = spark.createDataFrame(
+        [Row(pk=1, value=10.0, k=1), Row(pk=2, value=20.0, k=2), Row(pk=3, value=30.0, k=3)]
+    )
+    changes = spark.createDataFrame(
+        [
+            # partial update: NULL value keeps base's 10.0, k overwritten
+            Row(pk=1, seq=1, op="update", value=None, k=100),
+            # delete drops pk 2
+            Row(pk=2, seq=2, op="delete", value=None, k=None),
+            # create fully replaces pk 3 (NULL k replaces 3 — add_documents
+            # replaces the whole doc, meilisync/meili.py:128-131)
+            Row(pk=3, seq=3, op="create", value=99.0, k=None),
+            # upsert of a brand-new pk via update (meili update_documents
+            # creates missing docs)
+            Row(pk=4, seq=4, op="update", value=4.0, k=4),
+            # compaction: create then delete within the batch → never lands
+            Row(pk=5, seq=5, op="create", value=5.0, k=5),
+            Row(pk=5, seq=6, op="delete", value=None, k=None),
+        ]
+    )
+    out = {r.pk: r for r in apply_changes(base, changes, pk="pk").collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1].value == 10.0 and out[1].k == 100
+    assert out[3].value == 99.0 and out[3].k is None
+    assert out[4].value == 4.0 and out[4].k == 4
+
+
+def test_snapshot_sync_pushdown(spark):
+    # column pruning must reach the parquet scan: ReadSchema only carries
+    # the projected fields
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = snapshot_sync(df, {"l_orderkey": "id", "l_shipdate": None})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "l_extendedprice" not in plan
