@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is fully materialized via the ``noop`` datasource writer —
+every operator executes, nothing is collected to the driver, and no
+final-stage column pruning can cheat the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from meilisync_spark.session import get_spark
+from meilisync_spark import queries as Q
+
+# The queries that define the engine's throughput story: the CDC core
+# (flagship), the relational coverage, and the scale extensions.
+HEADLINE = [
+    "cdc_apply",
+    "compact_events",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top_customers_per_nation",
+    "hourly_event_stats",
+    # extension operators (present from round 1 onward as they land)
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "text_stats",
+    "doc_fingerprint",
+    "cosine_topk",
+    "ann_ivf_label",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="meilisync-spark-bench")
+    registry = Q.queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warm the JVM/codegen/file-listing paths once with a tiny query
+    registry[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,374 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each idiomatic Spark (no Python in the hot path):
+
+- **exact**: normalize → sha256 → hash-groupBy. One shuffle on the
+  content hash; map-side partial aggregation collapses within-partition
+  duplicates before the exchange.
+- **MinHash + LSH**: shingle → per-permutation min-hash (computed
+  per-row with higher-order array functions — zero shuffle) → band →
+  bucket self-join. At 100 TB the band join is the only shuffle, and it
+  carries |docs|×BANDS narrow rows, not shingles. Banding follows the
+  classic LSH construction (Broder '97 / MMDS ch.3): 16 perms × 8
+  bands of 2 rows ⇒ ~50% candidate recall at J≈0.35, >95% at J≥0.7.
+- **SimHash**: 32-bit signature per doc (Charikar '02) — bit math kept
+  in exact-double range so the DuckDB oracle reproduces it bit-for-bit
+  — then 8-bit-band bucketing for Hamming-distance candidate pairs.
+- **n-gram Jaccard**: exact verification of LSH candidates via distinct
+  word-3-gram set intersection (the classic candidate→verify pattern;
+  never all-pairs).
+
+Reference parity note: the reference has no dedup at all (its A5
+compaction is pk-dedup, operators/compaction.py); these are the
+north-star extensions from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meilisync_spark.functions.hashing import (
+    duck_hash32,
+    duck_hash64,
+    portable_hash32,
+    portable_hash64,
+)
+from meilisync_spark.operators.text import (
+    duck_shingles,
+    duck_words,
+    shingles_col,
+    words_col,
+)
+from meilisync_spark.sources.parquet import spread
+
+NUM_PERM = 16
+BANDS = 8  # rows per band = NUM_PERM // BANDS = 2
+MH_SHINGLE = 3
+SIMHASH_BITS = 32
+SIM_BANDS = 4  # 8-bit bands over the 32-bit simhash
+HAMMING_MAX = 6
+
+# MinHash universal-hash permutations: sig_p = min((a_p·h + b_p) mod P)
+# over one 30-bit base hash h per shingle (a,b < 2^30 ⇒ a·h+b < 2^62,
+# exact in int64 in both engines). One sha256 per shingle total — the
+# 16 permutations are integer arithmetic, not 16 rehashes.
+MH_PRIME = 2147483647  # 2^31 - 1
+MH_BASE_MOD = 1 << 30
+MH_PERMS: list[tuple[int, int]] = [
+    (1042783871, 403871219), (735193049, 918273645),
+    (902419057, 71928343), (384179633, 562718239),
+    (569854391, 847563029), (268817299, 912837465),
+    (1012334597, 231487529), (151285247, 655369981),
+    (823974317, 110938417), (477150671, 583927151),
+    (96821473, 429381877), (654987323, 761029349),
+    (288432901, 53187269), (1009121189, 987654321),
+    (419874721, 345678917), (736489117, 192837465),
+]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def normalize_text(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group by content hash of normalized text: canonical doc (min id)
+    + group size. ``n_docs > 1`` rows are duplicate clusters."""
+    h = F.sha2(normalize_text(F.col("text")), 256)
+    return (
+        spread(docs).select(h.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def exact_dedup_oracle_sql() -> str:
+    return r"""
+    SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+           min(doc_id) AS canonical_id, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + 16-permutation minhash signature.
+
+    Shape chosen for scale: one sha256 per shingle (the base hash),
+    then a single left fold over the base hashes whose accumulator is
+    the 16-slot signature array updated with the linear permutations.
+    The fold references the hash array exactly once, so nothing is
+    re-evaluated per permutation (an outer transform over permutations
+    would re-run the whole shingle+sha256 pipeline 16×). Entirely
+    per-row: no shuffle, no UDF."""
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    sh = shingles_col(w, MH_SHINGLE)
+    base = F.transform(sh, lambda s: portable_hash64(s) % F.lit(MH_BASE_MOD))
+    init = F.array_repeat(F.lit(MH_PRIME).cast("long"), NUM_PERM)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in MH_PERMS
+        ]
+    )
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(MH_PRIME))
+        ),
+    )
+    return (
+        docs.where(F.size(words_col(F.col("text"))) >= MH_SHINGLE)
+        .select("doc_id", sig.alias("sig"))
+    )
+
+
+def _band_hash(sig: Column, b: Column) -> Column:
+    m1 = F.element_at(sig, b * 2 + 1).cast("string")
+    m2 = F.element_at(sig, b * 2 + 2).cast("string")
+    return portable_hash64(F.concat(F.lit("B"), b.cast("string"), F.lit(":"), m1, F.lit(","), m2))
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda b: F.struct(b.alias("band_idx"), _band_hash(F.col("sig"), b).alias("band_hash")),
+    )
+    return sigs.select("doc_id", "sig", F.explode(bands).alias("band")).select(
+        "doc_id", "sig", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-duplicate pairs (≥1 shared LSH band) with the
+    signature-estimated Jaccard. Shuffle = one self-join keyed on
+    (band_idx, band_hash); skewed mega-buckets are split by AQE."""
+    bands = lsh_bands(minhash_signatures(docs))
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash")
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    matched = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return pairs.select("doc_a", "doc_b", (matched / F.lit(NUM_PERM)).alias("est_jaccard"))
+
+
+def _duck_sig_cte() -> str:
+    # Oracle recomputes the base hash per permutation (fine at oracle
+    # scale) — same values as the Spark fold: min((a·h+b) mod P).
+    sh = duck_shingles(duck_words(), MH_SHINGLE)
+    h = f"({duck_hash64('s')} % {MH_BASE_MOD})"
+    per_perm = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> (({a} * {h} + {b}) % {MH_PRIME})), 'min')"
+        for a, b in MH_PERMS
+    )
+    return f"""
+    sigs AS (
+        SELECT doc_id, [{per_perm}] AS sig
+        FROM (SELECT doc_id, {sh} AS sh FROM documents)
+        WHERE len(sh) > 0
+    ),
+    bands AS (
+        SELECT doc_id, sig, b AS band_idx,
+               {duck_hash64("'B' || b || ':' || sig[2*b+1] || ',' || sig[2*b+2]")} AS band_hash
+        FROM sigs, UNNEST(range(0, {BANDS})) t(b)
+    )
+    """
+
+
+def minhash_lsh_pairs_oracle_sql() -> str:
+    return f"""
+    WITH {_duck_sig_cte()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.sig AS sig_a, b.sig AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_filter(list_zip(sig_a, sig_b), z -> z[1] = z[2])) / {NUM_PERM} AS est_jaccard
+    FROM pairs
+    """
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard over LSH candidates (candidate → verify)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    bands = lsh_bands(minhash_signatures(docs))
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(words_col(F.col("text")), MH_SHINGLE)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_oracle_sql() -> str:
+    dsh = f"list_distinct({duck_shingles(duck_words(), MH_SHINGLE)})"
+    return f"""
+    WITH {_duck_sig_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    dsh AS (SELECT doc_id, {dsh} AS sh FROM documents)
+    SELECT doc_a, doc_b,
+           len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM cand JOIN dsh a ON a.doc_id = doc_a JOIN dsh b ON b.doc_id = doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _bit(h: Column, j: Column) -> Column:
+    # h < 2^32 and 2^j ≤ 2^31: division by a power of two is exact in
+    # double space, so floor(h / 2^j) % 2 == (h >> j) & 1 — expressible
+    # identically in both engines without shift-by-column support.
+    return F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per document over word tokens (with multiplicity).
+
+    Same fold shape as minhash_signatures: one sha256 per token, then a
+    single left fold whose accumulator is the 32-slot bit-count vector
+    (±1 per token per bit). The token-hash array is referenced exactly
+    once — an outer loop over bits would re-hash every token 32×."""
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    th = F.transform(w, lambda t: portable_hash32(F.concat(F.lit("S:"), t)))
+    jarr = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
+    init = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    counts = F.aggregate(
+        th,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, jarr, lambda c, j: c + F.when(_bit(h, j) == 1, 1).otherwise(-1)
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            counts,
+            jarr,
+            lambda c, j: F.when(c > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        docs.where(F.size(words_col(F.col("text"))) > 0)
+        .select("doc_id", simhash.alias("simhash"))
+    )
+
+
+def _duck_simhash_cte() -> str:
+    th = f"list_transform({duck_words()}, t -> {duck_hash32(chr(39) + 'S:' + chr(39) + ' || t')})"
+    bit = "((h // CAST(power(2, j) AS BIGINT)) % 2)"
+    return f"""
+    sims AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(range(0, {SIMHASH_BITS}), j ->
+                       CASE WHEN list_reduce(
+                                list_transform(th, h -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END),
+                                (a, x) -> a + x) > 0
+                            THEN CAST(power(2, j) AS BIGINT) ELSE 0 END),
+                   (a, x) -> a + x) AS simhash
+        FROM (SELECT doc_id, {th} AS th FROM documents
+              WHERE len({duck_words()}) > 0)
+    )
+    """
+
+
+def simhash_docs_oracle_sql() -> str:
+    return f"WITH {_duck_simhash_cte()} SELECT doc_id, simhash FROM sims"
+
+
+def simhash_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """Hamming-near pairs via 8-bit band bucketing: a pair within
+    Hamming ≤ 6 of a 32-bit signature shares ≥1 of 4 bands only
+    heuristically — this is the candidate generator; the Hamming filter
+    verifies. Join keyed on (band_idx, band_val): the only shuffle."""
+    sims = simhash_docs(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("band_val"),
+            )
+            for b in range(SIM_BANDS)
+        ]
+    )
+    banded = sims.select("doc_id", "simhash", F.explode(bands).alias("band")).select(
+        "doc_id", "simhash", "band.band_idx", "band.band_val"
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+def simhash_neardup_pairs_oracle_sql() -> str:
+    return f"""
+    WITH {_duck_simhash_cte()},
+    banded AS (
+        SELECT doc_id, simhash, b AS band_idx,
+               (simhash >> (8 * b)) & 255 AS band_val
+        FROM sims, UNNEST(range(0, {SIM_BANDS})) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sim_a, b.simhash AS sim_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)::BIT) AS INTEGER) AS hamming
+    FROM pairs WHERE CAST(bit_count(xor(sim_a, sim_b)::BIT) AS INTEGER) <= {HAMMING_MAX}
+    """

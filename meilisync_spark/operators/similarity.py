@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers, same per-pair math (functions/vectors.py — codegen'd fold,
+no UDF):
+
+- **brute-force cosine top-k** — the correctness baseline. The query
+  set is broadcast; the candidate scan streams the big side, so the
+  plan is broadcast-nested-loop with *zero shuffle of the corpus* and
+  a per-query top-k window at the end. O(|Q|·N) compute, the right
+  baseline shape for small |Q|.
+- **IVF-style cell-restricted top-k** — the scale path: candidates are
+  restricted to the query's cell (here the ``label`` column plays the
+  coarse-quantizer cell id; a production pipeline fills it with a
+  k-means assignment). Probing 1/|cells| of the corpus per query is
+  the classic IVF recall/latency trade (Jégou et al., PQ/IVF).
+
+At 100 TB: bucket/partition the corpus parquet by cell id so cell
+pruning happens at the scan (partition pruning), and broadcast the
+query batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from meilisync_spark.functions.vectors import cosine, duck_cosine
+
+TOP_K = 5
+N_QUERIES = 8  # vec_id < 8 is the benchmark query batch
+
+
+def _pairs(emb: DataFrame, same_label_only: bool) -> DataFrame:
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("label"),
+    )
+    cond = F.col("neighbor_id") != F.col("q_id")
+    if same_label_only:
+        joined = c.join(F.broadcast(q), (F.col("label") == F.col("q_label")) & cond)
+    else:
+        joined = c.crossJoin(F.broadcast(q)).where(cond)
+    return joined.withColumn("cosine", cosine(F.col("q_emb"), F.col("c_emb")))
+
+
+def _topk(pairs: DataFrame, k: int, extra_cols: list[str]) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", *extra_cols, "rank", "cosine")
+    )
+
+
+def cosine_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Brute-force cosine top-k for the benchmark query batch."""
+    return _topk(_pairs(emb, same_label_only=False), k, [])
+
+
+def ann_ivf_label(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """IVF-style ANN: probe only the query's own cell (label)."""
+    return _topk(_pairs(emb, same_label_only=True), k, ["label"])
+
+
+def _duck_base(same_label_only: bool, k: int, label_col: str) -> str:
+    join = (
+        "JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id"
+        if same_label_only
+        else "JOIN e c ON c.vec_id <> q.vec_id"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.label AS label,
+               {duck_cosine('q.v', 'c.v')} AS cosine
+        FROM q {join}
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, label, cosine,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT q_id, neighbor_id, {label_col}rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+def cosine_topk_oracle_sql(k: int = TOP_K) -> str:
+    return _duck_base(False, k, "")
+
+
+def ann_ivf_label_oracle_sql(k: int = TOP_K) -> str:
+    return _duck_base(True, k, "label, ")

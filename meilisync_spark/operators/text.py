@@ -1,0 +1,226 @@
+"""Text analysis for training-data pipelines (north-star extensions).
+
+Everything here is pure ``pyspark.sql.functions`` — regex extraction,
+higher-order array functions, hashes — no Python UDFs, so the whole
+stage stays in whole-stage codegen and scales linearly with the scan
+(no shuffle at all for the per-document operators; the only shuffles
+are the final aggregates where noted).
+
+Each operator carries its DuckDB-oracle SQL builder right next to the
+Spark implementation so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meilisync_spark.functions.hashing import portable_hash64, duck_hash64
+from meilisync_spark.sources.parquet import spread
+
+WORDS_RE = "[a-z]+"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+EN_STOP = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+# tiny marker-word lists for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "les", "et", "des", "une"],
+}
+
+
+def words_col(text: Column) -> Column:
+    """Lowercased alphabetic word tokens."""
+    return F.regexp_extract_all(F.lower(text), F.lit(WORDS_RE), 0)
+
+
+def duck_words(text: str = "text") -> str:
+    return f"regexp_extract_all(lower({text}), '{WORDS_RE}')"
+
+
+def _in_list(x: Column, values: list[str]) -> Column:
+    return x.isin(*values)
+
+
+# ---------------------------------------------------------------------------
+# Quality / stats
+# ---------------------------------------------------------------------------
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality signals: token counts, punctuation ratio,
+    stopword ratio, average token length. One narrow pass."""
+    w = words_col(F.col("text"))
+    n_tokens = F.size(w)
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    n_stop = F.size(F.filter(w, lambda x: _in_list(x, EN_STOP)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        F.when(n_tokens > 0, n_stop / n_tokens).alias("stopword_ratio"),
+        F.when(n_tokens > 0, n_alpha / n_tokens).alias("avg_token_len"),
+    )
+
+
+def text_stats_oracle_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in EN_STOP)
+    return f"""
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars,
+           len({duck_words()}) AS n_tokens,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) AS punct_ratio,
+           CASE WHEN len({duck_words()}) > 0 THEN
+             len(list_filter({duck_words()}, x -> x IN ({stop}))) / len({duck_words()})
+           END AS stopword_ratio,
+           CASE WHEN len({duck_words()}) > 0 THEN
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len({duck_words()})
+           END AS avg_token_len
+    FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_tokens_ws"),
+        bpe.alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def token_counts_oracle_sql() -> str:
+    return rf"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens_bpe,
+           length(text) AS n_chars
+    FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Deterministic n-gram-ish heuristic: score = count of language
+    marker words; argmax with fixed priority order; 'und' if no
+    markers hit. Compared against the labeled ``lang`` column."""
+    w = words_col(F.col("text"))
+
+    def _pred(markers: list[str]):
+        # single-arg lambda: a second (default) arg would make F.filter
+        # pass the element index into it
+        return lambda x: _in_list(x, markers)
+
+    scores = {
+        lang: F.size(F.filter(w, _pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    guess = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(order):
+        cond = scores[lang] > 0
+        for other in order:
+            if other != lang and order.index(other) < order.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        guess.alias("guessed_lang"),
+        (F.col("lang") == guess).alias("agrees"),
+    )
+
+
+def lang_id_oracle_sql() -> str:
+    order = list(LANG_MARKERS)
+
+    def score(lang: str) -> str:
+        m = ", ".join(f"'{x}'" for x in LANG_MARKERS[lang])
+        return f"len(list_filter(w, x -> x IN ({m})))"
+
+    cases = []
+    for lang in order:
+        conds = [f"{score(lang)} > 0"]
+        for other in order:
+            if other == lang:
+                continue
+            op = ">" if order.index(other) < order.index(lang) else ">="
+            conds.append(f"{score(lang)} {op} {score(other)}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    SELECT doc_id, lang AS labeled_lang, {case_sql} AS guessed_lang,
+           lang = ({case_sql}) AS agrees
+    FROM (SELECT doc_id, lang, {duck_words()} AS w FROM documents)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (min-hash of word 5-gram shingles, winnowing-lite)
+# ---------------------------------------------------------------------------
+
+FP_SHINGLE = 5
+
+
+def shingles_col(w: Column, n: int) -> Column:
+    """Word n-gram shingles as strings; empty array when doc is shorter
+    than one shingle."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duck_shingles(w: str, n: int) -> str:
+    # range(start, stop) is empty when stop <= start — same guard shape
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(range(1, len({w}) - {n - 2}), "
+        f"i -> array_to_string({w}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling-hash fingerprint: minimum portable hash over the doc's
+    word 5-gram shingles + distinct-shingle count."""
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    sh = shingles_col(w, FP_SHINGLE)
+    hashes = F.transform(sh, lambda s: portable_hash64(s))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(F.array_distinct(sh)).alias("n_shingles"),
+    )
+
+
+def doc_fingerprint_oracle_sql() -> str:
+    sh = duck_shingles(duck_words(), FP_SHINGLE)
+    return f"""
+    SELECT doc_id,
+           list_aggregate(list_transform({sh}, s -> {duck_hash64('s')}), 'min') AS fingerprint,
+           len(list_distinct({sh})) AS n_shingles
+    FROM documents
+    """

@@ -431,6 +431,84 @@ def hourly_event_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# North-star extensions: text analysis, dedup, similarity search
+# (operators/text.py, operators/dedup.py, operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+from meilisync_spark.operators import text as _text
+from meilisync_spark.operators import dedup as _dedup
+from meilisync_spark.operators import similarity as _sim
+
+
+@register("text_stats", _text.text_stats_oracle_sql(),
+          doc="Per-doc quality signals: token/punct/stopword stats — narrow scan, no shuffle.")
+def q_text_stats(spark, sf_dir):
+    return _text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("token_counts", _text.token_counts_oracle_sql(),
+          doc="Whitespace + BPE-ish regex token counting per document.")
+def q_token_counts(spark, sf_dir):
+    return _text.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register("lang_id", _text.lang_id_oracle_sql(),
+          doc="Marker-word language-ID heuristic vs the labeled lang column.")
+def q_lang_id(spark, sf_dir):
+    return _text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprint", _text.doc_fingerprint_oracle_sql(),
+          doc="Rolling-hash fingerprint: min portable-hash over word 5-gram shingles.")
+def q_doc_fingerprint(spark, sf_dir):
+    return _text.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register("exact_dedup", _dedup.exact_dedup_oracle_sql(),
+          doc="Exact dedup: normalized sha256 hash-groupBy, map-side partials.")
+def q_exact_dedup(spark, sf_dir):
+    return _dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("minhash_lsh_pairs", _dedup.minhash_lsh_pairs_oracle_sql(),
+          doc="MinHash(16) + LSH(8 bands) candidate pairs with estimated "
+              "Jaccard; signatures are per-row array ops, one band-join shuffle.")
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return _dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("ngram_jaccard_pairs", _dedup.ngram_jaccard_pairs_oracle_sql(),
+          doc="Exact word-3-gram Jaccard over LSH candidates (candidate→verify).")
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return _dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("simhash_docs", _dedup.simhash_docs_oracle_sql(),
+          doc="32-bit SimHash signature per document, exact cross-engine bit math.")
+def q_simhash_docs(spark, sf_dir):
+    return _dedup.simhash_docs(_t(spark, sf_dir, "documents"))
+
+
+@register("simhash_neardup_pairs", _dedup.simhash_neardup_pairs_oracle_sql(),
+          doc="Hamming≤6 near-dup pairs via 8-bit simhash band bucketing.")
+def q_simhash_neardup_pairs(spark, sf_dir):
+    return _dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("cosine_topk", _sim.cosine_topk_oracle_sql(),
+          doc="Brute-force cosine top-5 for 8 query vectors; broadcast queries, "
+              "zero corpus shuffle, codegen'd fold math.")
+def q_cosine_topk(spark, sf_dir):
+    return _sim.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@register("ann_ivf_label", _sim.ann_ivf_label_oracle_sql(),
+          doc="IVF-style ANN: probe only the query's coarse cell (label).")
+def q_ann_ivf_label(spark, sf_dir):
+    return _sim.ann_ivf_label(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # Registry accessors (used by __spark_entry__.py and tests)
 # ---------------------------------------------------------------------------
 

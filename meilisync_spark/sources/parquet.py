@@ -89,6 +89,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan yields too few partitions
+    for a CPU-dense stage (hashing/shingling/vector math).
+
+    Local single-file parquet with one row group is unsplittable — the
+    scan gives 1 partition and a compute-heavy stage runs on one core.
+    At cluster scale the input has thousands of splits and this is a
+    no-op (the condition is false), so no shuffle is added where the
+    scan already provides parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    target = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def get_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Source-side count (A1, meilisync/source/mysql.py:54-59)."""
     return load_table(spark, sf_dir, name).count()
