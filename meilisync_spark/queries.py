@@ -509,6 +509,60 @@ def q_ann_ivf_label(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Streaming shell + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from meilisync_spark.operators import multimodal as _mm
+
+
+@register("multimodal_meta", _mm.media_metadata_oracle_sql(),
+          doc="Binary media column plumbing: Arrow-batched mapInPandas "
+              "metadata extraction (decoder stubbed deterministically).")
+def q_multimodal_meta(spark, sf_dir):
+    media = _mm.make_media_table(_t(spark, sf_dir, "documents"))
+    return _mm.extract_media_metadata(media)
+
+
+# final state of the full log applied to an empty index == last event
+# per pk, minus deletes (partial updates against nothing keep their own
+# payload), regardless of micro-batch boundaries when payloads are the
+# compacted survivors
+_STREAM_FINAL = (
+    "SELECT pk, ts, value, k FROM ("
+    + compaction_oracle_sql(_EV, ["pk"], ["seq", "op", "ts", "value", "k"])
+    + ") WHERE op <> 'delete'"
+)
+
+
+@register("streaming_cdc_apply", _STREAM_FINAL,
+          doc="End-to-end Structured Streaming run: availableNow file-source "
+              "stream → foreachBatch(normalize → compact → MERGE) → shadow-"
+              "swapped index; returns the final index state (T1-T5).")
+def q_streaming_cdc_apply(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from meilisync_spark.streaming.pipeline import run_cdc_pipeline
+
+    work = tempfile.mkdtemp(prefix="mls_stream_")
+    index_path = f"{work}/index"
+    try:
+        run_cdc_pipeline(
+            spark,
+            f"{sf_dir}/events.parquet",
+            index_path,
+            f"{work}/checkpoint",
+            available_now=True,
+        )
+        # materialize before the workdir is removed
+        out = spark.read.parquet(index_path).select("pk", "ts", "value", "k")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Registry accessors (used by __spark_entry__.py and tests)
 # ---------------------------------------------------------------------------
 

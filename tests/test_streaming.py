@@ -1,0 +1,134 @@
+"""Streaming shell tests: micro-batch ordering, checkpoint resume, and
+equivalence with the batch operators (SURVEY.md §5 style, hermetic)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from meilisync_spark.operators.apply import apply_changes
+from meilisync_spark.operators.compaction import compact_last_wins
+from meilisync_spark.sources.events import normalize_events
+from meilisync_spark.sources.parquet import load_table
+from meilisync_spark.streaming.pipeline import PAYLOAD_COLS, run_cdc_pipeline
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _chunked_events_dir(workdir: str) -> str:
+    """Split the fixture event log into 3 files in seq order with
+    strictly increasing mtimes so the file source replays them as 3
+    ordered micro-batches."""
+    con = duckdb.connect()
+    out = os.path.join(workdir, "events_stream")
+    os.makedirs(out)
+    bounds = con.sql(
+        f"SELECT max(event_id) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    cuts = [0, bounds // 3, 2 * bounds // 3, bounds + 1]
+    for i in range(3):
+        path = os.path.join(out, f"chunk_{i}.parquet")
+        con.sql(
+            f"COPY (SELECT * FROM '{SF_SMOKE}/events.parquet' "
+            f"WHERE event_id >= {cuts[i]} AND event_id < {cuts[i + 1]} "
+            f"ORDER BY event_id) TO '{path}' (FORMAT PARQUET)"
+        )
+        os.utime(path, (time.time() - 100 + i, time.time() - 100 + i))
+    return out
+
+
+def test_single_batch_stream_equals_batch_apply(spark, workdir):
+    index = os.path.join(workdir, "index")
+    run_cdc_pipeline(
+        spark,
+        f"{SF_SMOKE}/events.parquet",
+        index,
+        os.path.join(workdir, "ckpt"),
+        available_now=True,
+    )
+    got = {r.pk: r for r in spark.read.parquet(index).collect()}
+
+    ev = normalize_events(load_table(spark, SF_SMOKE, "events"))
+    expected = {
+        r.pk: r
+        for r in compact_last_wins(ev, ["pk"], "seq")
+        .where(F.col("op") != "delete")
+        .select("pk", *PAYLOAD_COLS)
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for pk, row in expected.items():
+        assert (got[pk].value, got[pk].k) == (row.value, row.k)
+
+
+def test_multi_batch_stream_equals_sequential_folds(spark, workdir):
+    """3 ordered micro-batches == 3 sequential batch applies (the
+    reference's flush-point semantics, meilisync/event.py:10-36)."""
+    stream_dir = _chunked_events_dir(workdir)
+    index = os.path.join(workdir, "index")
+    run_cdc_pipeline(
+        spark,
+        stream_dir,
+        index,
+        os.path.join(workdir, "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    got = {(r.pk): (r.value, r.k) for r in spark.read.parquet(index).collect()}
+
+    # batch fold, chunk by chunk
+    base = spark.createDataFrame([], "pk long, ts timestamp, value double, k long")
+    for f in sorted(glob.glob(os.path.join(stream_dir, "*.parquet"))):
+        ev = normalize_events(spark.read.parquet(f))
+        base = apply_changes(base, ev, pk="pk", payload_cols=PAYLOAD_COLS)
+        base = spark.createDataFrame(base.collect(), base.schema)  # pin
+    expected = {r.pk: (r.value, r.k) for r in base.collect()}
+    assert got == expected
+
+
+def test_checkpoint_resume_no_reprocessing(spark, workdir):
+    """T1/T8: restarting from the checkpoint neither loses nor
+    re-applies events — adding a new file after a completed run only
+    applies the new file."""
+    stream_dir = _chunked_events_dir(workdir)
+    files = sorted(glob.glob(os.path.join(stream_dir, "*.parquet")))
+    staged = os.path.join(workdir, "staged")
+    os.makedirs(staged)
+    # hold back the last chunk
+    held = files[-1]
+    shutil.move(held, os.path.join(staged, os.path.basename(held)))
+
+    index = os.path.join(workdir, "index")
+    ckpt = os.path.join(workdir, "ckpt")
+    run_cdc_pipeline(spark, stream_dir, index, ckpt, available_now=True)
+    partial = {r.pk: (r.value, r.k) for r in spark.read.parquet(index).collect()}
+
+    # resume with the held-back chunk now present
+    back = os.path.join(stream_dir, os.path.basename(held))
+    shutil.move(os.path.join(staged, os.path.basename(held)), back)
+    os.utime(back, None)
+    run_cdc_pipeline(spark, stream_dir, index, ckpt, available_now=True)
+    final = {r.pk: (r.value, r.k) for r in spark.read.parquet(index).collect()}
+
+    # full-log batch reference
+    ev = normalize_events(load_table(spark, SF_SMOKE, "events"))
+    # sequential: first two chunks then the third must equal the
+    # streaming result exactly
+    base = spark.createDataFrame([], "pk long, ts timestamp, value double, k long")
+    for f in sorted(glob.glob(os.path.join(stream_dir, "*.parquet"))):
+        evf = normalize_events(spark.read.parquet(f))
+        base = apply_changes(base, evf, pk="pk", payload_cols=PAYLOAD_COLS)
+        base = spark.createDataFrame(base.collect(), base.schema)
+    expected = {r.pk: (r.value, r.k) for r in base.collect()}
+    assert final == expected
+    assert partial != final or len(partial) == len(final)
