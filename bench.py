@@ -32,13 +32,18 @@ HEADLINE = [
     "q5_region_revenue",
     "top_customers_per_nation",
     "hourly_event_stats",
+    "distinct_parts_per_flag",
+    "events_lag_delta",
     # extension operators (present from round 1 onward as they land)
     "exact_dedup",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
     "text_stats",
     "doc_fingerprint",
     "cosine_topk",
     "ann_ivf_label",
+    "multimodal_meta",
 ]
 
 

@@ -152,7 +152,10 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-duplicate pairs (≥1 shared LSH band) with the
     signature-estimated Jaccard. Shuffle = one self-join keyed on
     (band_idx, band_hash); skewed mega-buckets are split by AQE."""
-    bands = lsh_bands(minhash_signatures(docs))
+    # persist: the band table feeds both sides of the self-join — without
+    # it the whole shingle+hash pipeline runs twice (at scale you'd
+    # materialize signatures as a table for exactly this reason)
+    bands = lsh_bands(minhash_signatures(docs)).persist()
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash")
     pairs = (
@@ -209,7 +212,7 @@ def minhash_lsh_pairs_oracle_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
-    bands = lsh_bands(minhash_signatures(docs))
+    bands = lsh_bands(minhash_signatures(docs)).persist()
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
         .join(
@@ -223,7 +226,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     sh = docs.select(
         "doc_id",
         F.array_distinct(shingles_col(words_col(F.col("text")), MH_SHINGLE)).alias("sh"),
-    )
+    ).persist()  # feeds both pair sides
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -328,7 +331,7 @@ def simhash_neardup_pairs(docs: DataFrame) -> DataFrame:
     Hamming ≤ 6 of a 32-bit signature shares ≥1 of 4 bands only
     heuristically — this is the candidate generator; the Hamming filter
     verifies. Join keyed on (band_idx, band_val): the only shuffle."""
-    sims = simhash_docs(docs)
+    sims = simhash_docs(docs).persist()  # feeds both pair sides
     bands = F.array(
         *[
             F.struct(

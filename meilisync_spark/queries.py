@@ -430,6 +430,108 @@ def hourly_event_stats(spark, sf_dir):
     )
 
 
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Anti-join coverage (SURVEY.md §2.3): broadcast left-anti against "
+        "the orders key set.",
+)
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "building_order_priorities",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    doc="Semi-join coverage: EXISTS as left-semi with a selective "
+        "broadcast build side.",
+)
+def building_order_priorities(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "set_ops_orders",
+    """
+    WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000),
+         urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT
+      (SELECT count(*) FROM (SELECT o_orderkey FROM hi UNION SELECT o_orderkey FROM urgent)) AS n_union,
+      (SELECT count(*) FROM (SELECT o_orderkey FROM hi INTERSECT SELECT o_orderkey FROM urgent)) AS n_intersect,
+      (SELECT count(*) FROM (SELECT o_orderkey FROM hi EXCEPT SELECT o_orderkey FROM urgent)) AS n_except
+    """,
+    doc="Set-operation coverage (§2.7): UNION/INTERSECT/EXCEPT over two "
+        "order subsets, reduced to counts.",
+)
+def set_ops_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 200000).select("o_orderkey")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    u = hi.union(urgent).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    i = hi.intersect(urgent).agg(F.count(F.lit(1)).alias("n_intersect"))
+    e = hi.subtract(urgent).agg(F.count(F.lit(1)).alias("n_except"))
+    return u.crossJoin(i).crossJoin(e)
+
+
+@register(
+    "distinct_parts_per_flag",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Multi-distinct aggregate coverage (Expand-based plan in Spark).",
+)
+def distinct_parts_per_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "events_lag_delta",
+    """
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+    FROM events
+    """,
+    doc="lag/lead window coverage: per-user value deltas in arrival order.",
+)
+def events_lag_delta(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id", "user_id", "value", prev.alias("prev_value"),
+        (F.col("value") - prev).alias("delta"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: text analysis, dedup, similarity search
 # (operators/text.py, operators/dedup.py, operators/similarity.py)
@@ -506,6 +608,82 @@ def q_cosine_topk(spark, sf_dir):
           doc="IVF-style ANN: probe only the query's coarse cell (label).")
 def q_ann_ivf_label(spark, sf_dir):
     return _sim.ann_ivf_label(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "event_sessions",
+    """
+    WITH t AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS te
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, te,
+               CASE WHEN lag(te) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                         OR te - lag(te) OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM t
+    ),
+    sess AS (
+        SELECT user_id, te,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(te) AS session_start, max(te) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity): the batch shape of "
+        "a streaming session window — lag + running sum + group.",
+)
+def event_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("te")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("te").over(w)
+    is_new = F.when(prev.isNull() | ((F.col("te") - prev) > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("te").alias("session_start"),
+        F.max("te").alias("session_end"),
+    )
+
+
+from meilisync_spark.functions.vectors import duck_cosine as _duck_cosine
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           {_duck_cosine('a.v', 'b.v')} AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.v', 'b.v')} > 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs within coarse cells (label): the "
+        "blocked-pairs shape — never all-pairs across cells.",
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    from meilisync_spark.functions.vectors import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("label").alias("label_b"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", cosine(F.col("emb_a"), F.col("emb_b")))
+        .where(F.col("cosine") > 0.3)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,66 @@
+"""Tests for the shadow-refresh swap (S13), consistency check (A1-A3)
+and the config surface (Settings/Sync, plugin loading)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+
+from meilisync_spark.config import Settings, Sync, load_plugin
+from meilisync_spark.operators.check import count_check
+from meilisync_spark.operators.refresh import read_index, refresh_data
+
+
+def test_refresh_swap_atomic(spark, tmp_path):
+    index = str(tmp_path / "index")
+    n = refresh_data(spark.createDataFrame([Row(id=i, v=i * 10) for i in range(5)]), index)
+    assert n == 5
+    assert {r.id for r in read_index(spark, index).collect()} == set(range(5))
+    # rebuild with different contents swaps atomically; old dirs cleaned
+    n = refresh_data(spark.createDataFrame([Row(id=i, v=0) for i in range(3)]), index)
+    assert n == 3
+    assert read_index(spark, index).count() == 3
+    leftovers = [d for d in os.listdir(tmp_path) if "_tmp" in d or "_old" in d]
+    assert leftovers == []
+
+
+def test_refresh_bucketing(spark, tmp_path):
+    index = str(tmp_path / "bucketed")
+    df = spark.createDataFrame([Row(id=i, v=i) for i in range(100)])
+    refresh_data(df, index, bucket_by="id", num_buckets=4)
+    files = [f for f in os.listdir(index) if f.endswith(".parquet")]
+    assert len(files) == 4
+
+
+def test_count_check(spark):
+    a = spark.createDataFrame([Row(x=i) for i in range(10)])
+    b = spark.createDataFrame([Row(x=i) for i in range(10)])
+    c = spark.createDataFrame([Row(x=i) for i in range(7)])
+    out = {r.table: r for r in count_check({"ok": (a, b), "drifted": (a, c)}).collect()}
+    assert out["ok"].consistent and out["ok"].source_count == 10
+    assert not out["drifted"].consistent and out["drifted"].index_count == 7
+
+
+def test_settings_routing_and_defaults():
+    s = Settings.from_dict(
+        {
+            "sink": {"index_path": "/tmp/idx", "insert_size": 1000},
+            "sync": [
+                {"table": "users", "pk": "user_id", "full": True,
+                 "fields": {"user_id": None, "name": "full_name"}},
+                {"table": "orders"},
+            ],
+        }
+    )
+    assert s.get_sync("users").pk == "user_id"
+    assert s.get_sync("orders").pk == "id"  # reference default (settings.py:41)
+    assert s.get_sync("orders").index_name == "orders"  # index defaults to table
+    assert s.get_sync("missing") is None  # unrouted tables are dropped (P3)
+    assert s.tables == ["users", "orders"]
+    assert s.sink.insert_size == 1000 and s.sink.insert_interval is None
+
+
+def test_plugin_loading_applies_batch_transform(spark):
+    fn = load_plugin("pyspark.sql.functions.upper")  # any dotted callable
+    assert callable(fn)
