@@ -1,0 +1,146 @@
+"""CLI — the reference's Typer surface (meilisync/main.py:15-208)
+re-expressed over the Spark engine.
+
+Commands mirror the reference 1:1 so a meilisync user keeps their
+muscle memory:
+
+- ``start``    — backfill-if-missing then tail the event stream
+                 (main.py:71-140): here, optional batch bootstrap then
+                 the Structured Streaming pipeline.
+- ``refresh``  — full rebuild behind a shadow path + atomic swap
+                 (main.py:143-176 / meili.py:34-71).
+- ``check``    — per-sync count consistency audit (main.py:179-208).
+- ``version``  — main.py:66-68.
+
+Config: ``--config config.yml`` with the reference's shape (sync rules,
+sink knobs) via :mod:`meilisync_spark.config`; flags override.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from meilisync_spark import __version__
+from meilisync_spark.config import Settings, load_plugin
+from meilisync_spark.operators.check import count_check
+from meilisync_spark.operators.refresh import refresh_data
+from meilisync_spark.session import get_spark
+from meilisync_spark.sources.events import normalize_events
+from meilisync_spark.sources.parquet import load_path
+from meilisync_spark.streaming.pipeline import PAYLOAD_COLS, run_cdc_pipeline
+from meilisync_spark.operators.compaction import compact_last_wins
+
+from pyspark.sql import functions as F
+
+
+def _settings(args: argparse.Namespace) -> Settings:
+    if getattr(args, "config", None):
+        return Settings.from_yaml(args.config)
+    return Settings.from_dict({})
+
+
+def cmd_start(args: argparse.Namespace) -> int:
+    spark = get_spark("meilisync-spark-start")
+    settings = _settings(args)
+    index = args.index or settings.sink.index_path
+    # phase 1 — backfill when the index is absent (T5, main.py:86-101)
+    if not os.path.exists(index):
+        # load_path (not a raw spark.read) so nanos timestamps get the
+        # same canonical conversion the streaming path applies — the
+        # index schema must be identical across both writers
+        ev = normalize_events(load_path(spark, args.events))
+        snapshot = (
+            compact_last_wins(ev, ["pk"], "seq")
+            .where(F.col("op") != "delete")
+            .select("pk", *PAYLOAD_COLS)
+        )
+        n = refresh_data(snapshot, index)
+        print(f"backfill: loaded {n} documents into {index}")
+    # phase 2 — incremental tail (T2-T4 trigger knobs)
+    pre = load_plugin(args.plugin) if args.plugin else None
+    interval = (
+        f"{settings.sink.insert_interval} seconds"
+        if settings.sink.insert_interval
+        else args.interval
+    )
+    run_cdc_pipeline(
+        spark,
+        args.events,
+        index,
+        args.checkpoint,
+        available_now=not interval,
+        processing_interval=interval,
+        max_files_per_trigger=settings.sink.insert_size or args.max_files,
+        pre_batch=pre,
+        timeout_sec=args.timeout,
+    )
+    print(f"sync complete: index at {index}")
+    return 0
+
+
+def cmd_refresh(args: argparse.Namespace) -> int:
+    spark = get_spark("meilisync-spark-refresh")
+    df = spark.read.parquet(args.source)
+    n = refresh_data(df, args.index)
+    print(f"refreshed {args.index}: {n} documents")
+    return 0
+
+
+def cmd_check(args: argparse.Namespace) -> int:
+    spark = get_spark("meilisync-spark-check")
+    src = spark.read.parquet(args.source)
+    idx = spark.read.parquet(args.index)
+    rows = count_check({args.table: (src, idx)}).collect()
+    ok = all(r.consistent for r in rows)
+    for r in rows:
+        status = "consistent" if r.consistent else "INCONSISTENT"
+        print(f"{r.table}: source={r.source_count} index={r.index_count} {status}")
+    return 0 if ok else 1
+
+
+def cmd_version(_: argparse.Namespace) -> int:
+    print(json.dumps({"meilisync_spark": __version__}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="meilisync-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    st = sub.add_parser("start", help="backfill then tail the event stream")
+    st.add_argument("--events", required=True, help="event-log parquet path/dir")
+    st.add_argument("--index", help="index table path")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--config", help="YAML config (reference shape)")
+    st.add_argument("--interval", help="processingTime trigger, e.g. '10 seconds'")
+    st.add_argument("--max-files", type=int, help="files per micro-batch")
+    st.add_argument("--plugin", help="dotted path to a DataFrame->DataFrame pre hook")
+    st.add_argument("--timeout", type=float, default=120.0)
+    st.set_defaults(fn=cmd_start)
+
+    rf = sub.add_parser("refresh", help="rebuild the index behind a shadow swap")
+    rf.add_argument("--source", required=True)
+    rf.add_argument("--index", required=True)
+    rf.set_defaults(fn=cmd_refresh)
+
+    ck = sub.add_parser("check", help="source vs index count audit")
+    ck.add_argument("--source", required=True)
+    ck.add_argument("--index", required=True)
+    ck.add_argument("--table", default="default")
+    ck.set_defaults(fn=cmd_check)
+
+    v = sub.add_parser("version")
+    v.set_defaults(fn=cmd_version)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

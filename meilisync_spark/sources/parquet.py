@@ -61,16 +61,15 @@ def _nanos_timestamp_cols(path: str) -> set[str]:
     }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Full snapshot scan of one table (S1/S2/S3 equivalent).
+def load_path(spark: SparkSession, path: str) -> DataFrame:
+    """Scan an arbitrary parquet path with canonical timestamp handling.
 
-    Timestamp handling: the session reads parquet NANOS timestamps as
-    raw nanos longs (spark.sql.legacy.parquet.nanosAsLong) — convert
-    them here to micros TimestampType with floor semantics (``div``),
-    matching DuckDB's ns→µs narrowing, so both engines see identical
-    values. All other timestamps arrive as session-tz TIMESTAMP.
+    The session reads parquet NANOS timestamps as raw nanos longs
+    (spark.sql.legacy.parquet.nanosAsLong) — convert them here to
+    micros TimestampType with floor semantics (``div``), matching
+    DuckDB's ns→µs narrowing, so both engines see identical values.
+    All other timestamps become session-tz TIMESTAMP.
     """
-    path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_cols(path):
         if isinstance(df.schema[col].dataType, T.LongType):
@@ -79,6 +78,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(fld.dataType, T.TimestampNTZType):
             df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Full snapshot scan of one table (S1/S2/S3 equivalent)."""
+    return load_path(spark, table_path(sf_dir, name))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

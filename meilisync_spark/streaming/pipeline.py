@@ -132,7 +132,14 @@ def run_cdc_pipeline(
         writer = writer.trigger(processingTime=processing_interval)  # T3
     q = writer.start()
     if timeout_sec is not None:
-        q.awaitTermination(timeout_sec)
-        if q.isActive:
-            q.stop()
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
+        # surface foreachBatch failures instead of reporting a silent
+        # "caught up" (the reference loudly retries on stream errors,
+        # meilisync/source/mysql.py:127-135 — swallowing is worse)
+        if q.exception() is not None:
+            raise q.exception()
     return q
