@@ -34,6 +34,10 @@ HEADLINE = [
     "hourly_event_stats",
     "distinct_parts_per_flag",
     "events_lag_delta",
+    "asof_purchase_view",
+    "event_value_bands",
+    "cube_order_stats",
+    "price_quantiles",
     # extension operators (present from round 1 onward as they land)
     "exact_dedup",
     "minhash_lsh_pairs",

@@ -532,6 +532,139 @@ def events_lag_delta(spark, sf_dir):
     )
 
 
+@register(
+    "asof_purchase_view",
+    """
+    WITH p AS (SELECT user_id, event_id AS purchase_id,
+                      date_trunc('microseconds', ts) AS ts,
+                      value AS purchase_value
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+               FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+           p.purchase_value,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts,
+           v.value AS view_value,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(v.ts)) AS BIGINT) AS wait_sec
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of join (operators/asof.py): each purchase matched to the "
+        "user's latest view at-or-before it — union + ignore-nulls window, "
+        "one shuffle, no range explosion. Oracle: DuckDB native ASOF JOIN.",
+)
+def asof_purchase_view(spark, sf_dir):
+    from meilisync_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("ts").alias("view_ts_raw"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        p, v, by="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_ts_raw", "view_value"], right_seq="event_id",
+    )
+    pts = F.col("ts").cast("long")
+    vts = F.col("view_ts_raw").cast("long")
+    return out.select(
+        "user_id", "purchase_id",
+        pts.alias("purchase_ts"), "purchase_value",
+        vts.alias("view_ts"), "view_value",
+        (pts - vts).alias("wait_sec"),
+    )
+
+
+VALUE_BANDS = [
+    (0, "micro", 0.0, 25.0),
+    (1, "small", 25.0, 100.0),
+    (2, "medium", 100.0, 250.0),
+    (3, "large", 250.0, 500.0),
+]
+
+
+@register(
+    "event_value_bands",
+    f"""
+    SELECT band_id, band, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events JOIN (VALUES {', '.join(f"({i}, '{b}', {lo}, {hi})" for i, b, lo, hi in VALUE_BANDS)})
+                     b(band_id, band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band_id, band
+    """,
+    doc="Range join: events banded by value against a broadcast interval "
+        "dim — BroadcastNestedLoopJoin on the tiny side; at scale bands "
+        "stay broadcast so the fact side never shuffles for the join.",
+)
+def event_value_bands(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(VALUE_BANDS, "band_id int, band string, lo double, hi double")
+    return (
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band_id", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping-sets coverage (rollup_sales covers ROLLUP): "
+        "single-pass Expand + hash aggregate.",
+)
+def cube_order_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_price"),
+    )
+
+
+@register(
+    "price_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles per group (verified bit-identical to DuckDB "
+        "quantile_cont). At scale swap to approx_percentile: one pass, "
+        "mergeable sketches, no per-group sort.",
+)
+def price_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.75).alias("p75"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: text analysis, dedup, similarity search
 # (operators/text.py, operators/dedup.py, operators/similarity.py)
@@ -738,6 +871,64 @@ def q_streaming_cdc_apply(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def _run_streaming_to_table(spark, sf_dir: str, runner, select_cols: list[str]) -> DataFrame:
+    """Run a streaming job into a temp state table and materialize the
+    final state (the workdir is removed before returning)."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="mls_stream_")
+    try:
+        runner(spark, f"{sf_dir}/events.parquet", f"{work}/state", f"{work}/checkpoint")
+        out = spark.read.parquet(f"{work}/state").select(*select_cols)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "streaming_hourly_stats",
+    """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Watermarked tumbling-window streaming aggregation (T6 surface "
+        "the reference lacks): update-mode + foreachBatch keyed merge; "
+        "the final state table equals the batch aggregate.",
+)
+def q_streaming_hourly_stats(spark, sf_dir):
+    from meilisync_spark.streaming.windowed import run_windowed_stats
+
+    return _run_streaming_to_table(
+        spark, sf_dir, run_windowed_stats,
+        ["hour_start", "event_type", "n", "total_value"],
+    )
+
+
+@register(
+    "streaming_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+           max(event_id) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+        "per-user running totals in exact integer cents; final state "
+        "equals the batch aggregate regardless of batch boundaries.",
+)
+def q_streaming_user_totals(spark, sf_dir):
+    from meilisync_spark.streaming.windowed import run_user_totals
+
+    return _run_streaming_to_table(
+        spark, sf_dir, run_user_totals,
+        ["user_id", "n_events", "total_cents", "last_event_id"],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,168 @@
+"""Event-time streaming operators: watermarked windowed aggregation and
+a custom stateful operator (applyInPandasWithState).
+
+The reference has *no* event-time semantics — arrival order is truth
+(SURVEY.md §2.9 T6). These operators are the engine surface a Spark
+user gains on top of reference parity:
+
+- :func:`run_windowed_stats` — tumbling event-time windows over the CDC
+  stream with a watermark bounding state. Update-mode + ``foreachBatch``
+  keyed merge, so each micro-batch upserts only the windows it touched
+  and the watermark lets Spark evict finalized window state — the shape
+  that holds at 100 TB (a complete-mode/memory-sink variant would pin
+  every window ever seen on the driver).
+- :func:`run_user_totals` — per-key running aggregates via
+  ``applyInPandasWithState`` (the custom-stateful-operator API;
+  Structured Streaming paper §stateful operators). State is a tiny
+  fixed-width tuple per key — integer cents, no doubles — so totals are
+  exact and order-insensitive regardless of partitioning/batching.
+
+Both write to a keyed parquet state table behind the shadow-swap
+(operators/refresh.py) so readers never see a torn batch; on a real
+deployment the merge becomes MERGE INTO on a table format.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meilisync_spark.operators.refresh import refresh_data
+from meilisync_spark.streaming.pipeline import read_event_stream
+
+import os
+
+
+def _merge_keyed(spark: SparkSession, batch_df: DataFrame, path: str, keys: list[str]) -> None:
+    """Upsert ``batch_df`` into the keyed parquet table at ``path``:
+    rows with matching keys are replaced, others kept (one pk-shuffle
+    anti-join — the same MERGE shape as operators/apply.py)."""
+    if os.path.exists(path):
+        base = spark.read.parquet(path).join(batch_df.select(*keys), keys, "left_anti")
+        new_state = base.unionByName(batch_df)
+    else:
+        new_state = batch_df
+    refresh_data(new_state, path)
+
+
+def _await(q, timeout_sec: float) -> None:
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if q.exception() is not None:
+        raise q.exception()
+
+
+def run_windowed_stats(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float = 120.0,
+) -> None:
+    """Tumbling-window per-event-type counts/sums with a watermark.
+
+    Sums go through DECIMAL (partial-agg order is nondeterministic for
+    doubles). Correct as long as no event is later than ``watermark``
+    behind the max event time seen — the explicit late-data contract
+    the reference never had (T6).
+    """
+    ev = read_event_stream(spark, events_path, max_files_per_trigger)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        _merge_keyed(spark, batch_df, out_path, ["hour_start", "event_type"])
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q, timeout_sec)
+
+
+USER_TOTALS_SCHEMA = "user_id long, n_events long, total_cents long, last_event_id long"
+_STATE_SCHEMA = "n long, cents long, max_eid long"
+
+
+def run_user_totals(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float = 120.0,
+) -> None:
+    """Per-user running totals as a custom stateful operator.
+
+    ``applyInPandasWithState`` keeps (count, cents, max_event_id) per
+    user across micro-batches and emits the updated totals each batch;
+    ``foreachBatch`` upserts them into the state table. Cents are
+    ``floor(value*100 + 0.5)`` — exact int64 math, so the running total
+    is independent of row order and batch boundaries.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_event_stream(spark, events_path, max_files_per_trigger)
+
+    def totals(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, cents, max_eid = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(sum(math.floor(v * 100 + 0.5) for v in pdf["value"]))
+            m = int(pdf["event_id"].max())
+            max_eid = m if max_eid is None else max(max_eid, m)
+        state.update((n, cents, max_eid))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_cents": cents, "last_event_id": max_eid}]
+        )
+
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        totals,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        _merge_keyed(spark, batch_df, out_path, ["user_id"])
+
+    q = (
+        updated.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q, timeout_sec)
