@@ -63,11 +63,16 @@ def main() -> None:
     # warm the JVM/codegen/file-listing paths once with a tiny query
     registry[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # min of 2 runs per query: the steady-state number a warm cluster
+    # would see, insulated from one-off JIT/IO/GC noise on this box
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -585,6 +585,33 @@ def asof_purchase_view(spark, sf_dir):
     )
 
 
+BRAND_REVENUE_SQL = """
+    SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+"""
+
+
+@register(
+    "brand_revenue",
+    BRAND_REVENUE_SQL,
+    doc="The engine's SQL API surface: identical ANSI SQL through "
+        "spark.sql over registered views and through the DuckDB oracle. "
+        "Catalyst picks the broadcast join from the filtered part side "
+        "unaided — no hints needed.",
+)
+def brand_revenue(spark, sf_dir):
+    from meilisync_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(BRAND_REVENUE_SQL)
+
+
 VALUE_BANDS = [
     (0, "micro", 0.0, 25.0),
     (1, "small", 25.0, 100.0),
@@ -657,11 +684,18 @@ def cube_order_stats(spark, sf_dir):
 )
 def price_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.25).alias("p25"),
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.75).alias("p75"),
-        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    # one percentile agg over an array of fractions — a single sort
+    # buffer per group, not four
+    q = F.percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
+    )
+    return li.groupBy("l_returnflag").agg(q.alias("q")).select(
+        "l_returnflag",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p95"),
     )
 
 
