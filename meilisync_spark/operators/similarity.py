@@ -68,6 +68,64 @@ def ann_ivf_label(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     return _topk(_pairs(emb, same_label_only=True), k, ["label"])
 
 
+CENTROID_SCALE = 1073741824.0  # 2^30 — fixed-point quantum
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-cell element-wise mean embedding — the update step of a
+    distributed k-means (the IVF coarse quantizer's training loop).
+
+    Determinism at scale: raw double sums depend on partial-agg order,
+    so each component is quantized to fixed point (`floor(x·2^30)` —
+    exact int64 math, order- and partition-insensitive) before the
+    distributed sum; the mean divides once at the end. Resolution 2^-30
+    ≈ 1e-9 per component, far below float32 input precision.
+
+    Shape: posexplode → one (label, idx) shuffle with map-side partial
+    sums (carries |cells|×dims rows, not |vectors|×dims), then a
+    |cells|-row reassembly. At 100 TB this is the only viable shape —
+    collect_list of whole vectors per cell would OOM on any hot cell.
+    """
+    ex = emb.select("label", F.posexplode("embedding").alias("idx", "x"))
+    comp = (
+        ex.groupBy("label", "idx")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * F.lit(CENTROID_SCALE)).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "idx",
+            (F.col("s").cast("double") / (F.col("n") * F.lit(CENTROID_SCALE))).alias("mean"),
+        )
+    )
+    return (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "mean"))).alias("a"))
+        .select(
+            "label",
+            F.transform("a", lambda s: s["mean"]).alias("centroid"),
+            F.size("a").alias("dims"),
+        )
+    )
+
+
+def label_centroids_oracle_sql() -> str:
+    return f"""
+    WITH ex AS (
+        SELECT label, i AS idx,
+               CAST(floor(CAST(embedding[i+1] AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT) AS xq
+        FROM embeddings, UNNEST(range(0, len(embedding))) t(i)
+    ),
+    c AS (
+        SELECT label, idx, CAST(sum(xq) AS DOUBLE) / (count(*) * {CENTROID_SCALE}) AS mean
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT label, list(mean ORDER BY idx) AS centroid, count(*) AS dims
+    FROM c GROUP BY label
+    """
+
+
 def _duck_base(same_label_only: bool, k: int, label_col: str) -> str:
     join = (
         "JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id"

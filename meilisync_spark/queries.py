@@ -777,6 +777,30 @@ def q_ann_ivf_label(spark, sf_dir):
     return _sim.ann_ivf_label(_t(spark, sf_dir, "embeddings"))
 
 
+@register("label_centroids", _sim.label_centroids_oracle_sql(),
+          doc="Distributed k-means update step: per-cell element-wise mean "
+              "via fixed-point (2^-30) quantized sums — exact, order-"
+              "insensitive, one (label,idx) shuffle with map-side partials.")
+def q_label_centroids(spark, sf_dir):
+    return _sim.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "approx_user_counts",
+    None,  # HLL sketches are engine-specific — rows-only for the driver;
+           # the ±5% bound vs exact is asserted in tests/test_operators.py
+    doc="Approximate distinct users per event type (HyperLogLog++): the "
+        "one-pass mergeable-sketch path that replaces exact countDistinct "
+        "at 100 TB (no per-key shuffle of raw user ids).",
+)
+def approx_user_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @register(
     "event_sessions",
     """

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from meilisync_spark.operators.apply import apply_changes
 from meilisync_spark.operators.compaction import compact_last_wins
 from meilisync_spark.operators.project import apply_fields, normalize_types, snapshot_sync
+from meilisync_spark.sources.parquet import load_table
+from tests.conftest import SF_SMOKE
 
 
 def test_normalize_types_epoch(spark):
@@ -87,3 +89,22 @@ def test_snapshot_sync_pushdown(spark):
     out = snapshot_sync(df, {"l_orderkey": "id", "l_shipdate": None})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "l_extendedprice" not in plan
+
+
+def test_approx_distinct_error_bound(spark):
+    """approx_user_counts is rows-only for the driver (HLL sketches are
+    engine-specific); assert the ±5% accuracy contract locally."""
+    from meilisync_spark import queries as Q
+
+    rows = Q.queries()["approx_user_counts"](spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        e = exact[r.event_type]
+        assert abs(r.approx_users - e) <= max(1, 0.05 * e), (r.event_type, r.approx_users, e)

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): the engine's hand-built operator
+semantics checked against independent reference models — pandas
+``merge_asof`` for the as-of join, a dict fold for last-wins compaction
+(the literal shape of the reference's buffer, meilisync/event.py:10-13).
+
+Spark round-trips are slow, so examples are few but adversarial
+(tiny key spaces force collisions, ties, and empty sides).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from meilisync_spark.operators.asof import asof_join
+from meilisync_spark.operators.compaction import compact_last_wins
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# tiny domains on purpose: collisions and ties are the interesting cases
+pks = st.integers(min_value=0, max_value=4)
+vals = st.integers(min_value=-100, max_value=100)
+tss = st.integers(min_value=0, max_value=20)
+
+
+@given(rows=st.lists(st.tuples(pks, vals), max_size=40))
+@settings(**SETTINGS)
+def test_compaction_matches_dict_fold(spark, rows):
+    """compact_last_wins == the reference's dict-overwrite buffer:
+    arrival order (seq) decides, later events replace earlier ones."""
+    data = [(pk, seq, v) for seq, (pk, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "pk long, seq long, value long") if data else (
+        spark.createDataFrame([], "pk long, seq long, value long")
+    )
+    got = {
+        r.pk: (r.seq, r.value)
+        for r in compact_last_wins(df, ["pk"], "seq").collect()
+    }
+    expected: dict[int, tuple[int, int]] = {}
+    for pk, seq, v in data:  # dict overwrite ≡ meilisync/event.py:10-13
+        expected[pk] = (seq, v)
+    assert got == expected
+
+
+@given(
+    left=st.lists(st.tuples(pks, tss), max_size=25),
+    right=st.lists(st.tuples(pks, tss, vals), max_size=25),
+)
+@settings(**SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    if not left:
+        return
+    ldata = [(k, t, i) for i, (k, t) in enumerate(left)]
+    rdata = [(k, t, seq, float(v)) for seq, (k, t, v) in enumerate(right)]
+    ldf = spark.createDataFrame(ldata, "k long, t long, lid long")
+    rdf = (
+        spark.createDataFrame(rdata, "k long, t long, seq long, quote double")
+        if rdata
+        else spark.createDataFrame([], "k long, t long, seq long, quote double")
+    )
+    out = asof_join(
+        ldf, rdf, by="k", left_ts="t", right_ts="t",
+        right_cols=["quote"], right_seq="seq",
+    )
+    got = {r.lid: r.quote for r in out.collect()}
+
+    lpd = pd.DataFrame(ldata, columns=["k", "t", "lid"]).sort_values("t")
+    rpd = pd.DataFrame(rdata, columns=["k", "t", "seq", "quote"])
+    if len(rpd):
+        # stable sort by (t) with seq-ascending pre-order ⇒ merge_asof's
+        # "last matching row" is the max-seq row — the engine's tie rule
+        rpd = rpd.sort_values(["t", "seq"], kind="stable")
+        merged = pd.merge_asof(
+            lpd, rpd[["k", "t", "quote"]], on="t", by="k",
+            direction="backward", allow_exact_matches=True,
+        )
+        expected = {
+            int(r.lid): (None if pd.isna(r.quote) else float(r.quote))
+            for r in merged.itertuples()
+        }
+    else:
+        expected = {int(i): None for _, _, i in ldata}
+    assert got == expected
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_asof_empty_sides(spark, n):
+    ldf = spark.createDataFrame([(1, 5, 0)][:n], "k long, t long, lid long")
+    rdf = spark.createDataFrame([], "k long, t long, seq long, quote double")
+    out = asof_join(
+        ldf, rdf, by="k", left_ts="t", right_ts="t",
+        right_cols=["quote"], right_seq="seq",
+    ).collect()
+    assert len(out) == n
+    assert all(r.quote is None for r in out)
