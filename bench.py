@@ -47,7 +47,10 @@ HEADLINE = [
     "doc_fingerprint",
     "cosine_topk",
     "ann_ivf_label",
+    "label_centroids",
+    "brand_revenue",
     "multimodal_meta",
+    "multimodal_frames",
 ]
 
 

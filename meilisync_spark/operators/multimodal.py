@@ -113,6 +113,119 @@ def extract_media_metadata(media: DataFrame, use_real_codecs: bool = False) -> D
     return media.mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
+RESIZE_TARGET = 256
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "out_width int, out_height int"
+)
+
+
+def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Fit image/video frames into a ``target``² box preserving aspect
+    ratio — the standard pre-training normalization step. The decode +
+    scale is the stubbed codec layer (integer math on the fake-decoded
+    dims — a deployment swaps in PIL/pyav inside the same batch fn);
+    the Spark plumbing (Arrow batches, pruned blob column, 1→1 schema
+    contract) is real. Audio rows are filtered *before* the UDF so
+    their blobs never cross the Arrow boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, content in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
+                h = int(_hl.sha256(content).hexdigest()[:8], 16)
+                w, hgt = 320 + h % 320, 240 + (h // 320) % 240
+                m = max(w, hgt)
+                scale_num = min(target, m)  # never upscale
+                rows.append(
+                    (doc_id, mt, w, hgt, w * scale_num // m, hgt * scale_num // m)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "width", "height", "out_width", "out_height"],
+            )
+
+    visual = media.where(F.col("media_type").isin("image", "video"))
+    return visual.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def resize_media_oracle_sql(target: int = RESIZE_TARGET) -> str:
+    h = "(('0x' || substring(sha256(text), 1, 8))::BIGINT)"
+    return f"""
+    WITH v AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'video' END AS media_type,
+               CAST(320 + {h} % 320 AS INTEGER) AS width,
+               CAST(240 + ({h} // 320) % 240 AS INTEGER) AS height
+        FROM documents WHERE doc_id % 3 <> 1
+    )
+    SELECT doc_id, media_type, width, height,
+           CAST(width * least({target}, greatest(width, height))
+                // greatest(width, height) AS INTEGER) AS out_width,
+           CAST(height * least({target}, greatest(width, height))
+                // greatest(width, height) AS INTEGER) AS out_height
+    FROM v
+    """
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms long, frame_id string"
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Uniform frame sampling from video blobs — the 1→N expansion
+    shape (one input row yields a variable number of frame rows through
+    the same Arrow batch stream; ``mapInPandas`` output row count is
+    unconstrained, so no explode/join scaffolding is needed). Frame
+    count/duration come from the stubbed decoder; frame ids are
+    content-derived so downstream dedup can run on frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                digest = _hl.sha256(content).hexdigest()
+                h = int(digest[:8], 16)
+                n_frames = 1 + h % 8
+                duration_ms = 1000 * (1 + h % 30)
+                for i in range(n_frames):
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            i * duration_ms // n_frames,
+                            _hl.sha256(f"{digest}:{i}".encode()).hexdigest(),
+                        )
+                    )
+            yield _pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "frame_id"])
+
+    videos = media.where(F.col("media_type") == "video")
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def sample_frames_oracle_sql() -> str:
+    h = "(('0x' || substring(digest, 1, 8))::BIGINT)"
+    return f"""
+    WITH v AS (
+        SELECT doc_id, sha256(text) AS digest,
+               1 + {h} % 8 AS n_frames,
+               1000 * (1 + {h} % 30) AS duration_ms
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * duration_ms // n_frames AS BIGINT) AS frame_ts_ms,
+           sha256(digest || ':' || i) AS frame_id
+    FROM v, UNNEST(range(0, n_frames)) t(i)
+    """
+
+
 def media_metadata_oracle_sql() -> str:
     """DuckDB mirror of make_media_table → extract_media_metadata with
     the deterministic fake decoder."""

@@ -892,6 +892,22 @@ def q_multimodal_meta(spark, sf_dir):
     return _mm.extract_media_metadata(media)
 
 
+@register("multimodal_resize", _mm.resize_media_oracle_sql(),
+          doc="Aspect-preserving resize-to-fit for image/video blobs "
+              "(codec stubbed; Arrow plumbing + audio pre-filter real).")
+def q_multimodal_resize(spark, sf_dir):
+    media = _mm.make_media_table(_t(spark, sf_dir, "documents"))
+    return _mm.resize_media(media)
+
+
+@register("multimodal_frames", _mm.sample_frames_oracle_sql(),
+          doc="Uniform video frame sampling — 1→N row expansion through "
+              "mapInPandas; content-derived frame ids feed frame dedup.")
+def q_multimodal_frames(spark, sf_dir):
+    media = _mm.make_media_table(_t(spark, sf_dir, "documents"))
+    return _mm.sample_frames(media)
+
+
 # final state of the full log applied to an empty index == last event
 # per pk, minus deletes (partial updates against nothing keep their own
 # payload), regardless of micro-batch boundaries when payloads are the
