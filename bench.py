@@ -45,7 +45,9 @@ HEADLINE = [
     "simhash_neardup_pairs",
     "text_stats",
     "doc_fingerprint",
+    "winnow_fingerprints",
     "cosine_topk",
+    "cosine_topk_blas",
     "ann_ivf_label",
     "label_centroids",
     "brand_revenue",

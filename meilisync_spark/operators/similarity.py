@@ -68,6 +68,75 @@ def ann_ivf_label(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     return _topk(_pairs(emb, same_label_only=True), k, ["label"])
 
 
+def cosine_topk_blas(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Brute-force top-k, vectorized: one BLAS matmul per Arrow batch
+    (|batch|×dim @ dim×|Q|) instead of a per-pair codegen fold — the
+    throughput path when dim×|Q| is large (numpy SIMD beats per-element
+    codegen by ~10× on dense float math).
+
+    The query batch is tiny and bounded (|Q|=8), so collecting it to
+    ship inside the UDF closure is the broadcast pattern, not a
+    driver-side loop; the corpus streams through executors untouched.
+
+    Cosines are rounded to 6 dp *as part of the operator contract*:
+    summation order differs between BLAS and a sequential fold, so the
+    raw last-ulp is not reproducible — rounding far above the error
+    bound (~1e-14) makes results exact across engines and runs.
+    """
+    import numpy as np
+
+    q_rows = sorted(
+        emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            C = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            Cn = C / _np.linalg.norm(C, axis=1, keepdims=True)
+            S = _np.round(Cn @ Qn.T, 6)  # |batch| × |Q|
+            n, m = S.shape
+            yield _pd.DataFrame(
+                {
+                    "q_id": _np.repeat(q_ids[_np.newaxis, :], n, axis=0).ravel(),
+                    "neighbor_id": _np.repeat(ids, m),
+                    "cosine": S.ravel(),
+                }
+            )
+
+    pairs = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(score, "q_id long, neighbor_id long, cosine double")
+        .where(F.col("neighbor_id") != F.col("q_id"))
+    )
+    return _topk(pairs, k, [])
+
+
+def cosine_topk_blas_oracle_sql(k: int = TOP_K) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               round({duck_cosine('q.v', 'c.v')}, 6) AS cosine
+        FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT q_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
 CENTROID_SCALE = 1073741824.0  # 2^30 — fixed-point quantum
 
 

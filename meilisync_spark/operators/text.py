@@ -224,3 +224,60 @@ def doc_fingerprint_oracle_sql() -> str:
            len(list_distinct({sh})) AS n_shingles
     FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer et al. '03): distinct per-window minima of the
+# rolling shingle hashes — the local fingerprint set that guarantees
+# any shared run of ≥ w+n-1 words between two docs shares a fingerprint
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 8
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — winnowed fingerprint set per document.
+
+    All per-row higher-order array ops (shingle → hash → sliding-window
+    min → distinct → explode). The hash array is materialized as its
+    own projection first: expressions inside higher-order lambdas get
+    no common-subexpression elimination, so referencing the raw
+    shingle→sha256 pipeline from the per-window lambda would recompute
+    it per window — O(n²) hashing (measured 18× slower). Docs shorter
+    than one window fall back to their global min hash (the standard
+    winnowing degenerate case)."""
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    hashed = docs.select(
+        "doc_id",
+        F.transform(shingles_col(w, FP_SHINGLE), lambda s: portable_hash64(s)).alias("th"),
+    )
+    th = F.col("th")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(th) - (WINNOW_W - 1)),
+        lambda i: F.array_min(F.slice(th, i, WINNOW_W)),
+    )
+    fps = (
+        F.when(F.size(th) >= WINNOW_W, F.array_distinct(wins))
+        .when(F.size(th) > 0, F.array(F.array_min(th)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return hashed.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_fingerprints_oracle_sql() -> str:
+    th = f"list_transform({duck_shingles(duck_words(), FP_SHINGLE)}, s -> {duck_hash64('s')})"
+    return f"""
+    WITH t AS (SELECT doc_id, {th} AS th FROM documents),
+    w AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= {WINNOW_W} THEN
+                      list_distinct(list_transform(
+                          range(1, len(th) - {WINNOW_W - 2}),
+                          i -> list_aggregate(th[i:i+{WINNOW_W - 1}], 'min')))
+                    WHEN len(th) > 0 THEN [list_aggregate(th, 'min')]
+                    ELSE [] END AS fps
+        FROM t
+    )
+    SELECT doc_id, fp FROM w, UNNEST(fps) u(fp)
+    """

@@ -733,6 +733,14 @@ def q_doc_fingerprint(spark, sf_dir):
     return _text.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@register("winnow_fingerprints", _text.winnow_fingerprints_oracle_sql(),
+          doc="Winnowing (Schleimer '03): sliding-window minima over the "
+              "rolling shingle-hash stream — local fingerprints with a "
+              "shared-substring guarantee; all per-row array ops.")
+def q_winnow_fingerprints(spark, sf_dir):
+    return _text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 @register("exact_dedup", _dedup.exact_dedup_oracle_sql(),
           doc="Exact dedup: normalized sha256 hash-groupBy, map-side partials.")
 def q_exact_dedup(spark, sf_dir):
@@ -775,6 +783,14 @@ def q_cosine_topk(spark, sf_dir):
           doc="IVF-style ANN: probe only the query's coarse cell (label).")
 def q_ann_ivf_label(spark, sf_dir):
     return _sim.ann_ivf_label(_t(spark, sf_dir, "embeddings"))
+
+
+@register("cosine_topk_blas", _sim.cosine_topk_blas_oracle_sql(),
+          doc="Brute-force top-k, BLAS path: one numpy matmul per Arrow "
+              "batch; cosines rounded to 6dp as the operator contract so "
+              "results are summation-order-independent.")
+def q_cosine_topk_blas(spark, sf_dir):
+    return _sim.cosine_topk_blas(_t(spark, sf_dir, "embeddings"))
 
 
 @register("label_centroids", _sim.label_centroids_oracle_sql(),
