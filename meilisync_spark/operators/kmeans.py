@@ -1,0 +1,111 @@
+"""Iterative k-means over the embedding corpus — the offline training
+loop that fills the IVF coarse quantizer's cell ids
+(operators/similarity.py:ann_ivf_label probes those cells).
+
+Exactness design: floats are quantized once to fixed point
+(``floor(x·2^20)`` — int64), and every distance / mean is exact integer
+arithmetic from then on. That makes the whole loop deterministic across
+runs, partitionings, batch heights and engines — no BLAS
+summation-order noise, no argmin flapping on last-ulp ties (ties break
+to the lowest cluster id). The driver loop is the standard k-means
+shape: centroids are k×dim ints (tiny — they ride in the UDF closure,
+the broadcast pattern), while the corpus only ever streams.
+
+Scale shape per iteration: ONE pass over the corpus; the assign UDF
+emits per-batch partial sums (k rows per Arrow batch — map-side
+combine), so the shuffle carries |batches|×k tiny rows, never vectors.
+Iterative algorithms are exactly where a driver loop is idiomatic
+Spark (MLlib's own KMeans does the same); the per-iteration plan is
+still fully declarative.
+
+Non-SQL-expressible (iterative) ⇒ rows-only for the driver's oracle;
+tests replicate the algorithm independently in numpy and compare
+assignments exactly (tests/test_kmeans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KM_QUANT = 1 << 20  # fixed-point quantum: floor(x * 2^20)
+K_DEFAULT = 10
+ITERS_DEFAULT = 3
+
+
+def _seed_centroids(emb: DataFrame, k: int):
+    import numpy as np
+
+    rows = sorted(
+        emb.where(F.col("vec_id") < k).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return np.floor(X * KM_QUANT).astype(np.int64)
+
+
+def _assign_fn(centq, emit_partials: bool):
+    """Batch fn: exact int64 distances to every centroid, argmin with
+    lowest-id tie-break. Emits either per-batch partial sums (training)
+    or per-vector assignments (final labeling)."""
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            X = _np.array(list(pdf["embedding"]), dtype=_np.float64)
+            Xq = _np.floor(X * KM_QUANT).astype(_np.int64)
+            # |x-c|^2 exactly, batch×k — int64 throughout
+            d = ((Xq[:, None, :] - centq[None, :, :]) ** 2).sum(axis=2)
+            cl = d.argmin(axis=1)  # numpy argmin: first (lowest) index on ties
+            if not emit_partials:
+                yield _pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].to_numpy(), "cluster": cl.astype("int32")}
+                )
+                continue
+            rows = []
+            for c in _np.unique(cl):
+                sel = Xq[cl == c]
+                rows.append((int(c), len(sel), [int(v) for v in sel.sum(axis=0)]))
+            yield _pd.DataFrame(rows, columns=["cluster", "n", "sums"])
+
+    return run
+
+
+def kmeans_labels(
+    emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
+) -> DataFrame:
+    """(vec_id, cluster) after ``iters`` exact Lloyd iterations seeded
+    from the first ``k`` vectors."""
+    import numpy as np
+
+    centq = _seed_centroids(emb, k)
+    corpus = emb.select("vec_id", "embedding")
+    dim = centq.shape[1]
+    for _ in range(iters):
+        partials = corpus.mapInPandas(
+            _assign_fn(centq, emit_partials=True),
+            schema="cluster int, n long, sums array<long>",
+        )
+        counts = {
+            r.cluster: r.total
+            for r in partials.groupBy("cluster").agg(F.sum("n").alias("total")).collect()
+        }
+        comp = (
+            partials.select("cluster", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        new = centq.copy()  # empty clusters keep their previous centroid
+        sums = {}
+        for r in comp:
+            sums.setdefault(r.cluster, np.zeros(dim, dtype=np.int64))[r.pos] = r.s
+        for c, vec in sums.items():
+            # floor-divide keeps centroids on the fixed-point lattice
+            new[c] = vec // counts[c]
+        centq = new
+    return corpus.mapInPandas(
+        _assign_fn(centq, emit_partials=False), schema="vec_id long, cluster int"
+    )

@@ -818,6 +818,20 @@ def approx_user_counts(spark, sf_dir):
 
 
 @register(
+    "kmeans_labels",
+    None,  # iterative — non-SQL-expressible; independently replicated in
+           # numpy and compared exactly (tests/test_kmeans.py)
+    doc="Exact fixed-point Lloyd iterations (3×) seeding the IVF coarse "
+        "quantizer: one corpus pass per iteration, per-batch partial "
+        "sums (map-side combine), deterministic across partitionings.",
+)
+def q_kmeans_labels(spark, sf_dir):
+    from meilisync_spark.operators.kmeans import kmeans_labels
+
+    return kmeans_labels(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "event_sessions",
     """
     WITH t AS (
@@ -997,6 +1011,35 @@ def q_streaming_hourly_stats(spark, sf_dir):
     return _run_streaming_to_table(
         spark, sf_dir, run_windowed_stats,
         ["hour_start", "event_type", "n", "total_value"],
+    )
+
+
+@register(
+    "streaming_join_pairs",
+    """
+    WITH p AS (SELECT user_id, event_id AS purchase_id,
+                      date_trunc('microseconds', ts) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_id,
+                      date_trunc('microseconds', ts) AS ts
+               FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.purchase_id, v.view_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts
+    FROM p JOIN v ON p.user_id = v.user_id
+                 AND v.ts <= p.ts
+                 AND v.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+    doc="Watermarked stream-stream interval join (purchases ⋈ views "
+        "within 30 min), append-mode parquet sink; the interval bound "
+        "keeps join state finite. Final sink equals the batch range join.",
+)
+def q_streaming_join_pairs(spark, sf_dir):
+    from meilisync_spark.streaming.stream_join import run_stream_stream_join
+
+    return _run_streaming_to_table(
+        spark, sf_dir, run_stream_stream_join,
+        ["user_id", "purchase_id", "view_id", "purchase_ts", "view_ts"],
     )
 
 

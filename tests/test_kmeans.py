@@ -1,0 +1,54 @@
+"""Exact k-means: the Spark implementation must match an independent
+single-machine numpy replication bit-for-bit (the fixed-point design
+makes that a hard equality, not a tolerance check)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from meilisync_spark.operators.kmeans import ITERS_DEFAULT, K_DEFAULT, KM_QUANT, kmeans_labels
+from meilisync_spark.sources.parquet import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _numpy_reference(X: np.ndarray, vec_ids: np.ndarray, k: int, iters: int):
+    Xq = np.floor(X * KM_QUANT).astype(np.int64)
+    order = np.argsort(vec_ids)
+    seeds = order[np.isin(vec_ids[order], np.arange(k))]
+    centq = Xq[seeds]
+    for _ in range(iters):
+        d = ((Xq[:, None, :] - centq[None, :, :]) ** 2).sum(axis=2)
+        cl = d.argmin(axis=1)
+        new = centq.copy()
+        for c in range(k):
+            sel = Xq[cl == c]
+            if len(sel):
+                new[c] = sel.sum(axis=0) // len(sel)
+        centq = new
+    d = ((Xq[:, None, :] - centq[None, :, :]) ** 2).sum(axis=2)
+    return dict(zip(vec_ids.tolist(), d.argmin(axis=1).tolist()))
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {r.vec_id: r.cluster for r in kmeans_labels(emb).collect()}
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vec_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    expected = _numpy_reference(X, vec_ids, K_DEFAULT, ITERS_DEFAULT)
+
+    assert got == expected
+
+
+def test_kmeans_deterministic_across_runs_and_partitionings(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = {r.vec_id: r.cluster for r in kmeans_labels(emb).collect()}
+    b = {r.vec_id: r.cluster for r in kmeans_labels(emb.repartition(7)).collect()}
+    assert a == b
+    assert len(a) == emb.count()
+    assert set(a.values()) <= set(range(K_DEFAULT))
