@@ -39,6 +39,8 @@ HEADLINE = [
     "cube_order_stats",
     "price_quantiles",
     # extension operators (present from round 1 onward as they land)
+    "clean_corpus",
+    "tfidf_top_terms",
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
@@ -50,6 +52,7 @@ HEADLINE = [
     "cosine_topk_blas",
     "ann_ivf_label",
     "label_centroids",
+    "kmeans_labels",
     "brand_revenue",
     "multimodal_meta",
     "multimodal_frames",

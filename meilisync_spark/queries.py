@@ -733,12 +733,108 @@ def q_doc_fingerprint(spark, sf_dir):
     return _text.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+        SELECT doc_id, word, tf,
+               round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, word, tf, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, word) AS rk
+        FROM scored
+    )
+    SELECT doc_id, word, tf, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: explode → two hash aggregates "
+        "(term-frequency, document-frequency) → smoothed-idf score → "
+        "per-doc top-k window; 6dp rounding is the determinism contract "
+        "for the ln().",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_text.words_col(F.col("text"))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    )
+    return scored.withColumn("rk", rk).where(F.col("rk") <= 3)
+
+
 @register("winnow_fingerprints", _text.winnow_fingerprints_oracle_sql(),
           doc="Winnowing (Schleimer '03): sliding-window minima over the "
               "rolling shingle-hash stream — local fingerprints with a "
               "shared-substring guarantee; all per-row array ops.")
 def q_winnow_fingerprints(spark, sf_dir):
     return _text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "clean_corpus",
+    r"""
+    WITH stats AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tokens,
+               sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+        FROM documents
+    ),
+    kept AS (SELECT * FROM stats WHERE n_tokens >= 10),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rk
+        FROM kept
+    )
+    SELECT doc_id, lang, n_tokens FROM ranked WHERE rk = 1
+    """,
+    doc="The composed training-data cleaning pipeline: quality filter "
+        "(min token count) → exact dedup keeping the canonical (min "
+        "doc_id) copy. One scan + one content-hash shuffle end-to-end.",
+)
+def clean_corpus(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _text.words_col(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(w).alias("n_tokens"),
+        F.sha2(_dedup.normalize_text(F.col("text")), 256).alias("content_hash"),
+    ).where(F.col("n_tokens") >= 10)
+    rk = F.row_number().over(Window.partitionBy("content_hash").orderBy("doc_id"))
+    return (
+        stats.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
 
 
 @register("exact_dedup", _dedup.exact_dedup_oracle_sql(),
