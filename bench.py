@@ -37,6 +37,10 @@ HEADLINE = [
     "asof_purchase_view",
     "event_value_bands",
     "cube_order_stats",
+    "grouping_sets_orders",
+    "parts_above_brand_avg",
+    "q6_forecast_revenue",
+    "events_trailing_1h",
     "price_quantiles",
     # extension operators (present from round 1 onward as they land)
     "clean_corpus",

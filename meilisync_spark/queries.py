@@ -699,6 +699,159 @@ def price_quantiles(spark, sf_dir):
     )
 
 
+@register(
+    "parts_above_brand_avg",
+    """
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice >
+          (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*)
+           FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+    doc="Correlated scalar subquery (price above own brand's average). "
+        "Spark decorrelates it by hand the way Catalyst would: a tiny "
+        "per-brand aggregate broadcast back onto the fact side — no "
+        "per-row subquery execution, one scan + one broadcast join. "
+        "Brand avg follows the DECIMAL-sum/count determinism rule.",
+)
+def parts_above_brand_avg(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    brand_avg = p.groupBy("p_brand").agg(
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("brand_avg")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (rollup/cube cover the other grouping-set "
+        "shapes): three marginal totals in a single Expand + hash "
+        "aggregate pass — one scan, not three. grouping() flags "
+        "disambiguate real NULL keys from grouped-out ones.",
+)
+def grouping_sets_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+    ).alias("gid")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            gid,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: a pure scan-plus-aggregate whose entire "
+        "predicate set reaches the parquet reader (PushedFilters: ship "
+        "date range, discount band, quantity cap) — the canonical "
+        "pushdown/pruning probe; only two columns are read.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.agg(
+        F.sum(price * disc).cast("decimal(18,4)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "events_trailing_1h",
+    """
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,2)) AS trailing_1h_value,
+           count(*) OVER (PARTITION BY user_id
+                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS trailing_1h_events
+    FROM events
+    """,
+    doc="Time-range window frame (RANGE BETWEEN on epoch seconds): each "
+        "event's trailing-1h per-user activity — the sliding-window "
+        "analytics shape, computed with one shuffle on user_id and a "
+        "single per-partition ordered pass. DECIMAL sum keeps the "
+        "moving total exact; RANGE peers (equal seconds) are handled "
+        "identically by both engines.",
+)
+def events_trailing_1h(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ts_sec = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_sec.alias("ts_sec"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: text analysis, dedup, similarity search
 # (operators/text.py, operators/dedup.py, operators/similarity.py)
