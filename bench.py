@@ -45,6 +45,9 @@ HEADLINE = [
     # extension operators (present from round 1 onward as they land)
     "clean_corpus",
     "tfidf_top_terms",
+    "doc_chunks",
+    "vocab_encode",
+    "embedding_quantize",
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

@@ -195,6 +195,46 @@ def label_centroids_oracle_sql() -> str:
     """
 
 
+def embedding_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, amax, qvec) — symmetric per-vector int8 quantization:
+    each component mapped to round(x / max|x| · 127), the standard
+    compression step before shipping embeddings to an ANN index (4×
+    smaller than float32, 8× smaller than the widened doubles).
+
+    Pure per-row Catalyst (transform + array_max), no shuffle — the
+    operator is scan-bound and embarrassingly parallel at any scale.
+    Rounding is written as floor(v·127 + 0.5) rather than round() so
+    Spark and the DuckDB oracle agree bit-for-bit on .5 boundaries;
+    all-zero vectors quantize to zeros (amax guard)."""
+    e = F.col("embedding")
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        F.col("amax") > 0,
+        F.transform(
+            e,
+            lambda x: F.floor(x.cast("double") / F.col("amax") * 127 + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(e, lambda x: F.lit(0)))
+    return emb.withColumn("amax", amax).select("vec_id", "amax", q.alias("qvec"))
+
+
+def embedding_quantize_oracle_sql() -> str:
+    return """
+    WITH t AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+        FROM embeddings
+    )
+    SELECT vec_id, amax,
+           CASE WHEN amax > 0 THEN
+             list_transform(e, x -> CAST(floor(x / amax * 127 + 0.5) AS INTEGER))
+           ELSE list_transform(e, x -> 0) END AS qvec
+    FROM t
+    """
+
+
 def _duck_base(same_label_only: bool, k: int, label_col: str) -> str:
     join = (
         "JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id"

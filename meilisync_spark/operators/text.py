@@ -227,6 +227,123 @@ def doc_fingerprint_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Training-chunk extraction: fixed-size token windows with stride
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 16
+
+
+def doc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, start_token, n_chunk_tokens, chunk_text) —
+    sliding token windows of ``CHUNK_SIZE`` words advancing by
+    ``CHUNK_STRIDE`` (the standard overlap-chunking used to cut long
+    documents into training sequences). chunk count =
+    1 + ceil((n - size)/stride), so the final chunk may be short but
+    every token is covered exactly; empty docs yield no chunks.
+
+    Pure Catalyst: one narrow scan, sequence+explode fan-out, slice per
+    chunk — no shuffle at all; chunk rows land partition-local to their
+    document, which is exactly what a downstream tokenizer wants."""
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    base = docs.select("doc_id", w.alias("w"))
+    n = F.size("w")
+    n_chunks = F.when(
+        n > 0,
+        F.lit(1)
+        + F.greatest(
+            F.lit(0).cast("long"),
+            F.ceil((n - F.lit(CHUNK_SIZE)) / F.lit(CHUNK_STRIDE)),
+        ),
+    ).otherwise(F.lit(0))
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = base.select("doc_id", "w", F.explode(idx).alias("chunk_id"))
+    start = F.lit(1) + F.col("chunk_id") * F.lit(CHUNK_STRIDE)
+    toks = F.slice("w", start, F.lit(CHUNK_SIZE))
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_token"),
+        F.size(toks).alias("n_chunk_tokens"),
+        F.concat_ws(" ", toks).alias("chunk_text"),
+    )
+
+
+def doc_chunks_oracle_sql() -> str:
+    c, s = CHUNK_SIZE, CHUNK_STRIDE
+    sl = f"w[(1 + i*{s}):(i*{s} + {c})]"
+    return f"""
+    WITH t AS (SELECT doc_id, {duck_words()} AS w FROM documents),
+    n AS (SELECT doc_id, w,
+                 CASE WHEN len(w) > 0 THEN
+                   1 + greatest(0, CAST(ceil((len(w) - {c}) / {s}.0) AS BIGINT))
+                 ELSE 0 END AS n_chunks
+          FROM t)
+    SELECT doc_id, i AS chunk_id, 1 + i*{s} AS start_token,
+           len({sl}) AS n_chunk_tokens,
+           array_to_string({sl}, ' ') AS chunk_text
+    FROM n, UNNEST(range(0, n_chunks)) u(i)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Dictionary encoding: frequency-ranked vocabulary + per-doc id arrays
+# ---------------------------------------------------------------------------
+
+def vocab_encode(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, ids) — the tokenize→vocab→encode step of a
+    training pipeline: build a corpus vocabulary (id = rank by global
+    frequency desc, then word asc — id 1 is the most frequent word) and
+    re-emit every document as its token-id sequence.
+
+    The vocab rank is a global window but runs over *distinct words*
+    (vocab-sized, not corpus-sized) so the single-partition sort is a
+    few MB even at web scale; the encode join broadcasts that vocab,
+    and the id arrays are re-assembled with one shuffle on doc_id
+    (array_sort over (pos, id) structs restores token order without a
+    per-group sort pass)."""
+    from pyspark.sql import Window
+
+    docs = spread(docs)
+    tok = docs.select(
+        "doc_id", F.posexplode(words_col(F.col("text"))).alias("pos", "word")
+    )
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+    vocab_ids = vocab.select("word", rk.alias("id"))
+    return (
+        tok.join(F.broadcast(vocab_ids), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda x: x["id"],
+            ).alias("ids"),
+        )
+    )
+
+
+def vocab_encode_oracle_sql() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS pos
+        FROM (SELECT doc_id, {duck_words()} AS w FROM documents)
+    ),
+    vocab AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
+    ids AS (SELECT word,
+                   row_number() OVER (ORDER BY cnt DESC, word) AS id
+            FROM vocab)
+    SELECT doc_id, count(*) AS n_tokens, list(id ORDER BY pos) AS ids
+    FROM tok JOIN ids USING (word)
+    GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # Winnowing (Schleimer et al. '03): distinct per-window minima of the
 # rolling shingle hashes — the local fingerprint set that guarantees
 # any shared run of ≥ w+n-1 words between two docs shares a fingerprint

@@ -942,6 +942,23 @@ def tfidf_top_terms(spark, sf_dir):
     return scored.withColumn("rk", rk).where(F.col("rk") <= 3)
 
 
+@register("doc_chunks", _text.doc_chunks_oracle_sql(),
+          doc="Sliding token-window chunking (size 32, stride 16): cuts "
+              "documents into overlapping training sequences; pure "
+              "sequence+explode+slice, zero shuffle.")
+def q_doc_chunks(spark, sf_dir):
+    return _text.doc_chunks(_t(spark, sf_dir, "documents"))
+
+
+@register("vocab_encode", _text.vocab_encode_oracle_sql(),
+          doc="Dictionary encoding: frequency-ranked corpus vocabulary + "
+              "per-document token-id arrays (tokenize → vocab → encode); "
+              "vocab broadcast to the encode join, order restored by "
+              "array_sort over (pos,id) structs.")
+def q_vocab_encode(spark, sf_dir):
+    return _text.vocab_encode(_t(spark, sf_dir, "documents"))
+
+
 @register("winnow_fingerprints", _text.winnow_fingerprints_oracle_sql(),
           doc="Winnowing (Schleimer '03): sliding-window minima over the "
               "rolling shingle-hash stream — local fingerprints with a "
@@ -1040,6 +1057,14 @@ def q_ann_ivf_label(spark, sf_dir):
               "results are summation-order-independent.")
 def q_cosine_topk_blas(spark, sf_dir):
     return _sim.cosine_topk_blas(_t(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_quantize", _sim.embedding_quantize_oracle_sql(),
+          doc="Symmetric per-vector int8 quantization (x → round(x/max|x|"
+              "·127)): the compression step before an ANN index; pure "
+              "per-row transform, scan-bound, zero shuffle.")
+def q_embedding_quantize(spark, sf_dir):
+    return _sim.embedding_quantize(_t(spark, sf_dir, "embeddings"))
 
 
 @register("label_centroids", _sim.label_centroids_oracle_sql(),
