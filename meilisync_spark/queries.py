@@ -1338,6 +1338,27 @@ def q_streaming_user_totals(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+    FROM events
+    """,
+    doc="Streaming exactly-once dedup (dropDuplicatesWithinWatermark): "
+        "the source stream is unioned with a deterministic replay subset "
+        "(at-least-once redelivery), then deduped on event_id with "
+        "watermark-bounded state; the sink equals the original event set.",
+)
+def q_streaming_dedup(spark, sf_dir):
+    from meilisync_spark.streaming.dedup_stream import run_stream_dedup
+
+    return _run_streaming_to_table(
+        spark, sf_dir, run_stream_dedup,
+        ["event_id", "user_id", "event_type", "ts_sec", "value"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry accessors (used by __spark_entry__.py and tests)
 # ---------------------------------------------------------------------------
