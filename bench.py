@@ -49,6 +49,9 @@ HEADLINE = [
     "vocab_encode",
     "embedding_quantize",
     "exact_dedup",
+    "dedup_clusters",
+    "split_assign",
+    "mixture_sample",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",

@@ -257,6 +257,97 @@ def ngram_jaccard_pairs_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over the candidate
+# pair graph (the dedup endgame — pairs alone don't say which docs to
+# drop; transitive closure does)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 25
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """(doc_id, cluster_id): cluster_id = min doc_id reachable from the
+    node over the undirected ``pairs`` graph; isolated nodes label
+    themselves.
+
+    Iterative min-label propagation (the Pregel/GraphX "connected
+    components" algorithm expressed in DataFrames): each round every
+    node takes min(own label, neighbors' labels); converges in
+    graph-diameter rounds — near-dup clusters are shallow, so a handful.
+    Per round: one shuffle (edge ⨝ label on doc_id) + one groupBy-min;
+    `localCheckpoint` pins each round so the loop's lineage (and thus
+    task size) stays O(1) instead of O(iterations) — on a cluster this
+    is a reliable-checkpoint dir instead. Labels only ever decrease, so
+    the exact-decimal label sum is a cheap monotone convergence probe
+    (no join-compare pass). Fixpoint is exact and partitioning-
+    independent."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(True)
+
+    def _sum(df: DataFrame) -> object:
+        return df.agg(F.sum(F.col("cluster_id").cast("decimal(28,0)"))).collect()[0][0]
+
+    prev = _sum(labels)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        labels = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(True)
+        )
+        cur = _sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    MinHash-LSH candidate pair graph — cluster_id = min doc_id of the
+    component (the canonical copy a cleaning pipeline keeps). The
+    oracle replays the fixpoint as a recursive CTE."""
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    return connected_components(docs, pairs, max_iters)
+
+
+def dedup_clusters_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_duck_sig_cte()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    r(id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.root FROM r JOIN e ON e.u = r.id
+    )
+    SELECT id AS doc_id, min(root) AS cluster_id FROM r GROUP BY id
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

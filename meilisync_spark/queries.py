@@ -859,6 +859,7 @@ def events_trailing_1h(spark, sf_dir):
 
 from meilisync_spark.operators import text as _text
 from meilisync_spark.operators import dedup as _dedup
+from meilisync_spark.operators import sampling as _sampling
 from meilisync_spark.operators import similarity as _sim
 
 
@@ -1005,6 +1006,30 @@ def clean_corpus(spark, sf_dir):
         .where(F.col("rk") == 1)
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+@register("dedup_clusters", _dedup.dedup_clusters_oracle_sql(),
+          doc="Duplicate-cluster resolution: connected components over the "
+              "MinHash-LSH candidate graph via iterative min-label "
+              "propagation (localCheckpoint-pinned rounds, exact decimal "
+              "convergence probe); oracle replays it as a recursive CTE.")
+def q_dedup_clusters(spark, sf_dir):
+    return _dedup.dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
+@register("split_assign", _sampling.split_assign_oracle_sql(),
+          doc="Stable train/val/test assignment by portable content hash "
+              "of the key — identical across runs, engines, and "
+              "partitionings; pure scan-side projection.")
+def q_split_assign(spark, sf_dir):
+    return _sampling.split_assign(_t(spark, sf_dir, "documents"))
+
+
+@register("mixture_sample", _sampling.mixture_sample_oracle_sql(),
+          doc="Per-source weighted downsampling (data-mixing recipe): "
+              "broadcast rate dim + hash-threshold filter, zero shuffle.")
+def q_mixture_sample(spark, sf_dir):
+    return _sampling.mixture_sample(_t(spark, sf_dir, "documents"))
 
 
 @register("exact_dedup", _dedup.exact_dedup_oracle_sql(),

@@ -108,3 +108,17 @@ def test_approx_distinct_error_bound(spark):
     for r in rows:
         e = exact[r.event_type]
         assert abs(r.approx_users - e) <= max(1, 0.05 * e), (r.event_type, r.approx_users, e)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must cross multi-hop chains (diameter > 1)
+    — the case the corpus's shallow dup clusters don't exercise."""
+    from meilisync_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    # chain 1-2-3-4-5 (diameter 4), pair 7-8, singletons 6, 9, 10
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 7)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7, 9: 9, 10: 10}
