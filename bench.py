@@ -38,6 +38,7 @@ HEADLINE = [
     "event_value_bands",
     "cube_order_stats",
     "grouping_sets_orders",
+    "pivot_priority_status",
     "parts_above_brand_avg",
     "q6_forecast_revenue",
     "events_trailing_1h",

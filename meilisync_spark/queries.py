@@ -699,6 +699,83 @@ def price_quantiles(spark, sf_dir):
     )
 
 
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "pivot_priority_status",
+    f"""
+    SELECT o_orderpriority,
+           {', '.join(
+               f"count(*) FILTER (o_orderstatus = '{s}') AS n_{s}, "
+               f"CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+               f"FILTER (o_orderstatus = '{s}'), 0) AS DECIMAL(18,2)) AS total_{s}"
+               for s in ORDER_STATUSES)}
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (long→wide): per-priority counts and exact DECIMAL totals "
+        "fanned out per order status. Explicit pivot values keep it a "
+        "single Expand+aggregate pass (no values-discovery pre-scan, "
+        "which at 100 TB would be an extra full shuffle).",
+)
+def pivot_priority_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            ).cast("decimal(18,2)").alias("total"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            c
+            for s in ORDER_STATUSES
+            for c in (
+                F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_{s}"),
+                F.coalesce(F.col(f"{s}_total"), F.lit(0).cast("decimal(18,2)")).alias(
+                    f"total_{s}"
+                ),
+            )
+        ],
+    )
+
+
+@register(
+    "unpivot_priority_status",
+    """
+    SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Unpivot (wide→long): the pivoted count matrix melted back to "
+        "(priority, status, n) with DataFrame.unpivot — the round-trip "
+        "must land exactly on the plain groupBy; zero-filled cells from "
+        "absent combinations are filtered out, mirroring their absence "
+        "in the long form.",
+)
+def unpivot_priority_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        wide.unpivot(
+            "o_orderpriority",
+            ORDER_STATUSES,
+            "status",
+            "n",
+        )
+        .where(F.col("n").isNotNull())
+        .select("o_orderpriority", "status", "n")
+    )
+
+
 @register(
     "parts_above_brand_avg",
     """
