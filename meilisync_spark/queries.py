@@ -1441,6 +1441,44 @@ def q_streaming_user_totals(spark, sf_dir):
 
 
 @register(
+    "streaming_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS last_event_us,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Native streaming session windows (F.session_window, 30-min gap); "
+        "complete-mode shadow-swap for the finite replay (append+"
+        "watermark is the unbounded-stream shape); the oracle replays "
+        "the merge boundary (delta >= gap) with exact microsecond "
+        "interval math.",
+)
+def q_streaming_sessions(spark, sf_dir):
+    from meilisync_spark.streaming.windowed import run_session_windows
+
+    return _run_streaming_to_table(
+        spark, sf_dir, run_session_windows,
+        ["user_id", "session_start_us", "last_event_us", "n_events"],
+    )
+
+
+@register(
     "streaming_dedup",
     """
     SELECT event_id, user_id, event_type,

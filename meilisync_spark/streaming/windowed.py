@@ -106,6 +106,64 @@ def run_windowed_stats(
     _await(q, timeout_sec)
 
 
+def run_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float = 120.0,
+) -> None:
+    """Gap-based session windows (`F.session_window`): per-user sessions
+    that close after ``gap`` of inactivity — the native streaming form
+    of the batch sessionization query (`event_sessions`).
+
+    Merge semantics: each event opens [ts, ts+gap); overlapping windows
+    merge, so a new session starts exactly when the event-time delta is
+    ≥ gap — the oracle mirrors that boundary with an interval compare
+    on the exact microsecond timestamps.
+
+    Output mode: Spark restricts streaming session-window aggregation
+    to append/complete (update would have to retract rows when two
+    open sessions merge into one — their window start changes, unlike
+    tumbling windows). Append only emits a session once the watermark
+    passes its end, so a finite replay would swallow every user's last
+    session; this harness therefore runs complete mode with a
+    shadow-swap overwrite per batch (operators/refresh.py — readers
+    never see a torn batch). On an unbounded production stream the
+    right shape is append + watermark: sessions flush as the stream
+    advances and Spark evicts closed-session state — complete mode's
+    all-windows state is the price of a finite replay, not the design.
+    """
+    ev = read_event_stream(spark, events_path, max_files_per_trigger)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("last_ts")).alias("last_event_us"),
+            "n_events",
+        )
+    )
+
+    def overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+        refresh_data(batch_df, out_path)
+
+    q = (
+        agg.writeStream.foreachBatch(overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q, timeout_sec)
+
+
 USER_TOTALS_SCHEMA = "user_id long, n_events long, total_cents long, last_event_id long"
 _STATE_SCHEMA = "n long, cents long, max_eid long"
 

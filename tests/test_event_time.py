@@ -79,3 +79,44 @@ def test_user_totals_multibatch_equals_batch(spark, duck, tmp_path):
         ).fetchall()
     }
     assert got == expected
+
+
+def test_session_windows_multibatch_equals_batch(spark, duck, tmp_path):
+    """Sessions spanning micro-batch boundaries must merge: the 3-chunk
+    event-time-ordered replay converges to the batch gap-sessionization."""
+    from meilisync_spark.streaming.windowed import run_session_windows
+
+    stream_dir = _ts_ordered_chunks(str(tmp_path))
+    out = str(tmp_path / "sessions")
+    run_session_windows(
+        spark, stream_dir, out, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    got = {
+        (r.user_id, r.session_start_us): (r.last_event_us, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    con = duck(SF_SMOKE)
+    expected = {
+        (u, s): (e, n)
+        for u, s, e, n in con.sql(
+            """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id, epoch_us(min(ts)), epoch_us(max(ts)), count(*)
+            FROM sess GROUP BY user_id, sid
+            """
+        ).fetchall()
+    }
+    assert got == expected
