@@ -43,6 +43,8 @@ HEADLINE = [
     "q6_forecast_revenue",
     "events_trailing_1h",
     "price_quantiles",
+    "approx_price_quantiles",
+    "per_source_head",
     # extension operators (present from round 1 onward as they land)
     "clean_corpus",
     "tfidf_top_terms",

@@ -63,6 +63,44 @@ def split_assign_oracle_sql() -> str:
     """
 
 
+SAMPLE_K = 5
+
+
+def per_source_head(docs: DataFrame, k: int = SAMPLE_K) -> DataFrame:
+    """(source, doc_id, rk) — a uniform k-document sample per source:
+    rank docs within each source by portable hash of the key and keep
+    the k smallest. This is distributed reservoir sampling done
+    deterministically — the "k random rows per group" primitive for
+    eyeballing / eval-set carving, stable across runs and engines.
+
+    One shuffle on source; the rank is a per-group top-k (window +
+    filter) which AQE executes with partial top-k pushdown; no global
+    sort."""
+    from pyspark.sql import Window
+
+    docs = spread(docs)
+    h = portable_hash64(F.concat(F.lit("head:"), F.col("doc_id")))
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("source", "doc_id", "rk")
+    )
+
+
+def per_source_head_oracle_sql(k: int = SAMPLE_K) -> str:
+    h = duck_hash64("'head:' || doc_id")
+    return f"""
+    SELECT source, doc_id, rk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {h}, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {k}
+    """
+
+
 def mixture_sample(docs: DataFrame) -> DataFrame:
     """(doc_id, source, rate) — per-source weighted downsampling: doc
     kept iff hash(doc_id) lands under its source's rate. The rate table

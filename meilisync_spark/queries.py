@@ -1109,6 +1109,39 @@ def q_mixture_sample(spark, sf_dir):
     return _sampling.mixture_sample(_t(spark, sf_dir, "documents"))
 
 
+@register("per_source_head", _sampling.per_source_head_oracle_sql(),
+          doc="Deterministic k-per-group sample (distributed reservoir): "
+              "rank by portable key hash within source, keep k smallest; "
+              "one shuffle, per-group top-k.")
+def q_per_source_head(spark, sf_dir):
+    return _sampling.per_source_head(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "approx_price_quantiles",
+    None,  # t-digest/GK sketches are engine-specific — rows-only;
+    # the ±1% rank-error contract vs the exact sort is asserted in
+    # tests/test_operators.py::test_approx_percentile_error_bound
+    doc="approx_percentile (GK sketch, accuracy 10000 ⇒ ±0.01% rank "
+        "error): the one-pass mergeable-sketch path that replaces the "
+        "exact per-group sort of price_quantiles at 100 TB.",
+)
+def q_approx_price_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
+        F.lit(10000),
+    )
+    return li.groupBy("l_returnflag").agg(q.alias("q")).select(
+        "l_returnflag",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p95"),
+    )
+
+
 @register("exact_dedup", _dedup.exact_dedup_oracle_sql(),
           doc="Exact dedup: normalized sha256 hash-groupBy, map-side partials.")
 def q_exact_dedup(spark, sf_dir):

@@ -122,3 +122,30 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(nodes, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7, 9: 9, 10: 10}
+
+
+def test_approx_percentile_error_bound(spark):
+    """approx_price_quantiles is rows-only for the driver (GK sketches
+    are engine-specific); assert the rank-error contract vs the exact
+    per-group sort locally."""
+    from meilisync_spark import queries as Q
+
+    approx = {r.l_returnflag: r for r in
+              Q.queries()["approx_price_quantiles"](spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    groups = {r.l_returnflag: sorted(x[0] for x in r.vals)
+              for r in li.groupBy("l_returnflag")
+              .agg(F.collect_list(F.struct("l_extendedprice")).alias("vals"))
+              .collect()}
+    assert set(approx) == set(groups)
+    for flag, row in approx.items():
+        vals = groups[flag]
+        n = len(vals)
+        for col, frac in [("p25", .25), ("p50", .5), ("p75", .75), ("p95", .95)]:
+            got = getattr(row, col)
+            # rank of the returned value must be within 1% of target
+            import bisect
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = frac * (n - 1)
+            assert lo - 0.01 * n <= target <= hi + 0.01 * n, (flag, col, got)
