@@ -56,6 +56,8 @@ HEADLINE = [
     "split_assign",
     "mixture_sample",
     "minhash_lsh_pairs",
+    "incremental_neardup",
+    "repetition_stats",
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",
     "text_stats",

@@ -257,6 +257,70 @@ def ngram_jaccard_pairs_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Incremental near-dup: new documents vs the existing corpus index
+# ---------------------------------------------------------------------------
+
+DELTA_MOD = 5  # doc is "new" iff hash(doc_id) % DELTA_MOD == 0
+
+
+def _delta_flag(doc_id: Column) -> Column:
+    return portable_hash64(F.concat(F.lit("delta:"), doc_id)) % DELTA_MOD == 0
+
+
+def incremental_neardup(docs: DataFrame) -> DataFrame:
+    """Near-dup candidates of a *delta* batch against the existing
+    corpus — the production dedup shape: a daily ingest is checked
+    against the stored band index instead of re-pairing the whole
+    corpus (O(|delta|·bucket) work, not O(|corpus|²)).
+
+    The harness splits delta/corpus deterministically by key hash; in
+    production the corpus side is the persisted band table of
+    `minhash_lsh_pairs` (partitioned by band_hash so the probe join
+    co-locates without a corpus shuffle)."""
+    sigs = minhash_signatures(docs)
+    is_delta = _delta_flag(F.col("doc_id"))
+    bands = lsh_bands(sigs).withColumn("is_delta", is_delta).persist()
+    delta = bands.where(F.col("is_delta")).select(
+        F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n"),
+        "band_idx", "band_hash",
+    )
+    corpus = bands.where(~F.col("is_delta")).select(
+        F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c"),
+        "band_idx", "band_hash",
+    )
+    pairs = (
+        delta.join(corpus, ["band_idx", "band_hash"])
+        .select("new_doc", "corpus_doc", "sig_n", "sig_c")
+        .distinct()
+    )
+    matched = F.size(
+        F.filter(F.zip_with("sig_n", "sig_c", lambda x, y: x == y), lambda m: m)
+    )
+    return pairs.select(
+        "new_doc", "corpus_doc", (matched / F.lit(NUM_PERM)).alias("est_jaccard")
+    )
+
+
+def incremental_neardup_oracle_sql() -> str:
+    h = duck_hash64("'delta:' || doc_id")
+    flag = f"({h} % {DELTA_MOD} = 0)"
+    return f"""
+    WITH {_duck_sig_cte()},
+    flagged AS (SELECT *, {flag} AS is_delta FROM bands),
+    pairs AS (
+        SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+                        n.sig AS sig_n, c.sig AS sig_c
+        FROM flagged n JOIN flagged c
+          ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+         AND n.is_delta AND NOT c.is_delta
+    )
+    SELECT new_doc, corpus_doc,
+           len(list_filter(list_zip(sig_n, sig_c), z -> z[1] = z[2])) / {NUM_PERM} AS est_jaccard
+    FROM pairs
+    """
+
+
+# ---------------------------------------------------------------------------
 # Duplicate-cluster resolution: connected components over the candidate
 # pair graph (the dedup endgame — pairs alone don't say which docs to
 # drop; transitive closure does)

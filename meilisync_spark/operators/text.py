@@ -227,6 +227,61 @@ def doc_fingerprint_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText repetition
+    filters): distinct-token ratio, most-frequent-token mass, and
+    duplicate-bigram fraction. All per-row higher-order array ops —
+    scan-bound, zero shuffle; cost is O(len·distinct) per doc, bounded
+    by document length, independent of corpus size.
+
+    The token array is materialized in a projection first — lambdas get
+    no common-subexpression elimination, so inlining the regex pipeline
+    into the nested count would re-tokenize per distinct token."""
+    docs = spread(docs)
+    base = docs.select(
+        "doc_id",
+        words_col(F.col("text")).alias("w"),
+        shingles_col(words_col(F.col("text")), 2).alias("g2"),
+    )
+    w, g2 = F.col("w"), F.col("g2")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda t: F.size(F.filter(w, lambda x: x == t)),
+        )
+    )
+    return base.where(F.size(w) > 0).select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("distinct_ratio"),
+        (top_count / F.size(w)).alias("top_token_mass"),
+        F.when(
+            F.size(g2) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2),
+        ).otherwise(0.0).alias("dup_bigram_frac"),
+    )
+
+
+def repetition_stats_oracle_sql() -> str:
+    w2 = duck_shingles("w", 2)
+    return f"""
+    WITH t AS (SELECT doc_id, {duck_words()} AS w FROM documents),
+    b AS (SELECT doc_id, w, {w2} AS g2 FROM t WHERE len(w) > 0)
+    SELECT doc_id, len(w) AS n_tokens,
+           len(list_distinct(w)) / len(w) AS distinct_ratio,
+           list_max(list_transform(list_distinct(w),
+                t -> len(list_filter(w, x -> x = t)))) / len(w) AS top_token_mass,
+           CASE WHEN len(g2) > 0
+                THEN 1.0 - len(list_distinct(g2)) / len(g2)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM b
+    """
+
+
+# ---------------------------------------------------------------------------
 # Training-chunk extraction: fixed-size token windows with stride
 # ---------------------------------------------------------------------------
 

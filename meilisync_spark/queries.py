@@ -1085,6 +1085,22 @@ def clean_corpus(spark, sf_dir):
     )
 
 
+@register("repetition_stats", _text.repetition_stats_oracle_sql(),
+          doc="Gopher-style repetition quality signals: distinct-token "
+              "ratio, most-frequent-token mass, duplicate-bigram fraction "
+              "— per-row higher-order array ops, zero shuffle.")
+def q_repetition_stats(spark, sf_dir):
+    return _text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("incremental_neardup", _dedup.incremental_neardup_oracle_sql(),
+          doc="Incremental dedup: a delta batch probed against the "
+              "corpus band index (O(delta) work, corpus never re-paired); "
+              "delta/corpus split is a deterministic key-hash flag.")
+def q_incremental_neardup(spark, sf_dir):
+    return _dedup.incremental_neardup(_t(spark, sf_dir, "documents"))
+
+
 @register("dedup_clusters", _dedup.dedup_clusters_oracle_sql(),
           doc="Duplicate-cluster resolution: connected components over the "
               "MinHash-LSH candidate graph via iterative min-label "
