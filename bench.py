@@ -41,6 +41,8 @@ HEADLINE = [
     "pivot_priority_status",
     "parts_above_brand_avg",
     "q6_forecast_revenue",
+    "promo_revenue_share",
+    "yearly_order_volume",
     "events_trailing_1h",
     "price_quantiles",
     "approx_price_quantiles",

@@ -885,6 +885,69 @@ def q6_forecast_revenue(spark, sf_dir):
 
 
 @register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month_start,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DECIMAL(18,4)) AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape: conditional aggregate over a fact⋈dim join "
+        "(promo share of monthly revenue) — part broadcasts, one agg "
+        "shuffle on the month key; the ratio is left to the reader so "
+        "both sums stay exact DECIMAL.",
+)
+def promo_revenue_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (F.lit(1) - disc)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("long").alias("month_start")
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("decimal(18,4)")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("decimal(18,4)").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "yearly_order_volume",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Calendar-part grouping (year extraction): the date-dimension "
+        "rollup shape; single scan + one agg shuffle.",
+)
+def yearly_order_volume(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_price"),
+    )
+
+
+@register(
     "events_trailing_1h",
     """
     SELECT event_id, user_id,
