@@ -68,6 +68,7 @@ HEADLINE = [
     "cosine_topk",
     "cosine_topk_blas",
     "ann_ivf_label",
+    "ann_recall_at_k",
     "label_centroids",
     "kmeans_labels",
     "brand_revenue",

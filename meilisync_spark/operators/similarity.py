@@ -195,6 +195,56 @@ def label_centroids_oracle_sql() -> str:
     """
 
 
+def ann_recall_at_k(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(q_id, n_hits, n_brute, recall) — recall@k of the IVF cell-probe
+    path against brute-force ground truth, per query. The self-check
+    every ANN deployment needs: quantifies what the one-cell probe
+    trades for its |corpus|/cells scan reduction. Both sides are tiny
+    (|Q|×k rows), so the scoring join costs nothing regardless of
+    corpus size."""
+    brute = cosine_topk(emb, k).select("q_id", "neighbor_id")
+    ivf = ann_ivf_label(emb, k).select(
+        F.col("q_id").alias("iq_id"), F.col("neighbor_id").alias("i_neighbor")
+    )
+    joined = brute.join(
+        ivf,
+        (brute.q_id == ivf.iq_id) & (brute.neighbor_id == ivf.i_neighbor),
+        "left",
+    )
+    return joined.groupBy("q_id").agg(
+        F.count("i_neighbor").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_brute"),
+        (F.count("i_neighbor") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+def ann_recall_at_k_oracle_sql(k: int = TOP_K) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    br AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {duck_cosine('q.v', 'c.v')} DESC, c.vec_id) AS rank
+            FROM q JOIN e c ON c.vec_id <> q.vec_id
+        ) WHERE rank <= {k}
+    ),
+    ir AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {duck_cosine('q.v', 'c.v')} DESC, c.vec_id) AS rank
+            FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+        ) WHERE rank <= {k}
+    )
+    SELECT br.q_id, count(ir.neighbor_id) AS n_hits, count(*) AS n_brute,
+           count(ir.neighbor_id) / count(*) AS recall
+    FROM br LEFT JOIN ir ON br.q_id = ir.q_id AND br.neighbor_id = ir.neighbor_id
+    GROUP BY br.q_id
+    """
+
+
 def embedding_quantize(emb: DataFrame) -> DataFrame:
     """(vec_id, amax, qvec) — symmetric per-vector int8 quantization:
     each component mapped to round(x / max|x| · 127), the standard

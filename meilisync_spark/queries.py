@@ -1273,6 +1273,14 @@ def q_cosine_topk_blas(spark, sf_dir):
     return _sim.cosine_topk_blas(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_recall_at_k", _sim.ann_recall_at_k_oracle_sql(),
+          doc="Recall@k of the IVF cell probe vs brute-force ground "
+              "truth per query — the ANN quality self-check; |Q|×k-row "
+              "scoring join, free at any corpus size.")
+def q_ann_recall_at_k(spark, sf_dir):
+    return _sim.ann_recall_at_k(_t(spark, sf_dir, "embeddings"))
+
+
 @register("embedding_quantize", _sim.embedding_quantize_oracle_sql(),
           doc="Symmetric per-vector int8 quantization (x → round(x/max|x|"
               "·127)): the compression step before an ANN index; pure "
