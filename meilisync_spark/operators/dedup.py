@@ -347,6 +347,10 @@ def connected_components(
     the exact-decimal label sum is a cheap monotone convergence probe
     (no join-compare pass). Fixpoint is exact and partitioning-
     independent."""
+    # persist pairs first: the symmetric union references it twice, and
+    # for the LSH graph each reference would otherwise re-run the whole
+    # band self-join
+    pairs = pairs.persist()
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -379,6 +383,7 @@ def connected_components(
             break
         prev = cur
     edges.unpersist()
+    pairs.unpersist()
     return labels
 
 
