@@ -44,6 +44,7 @@ HEADLINE = [
     "promo_revenue_share",
     "yearly_order_volume",
     "events_trailing_1h",
+    "customer_spend_quartiles",
     "price_quantiles",
     "approx_price_quantiles",
     "per_source_head",

@@ -948,6 +948,42 @@ def yearly_order_volume(spark, sf_dir):
 
 
 @register(
+    "customer_spend_quartiles",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend,
+           ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile,
+           round(percent_rank() OVER (ORDER BY spend DESC, o_custkey), 8) AS pct_rank
+    FROM spend
+    """,
+    doc="Distribution-rank windows (ntile + percent_rank) over per-"
+        "customer spend: the cohort-bucketing shape. Global-order window "
+        "runs over the aggregated customer table (|customers| rows, not "
+        "|orders|); 8dp rounding pins the percent_rank division.",
+)
+def customer_spend_quartiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+    )
+
+
+@register(
     "events_trailing_1h",
     """
     SELECT event_id, user_id,
