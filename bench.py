@@ -32,6 +32,7 @@ HEADLINE = [
     "q5_region_revenue",
     "top_customers_per_nation",
     "hourly_event_stats",
+    "event_zscores",
     "distinct_parts_per_flag",
     "events_lag_delta",
     "asof_purchase_view",

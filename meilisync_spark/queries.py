@@ -1597,6 +1597,56 @@ def q_streaming_user_totals(spark, sf_dir):
 
 
 @register(
+    "event_zscores",
+    """
+    WITH stats AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,2))) AS s,
+               sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sq
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / n AS mean,
+               sqrt(CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+        FROM stats
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - mean) / std, 8) AS zscore
+    FROM events e JOIN m ON e.event_type = m.event_type
+    """,
+    doc="Feature standardization: per-type moments from exact DECIMAL "
+        "sums (one agg shuffle over |types| rows), broadcast back onto "
+        "the events for per-row z-scores — the two-pass normalize shape; "
+        "derived mean/std are identical IEEE doubles in both engines "
+        "because the inputs are exact decimals.",
+)
+def event_zscores(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).alias("s"),
+        F.sum(vd * vd).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    m = stats.select(
+        "event_type",
+        mean.alias("mean"),
+        F.sqrt(F.col("sq").cast("double") / F.col("n") - mean * mean).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mean")) / F.col("std"), 8).alias("zscore"),
+        )
+    )
+
+
+@register(
     "streaming_sessions",
     """
     WITH flagged AS (
