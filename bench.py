@@ -85,7 +85,9 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_spark(app_name="meilisync-spark-bench")
-    registry = Q.queries()
+    # full registry, including library-only operators (sql=None entries
+    # excluded from the driver-facing queries() still get benched)
+    registry = {name: spec.fn for name, spec in Q.REGISTRY.items()}
     names = [n for n in HEADLINE if n in registry]
 
     # warm the JVM/codegen/file-listing paths once with a tiny query

@@ -140,6 +140,40 @@ def cosine_topk_blas_oracle_sql(k: int = TOP_K) -> str:
 CENTROID_SCALE = 1073741824.0  # 2^30 — fixed-point quantum
 
 
+def label_centroid_components(emb: DataFrame) -> DataFrame:
+    """(label, idx, mean) — the long form of the per-cell centroid:
+    one row per (cell, dimension). This is the shuffle-native shape
+    (see :func:`label_centroids` for the mechanics) and the
+    driver-facing one: scalar doubles hash identically across engines,
+    whereas an assembled array column breaks the driver comparator's
+    pandas canonicalization (unhashable ndarray)."""
+    ex = emb.select("label", F.posexplode("embedding").alias("idx", "x"))
+    return (
+        ex.groupBy("label", "idx")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * F.lit(CENTROID_SCALE)).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "idx",
+            (F.col("s").cast("double") / (F.col("n") * F.lit(CENTROID_SCALE))).alias("mean"),
+        )
+    )
+
+
+def label_centroid_components_oracle_sql() -> str:
+    return f"""
+    WITH ex AS (
+        SELECT label, i AS idx,
+               CAST(floor(CAST(embedding[i+1] AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT) AS xq
+        FROM embeddings, UNNEST(range(0, len(embedding))) t(i)
+    )
+    SELECT label, idx, CAST(sum(xq) AS DOUBLE) / (count(*) * {CENTROID_SCALE}) AS mean
+    FROM ex GROUP BY 1, 2
+    """
+
+
 def label_centroids(emb: DataFrame) -> DataFrame:
     """Per-cell element-wise mean embedding — the update step of a
     distributed k-means (the IVF coarse quantizer's training loop).
@@ -155,19 +189,7 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     |cells|-row reassembly. At 100 TB this is the only viable shape —
     collect_list of whole vectors per cell would OOM on any hot cell.
     """
-    ex = emb.select("label", F.posexplode("embedding").alias("idx", "x"))
-    comp = (
-        ex.groupBy("label", "idx")
-        .agg(
-            F.sum(F.floor(F.col("x").cast("double") * F.lit(CENTROID_SCALE)).cast("long")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "label",
-            "idx",
-            (F.col("s").cast("double") / (F.col("n") * F.lit(CENTROID_SCALE))).alias("mean"),
-        )
-    )
+    comp = label_centroid_components(emb)
     return (
         comp.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("idx", "mean"))).alias("a"))

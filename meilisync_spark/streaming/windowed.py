@@ -83,7 +83,10 @@ def run_windowed_stats(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
+            # decimal inside the agg (order-insensitive exactness); the
+            # emitted state is double — update mode replaces the whole
+            # window row per batch, so no cross-batch double summation.
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("long").alias("hour_start"),

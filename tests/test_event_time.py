@@ -48,7 +48,7 @@ def test_windowed_stats_multibatch_equals_batch(spark, duck, tmp_path):
         for hs, et, n, tv in con.sql(
             """
             SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT), event_type,
-                   count(*), CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   count(*), CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
             FROM events GROUP BY 1, 2
             """
         ).fetchall()

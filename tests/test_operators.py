@@ -96,7 +96,7 @@ def test_approx_distinct_error_bound(spark):
     engine-specific); assert the ±5% accuracy contract locally."""
     from meilisync_spark import queries as Q
 
-    rows = Q.queries()["approx_user_counts"](spark, SF_SMOKE).collect()
+    rows = Q.REGISTRY["approx_user_counts"].fn(spark, SF_SMOKE).collect()
     ev = load_table(spark, SF_SMOKE, "events")
     exact = {
         r.event_type: r.n
@@ -131,7 +131,7 @@ def test_approx_percentile_error_bound(spark):
     from meilisync_spark import queries as Q
 
     approx = {r.l_returnflag: r for r in
-              Q.queries()["approx_price_quantiles"](spark, SF_SMOKE).collect()}
+              Q.REGISTRY["approx_price_quantiles"].fn(spark, SF_SMOKE).collect()}
     li = load_table(spark, SF_SMOKE, "lineitem")
     groups = {r.l_returnflag: sorted(x[0] for x in r.vals)
               for r in li.groupBy("l_returnflag")
