@@ -30,7 +30,11 @@ from meilisync_spark.operators.refresh import refresh_data
 from meilisync_spark.session import get_spark
 from meilisync_spark.sources.events import normalize_events
 from meilisync_spark.sources.parquet import load_path
-from meilisync_spark.streaming.pipeline import PAYLOAD_COLS, run_cdc_pipeline
+from meilisync_spark.streaming.pipeline import (
+    PAYLOAD_COLS,
+    run_cdc_pipeline,
+    run_settings_pipeline,
+)
 from meilisync_spark.operators.compaction import compact_last_wins
 
 from pyspark.sql import functions as F
@@ -46,8 +50,38 @@ def cmd_start(args: argparse.Namespace) -> int:
     spark = get_spark("meilisync-spark-start")
     settings = _settings(args)
     index = args.index or settings.sink.index_path
-    # phase 1 — backfill when the index is absent (T5, main.py:86-101)
-    if not os.path.exists(index):
+    interval = (
+        f"{settings.sink.insert_interval} seconds"
+        if settings.sink.insert_interval
+        else args.interval
+    )
+    if settings.syncs:
+        # config-driven multi-sync mode: route every event through its
+        # sync rule (table filter, fields map, pk, plugin chains) into
+        # one index per sync — the reference's full start loop
+        # (meilisync/main.py:71-140)
+        pre = load_plugin(args.plugin) if args.plugin else None
+        run_settings_pipeline(
+            spark,
+            args.events,
+            settings,
+            args.checkpoint,
+            table_col=args.table_col,
+            available_now=not interval,
+            processing_interval=interval,
+            max_files_per_trigger=args.max_files,
+            num_buckets=args.buckets,
+            extra_pre=pre,
+            timeout_sec=args.timeout,
+        )
+        names = ", ".join(
+            os.path.join(settings.sink.index_path, s.index_name) for s in settings.syncs
+        )
+        print(f"sync complete: indexes at {names}")
+        return 0
+    # phase 1 — backfill when the index is absent (T5, main.py:86-101);
+    # bucketed mode bootstraps its own layout on the first micro-batch
+    if not os.path.exists(index) and not args.buckets:
         # load_path (not a raw spark.read) so nanos timestamps get the
         # same canonical conversion the streaming path applies — the
         # index schema must be identical across both writers
@@ -61,11 +95,6 @@ def cmd_start(args: argparse.Namespace) -> int:
         print(f"backfill: loaded {n} documents into {index}")
     # phase 2 — incremental tail (T2-T4 trigger knobs)
     pre = load_plugin(args.plugin) if args.plugin else None
-    interval = (
-        f"{settings.sink.insert_interval} seconds"
-        if settings.sink.insert_interval
-        else args.interval
-    )
     run_cdc_pipeline(
         spark,
         args.events,
@@ -75,6 +104,7 @@ def cmd_start(args: argparse.Namespace) -> int:
         processing_interval=interval,
         max_files_per_trigger=settings.sink.insert_size or args.max_files,
         pre_batch=pre,
+        num_buckets=args.buckets,
         timeout_sec=args.timeout,
     )
     print(f"sync complete: index at {index}")
@@ -118,6 +148,10 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--interval", help="processingTime trigger, e.g. '10 seconds'")
     st.add_argument("--max-files", type=int, help="files per micro-batch")
     st.add_argument("--plugin", help="dotted path to a DataFrame->DataFrame pre hook")
+    st.add_argument("--table-col", help="raw column carrying the source table name "
+                                        "(multi-sync routing)")
+    st.add_argument("--buckets", type=int,
+                    help="pk-bucket the index; each batch rewrites only touched buckets")
     st.add_argument("--timeout", type=float, default=120.0)
     st.set_defaults(fn=cmd_start)
 

@@ -6,7 +6,7 @@ DuckDB twin, so we derive a 60-bit integer from SHA-256 (both engines
 produce identical lowercase hex): take the first 15 hex digits and
 parse base-16. 60 bits keeps it positive in a signed 64-bit long.
 
-Verified bit-identical across engines (tests/test_text_dedup.py).
+Verified bit-identical across engines (tests/test_oracle_parity.py).
 
 Scale note: sha2 is JVM-side (whole-stage codegen), ~100ns/row — fine
 as the row-level hash for shingle/minhash pipelines; it is NOT the

@@ -1,0 +1,158 @@
+"""Bucketed incremental CDC apply — rewrite only the pk buckets a
+micro-batch touches.
+
+The plain-parquet MERGE in streaming/pipeline.py reads the whole index
+and rewrites it per batch — correct, but O(index) writes per batch: the
+one shape that cannot survive a 100× scale-up (a 100 TB index cannot be
+rewritten every 10 seconds). The scale-safe layout, realized here:
+
+- The index is hive-partitioned by ``bucket = crc32(pk) % N``
+  (``index/bucket=K/part-*.parquet``). crc32 over the stringified pk is
+  deterministic across runs, Spark versions, and partitionings — the
+  bucket of a key never moves.
+- Each micro-batch computes the distinct buckets present in the batch
+  (≤ N tiny ints — a legitimate driver-side collect), reads ONLY those
+  bucket directories back (partition pruning on the ``bucket=``
+  directory key — verify with ``.explain``: PartitionFilters), MERGEs,
+  and atomically swaps ONLY those directories. Untouched buckets are
+  not read, not written, byte-identical after the batch.
+- Work per batch is O(|batch| + |touched buckets| · bucket size), not
+  O(index). With |batch| ≪ index and N sized so a bucket fits an
+  executor, this is the parquet-native equivalent of MERGE INTO file
+  pruning on a table format (Delta/Iceberg) — which is what a real
+  deployment would use; the directory-swap protocol below is the
+  self-contained fallback.
+
+Atomicity: each bucket directory swap is a single rename (readers of a
+bucket see old-or-new, never half). The batch is not atomic *across*
+buckets — a reader scanning the whole index mid-swap can see bucket K
+new and bucket J old. The reference has the same property: its sink
+applies per-event writes with no cross-document transaction
+(meilisync/meili.py:121-151). Crash recovery: stale ``_tmp-*``/
+``_old-*`` staging dirs are swept on the next batch.
+
+Reference parity: S9/S10/S11 apply semantics are inherited unchanged —
+the per-bucket MERGE is operators/apply.py:apply_changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meilisync_spark.operators.apply import apply_changes
+
+BUCKET_COL = "bucket"
+DEFAULT_NUM_BUCKETS = 64
+
+
+def bucket_expr(pk: str, num_buckets: int) -> Column:
+    """Deterministic, type-agnostic bucket id: crc32 of the stringified
+    pk mod N. Independent of Spark's internal hash so the layout is
+    stable across engine upgrades."""
+    return (F.crc32(F.col(pk).cast("string")) % num_buckets).cast("int")
+
+
+def _sweep_stale(index_path: str) -> None:
+    """Remove staging leftovers from a crashed previous batch."""
+    parent, name = os.path.split(index_path.rstrip("/"))
+    if not os.path.isdir(parent):
+        return
+    for entry in os.listdir(parent):
+        if entry.startswith(f"{name}_tmp-") or entry.startswith(f"{name}_old-"):
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+
+def read_buckets(
+    spark: SparkSession, index_path: str, buckets: Sequence[int] | None = None
+) -> DataFrame:
+    """Read the bucketed index (optionally only the given buckets —
+    partition-pruned to those directories) without the bucket column."""
+    df = spark.read.option("basePath", index_path).parquet(index_path)
+    if buckets is not None:
+        df = df.where(F.col(BUCKET_COL).isin(*[int(b) for b in buckets]))
+    return df.drop(BUCKET_COL)
+
+
+def init_bucketed_index(
+    df: DataFrame, index_path: str, pk: str, num_buckets: int = DEFAULT_NUM_BUCKETS
+) -> None:
+    """Bootstrap the bucketed layout from a full snapshot: one shuffle
+    on the bucket id, one file per bucket directory."""
+    out = df.withColumn(BUCKET_COL, bucket_expr(pk, num_buckets))
+    (
+        out.repartition(num_buckets, BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(index_path)
+    )
+
+
+def apply_changes_bucketed(
+    spark: SparkSession,
+    index_path: str,
+    changes: DataFrame,
+    pk: str = "pk",
+    payload_cols: Sequence[str] | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> list[int]:
+    """MERGE ``changes`` into the bucketed index, rewriting only the
+    buckets the batch touches. Returns the touched bucket ids.
+
+    ``changes`` is a normalized CDC envelope (pk, seq, op + payload).
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c for c in changes.columns if c not in (pk, "seq", "op", "table", BUCKET_COL)
+        ]
+    _sweep_stale(index_path)
+    changes = changes.withColumn(BUCKET_COL, bucket_expr(pk, num_buckets))
+    # localCheckpoint: the batch is read twice (bucket list + merge) and
+    # must not recompute from the stream source
+    changes = changes.localCheckpoint(eager=True)
+
+    if not os.path.exists(index_path):
+        base = spark.createDataFrame([], changes.select(pk, *payload_cols).schema)
+        first = apply_changes(base, changes.drop(BUCKET_COL), pk=pk, payload_cols=payload_cols)
+        init_bucketed_index(first, index_path, pk, num_buckets)
+        return sorted(
+            r[BUCKET_COL] for r in changes.select(BUCKET_COL).distinct().collect()
+        )
+
+    touched = sorted(
+        r[BUCKET_COL] for r in changes.select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return []
+
+    base = read_buckets(spark, index_path, touched)
+    merged = apply_changes(
+        base, changes.drop(BUCKET_COL), pk=pk, payload_cols=payload_cols
+    ).withColumn(BUCKET_COL, bucket_expr(pk, num_buckets))
+
+    # stage only the touched buckets, then swap each directory atomically
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{index_path}_tmp-{tag}"
+    (
+        merged.repartition(len(touched), BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(staging)
+    )
+    for b in touched:
+        src = os.path.join(staging, f"{BUCKET_COL}={b}")
+        dst = os.path.join(index_path, f"{BUCKET_COL}={b}")
+        old = f"{index_path}_old-{tag}-{b}"
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        # a bucket whose rows were all deleted simply disappears
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return touched

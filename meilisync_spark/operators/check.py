@@ -24,6 +24,13 @@ def count_check(pairs: dict[str, tuple[DataFrame, DataFrame]]) -> DataFrame:
     consistent boolean`` — the relational form of the reference's
     per-sync log lines (meilisync/main.py:196-206).
     """
+    if not pairs:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        return spark.createDataFrame(
+            [], "table string, source_count long, index_count long, consistent boolean"
+        )
     outs = []
     for name, (src, idx) in pairs.items():
         outs.append(

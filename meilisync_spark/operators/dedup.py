@@ -343,10 +343,11 @@ def connected_components(
     Per round: one shuffle (edge ⨝ label on doc_id) + one groupBy-min;
     `localCheckpoint` pins each round so the loop's lineage (and thus
     task size) stays O(1) instead of O(iterations) — on a cluster this
-    is a reliable-checkpoint dir instead. Labels only ever decrease, so
-    the exact-decimal label sum is a cheap monotone convergence probe
-    (no join-compare pass). Fixpoint is exact and partitioning-
-    independent."""
+    is a reliable-checkpoint dir instead. Convergence probe: count of
+    labels that changed this round (computed on the checkpointed round
+    output, short-circuited via limit(1)) — magnitude-independent, so
+    no overflow risk at any id scale, unlike a label-checksum probe.
+    Fixpoint is exact and partitioning-independent."""
     # persist pairs first: the symmetric union references it twice, and
     # for the LSH graph each reference would otherwise re-run the whole
     # band self-join
@@ -357,20 +358,17 @@ def connected_components(
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(True)
 
-    def _sum(df: DataFrame) -> object:
-        return df.agg(F.sum(F.col("cluster_id").cast("decimal(28,0)"))).collect()[0][0]
-
-    prev = _sum(labels)
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        labels = (
+        stepped = (
             labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("_prev"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
@@ -378,10 +376,10 @@ def connected_components(
             )
             .localCheckpoint(True)
         )
-        cur = _sum(labels)
-        if cur == prev:
+        labels = stepped.select("doc_id", "cluster_id")
+        # any label changed this round? (limit(1) short-circuits the scan)
+        if stepped.where(F.col("cluster_id") != F.col("_prev")).limit(1).count() == 0:
             break
-        prev = cur
     edges.unpersist()
     pairs.unpersist()
     return labels

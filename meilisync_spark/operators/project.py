@@ -34,6 +34,26 @@ def apply_fields(df: DataFrame, fields: dict[str, str | None] | None) -> DataFra
     return df.select(*[F.col(src).alias(alias or src) for src, alias in fields.items()])
 
 
+ENVELOPE_COLS = ("seq", "table", "op", "pk")
+
+
+def apply_envelope_fields(
+    ev: DataFrame, fields: dict[str, str | None] | None
+) -> DataFrame:
+    """P1 on the CDC path: project/rename the *payload* columns of a
+    normalized envelope, keeping the envelope columns (seq/table/op/pk)
+    intact — the reference remaps each event's data dict through the
+    sync rule's fields map before the sink write
+    (meilisync/schemas.py:25-30 via main.py:107-109). Empty/None map ⇒
+    full payload (quirk Q5)."""
+    if not fields:
+        return ev
+    keep = [c for c in ENVELOPE_COLS if c in ev.columns]
+    return ev.select(
+        *keep, *[F.col(src).alias(alias or src) for src, alias in fields.items()]
+    )
+
+
 def normalize_types(df: DataFrame) -> DataFrame:
     """P2/F1/F2: timestamps → epoch seconds (long), dates → ISO strings.
 

@@ -5,12 +5,23 @@ record the current stream position *before* reading (so changes made
 during the rebuild replay afterwards), bulk-load a ``{index}_tmp``
 shadow index, ``swap_indexes``, drop tmp.
 
-Spark realization: write the full snapshot to a staging directory,
-then atomically swap it into place with a filesystem rename. On a real
-deployment with a table format this is ``CREATE OR REPLACE TABLE`` /
-``INSERT OVERWRITE`` (snapshot-isolated swap); the rename here gives
-the same "readers see old-or-new, never half" contract on a
-rename-atomic filesystem.
+Spark realization: write the full snapshot to a *versioned* directory
+(``{index}_v-<tag>``), then atomically repoint the ``index`` symlink at
+it (symlink replacement via ``rename`` is a single atomic syscall on
+POSIX). Readers resolve the symlink at open time and see exactly one
+complete version — old or new, never half, never "no index" (the
+two-rename dance this replaces had a gap where the path didn't exist,
+and a crash between renames stranded the index under a random suffix).
+The previous version directory is removed after the repoint: a reader
+that resolved the symlink *before* the swap and is still mid-scan can
+lose files — the single-writer/short-scan contract of a plain-parquet
+sink; a production deployment uses a table format
+(``CREATE OR REPLACE TABLE`` — snapshot-isolated) where this whole
+module is one SQL statement. Stale ``_v-*``/``_tmp-*``/``_old-*``
+leftovers from a crashed writer are swept on the next refresh.
+
+On a real deployment with a table format this is ``CREATE OR REPLACE
+TABLE`` / ``INSERT OVERWRITE`` (snapshot-isolated swap).
 
 Scale notes: the bulk write is a plain partitioned parquet write — no
 shuffle unless the caller asks to repartition by the pk bucket (do, for
@@ -26,6 +37,30 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _sweep_stale(index_path: str, keep: set[str]) -> None:
+    """Remove version/staging leftovers from crashed earlier writers —
+    everything matching this index's suffix convention except ``keep``
+    (single-writer contract; the reference's start loop is likewise one
+    process per config)."""
+    parent, name = os.path.split(index_path.rstrip("/"))
+    if not os.path.isdir(parent or "."):
+        return
+    for entry in os.listdir(parent or "."):
+        full = os.path.join(parent, entry)
+        if os.path.realpath(full) in keep:
+            continue
+        if (
+            entry.startswith(f"{name}_v-")
+            or entry.startswith(f"{name}_tmp-")
+            or entry.startswith(f"{name}_old-")
+            or entry.startswith(f"{name}_lnk-")
+        ):
+            if os.path.islink(full):
+                os.unlink(full)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+
+
 def refresh_data(
     df: DataFrame,
     index_path: str,
@@ -33,21 +68,35 @@ def refresh_data(
     num_buckets: int | None = None,
 ) -> int:
     """Rebuild the index table at ``index_path`` from ``df`` via a
-    shadow path + atomic swap. Returns the number of rows loaded
-    (the reference returns the inserted count, meilisync/meili.py:71).
+    versioned write + atomic symlink repoint. Returns the number of
+    rows loaded (the reference returns the inserted count,
+    meilisync/meili.py:71).
     """
-    tmp = f"{index_path}_tmp-{uuid.uuid4().hex[:8]}"  # ≡ "{index}_tmp" (meili.py:37)
-    old = f"{index_path}_old-{uuid.uuid4().hex[:8]}"
+    tag = uuid.uuid4().hex[:8]
+    version = f"{index_path}_v-{tag}"  # ≡ "{index}_tmp" (meili.py:37)
+    prev_target = os.path.realpath(index_path) if os.path.islink(index_path) else None
+    _sweep_stale(index_path, keep={prev_target} if prev_target else set())
     if bucket_by and num_buckets:
         df = df.repartition(num_buckets, bucket_by)
-    df.write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(version)
     # count from the written files so the returned number is what
     # readers will actually see
-    n = df.sparkSession.read.parquet(tmp).count()
-    if os.path.exists(index_path):
+    n = df.sparkSession.read.parquet(version).count()
+    if os.path.islink(index_path) or not os.path.exists(index_path):
+        # normal path: stage a symlink, rename over the old one — a
+        # single atomic syscall; readers see old-or-new, never neither
+        staged = f"{index_path}_lnk-{tag}"
+        os.symlink(version, staged)
+        os.rename(staged, index_path)
+    else:
+        # legacy real-directory layout: migrate to the symlink layout
+        # (one non-atomic swap, then every later refresh is atomic)
+        old = f"{index_path}_old-{tag}"
         os.rename(index_path, old)
-    os.rename(tmp, index_path)
-    shutil.rmtree(old, ignore_errors=True)  # ≡ drop tmp (meili.py:69)
+        os.symlink(version, index_path)
+        shutil.rmtree(old, ignore_errors=True)
+    if prev_target and os.path.realpath(index_path) != prev_target:
+        shutil.rmtree(prev_target, ignore_errors=True)  # ≡ drop tmp (meili.py:69)
     return n
 
 

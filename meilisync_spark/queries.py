@@ -1017,6 +1017,61 @@ def customer_spend_quartiles(spark, sf_dir):
 
 
 @register(
+    "customer_spend_quartiles_scalable",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(spend, 0.25) AS q1,
+               quantile_cont(spend, 0.5)  AS q2,
+               quantile_cont(spend, 0.75) AS q3
+        FROM spend
+    )
+    SELECT o_custkey, spend,
+           CASE WHEN spend >= q3 THEN 1
+                WHEN spend >= q2 THEN 2
+                WHEN spend >= q1 THEN 3
+                ELSE 4 END AS quartile
+    FROM spend CROSS JOIN cuts
+    """,
+    doc="The scale-safe twin of customer_spend_quartiles: quartile = "
+        "value-based bucketing against three global cut points broadcast "
+        "back onto the spend table — no unpartitioned window anywhere "
+        "(ntile's global sort is a single task at any |customers|). The "
+        "cut points here are exact percentiles (bit-identical to the "
+        "DuckDB oracle, like price_quantiles); at 100 TB swap the agg to "
+        "approx_percentile — one mergeable-sketch pass — without touching "
+        "the assignment join. Semantics note: value-based buckets differ "
+        "from ntile's equal-count buckets only on ties at the cut "
+        "points; both are standard quartile definitions.",
+)
+def customer_spend_quartiles_scalable(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    cuts = spend.agg(
+        F.percentile("spend", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q")
+    ).select(
+        F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.col("q")[2].alias("q3")
+    )
+    return spend.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "spend",
+        F.when(F.col("spend") >= F.col("q3"), 1)
+        .when(F.col("spend") >= F.col("q2"), 2)
+        .when(F.col("spend") >= F.col("q1"), 3)
+        .otherwise(4)
+        .alias("quartile"),
+    )
+
+
+@register(
     "events_trailing_1h",
     """
     SELECT event_id, user_id,

@@ -117,7 +117,9 @@ def kafka_cdc_stream(spark: SparkSession, brokers: str, topics: str, **kw) -> Da
 
 def debezium_value_schema(payload_schema: T.StructType) -> T.StructType:
     """Schema of a Debezium message value for a table whose row type is
-    ``payload_schema``."""
+    ``payload_schema``. ``source.lsn`` (postgres) / ``source.pos``
+    (mysql binlog) are the connector's total-order position fields —
+    absent fields simply decode as NULL, so one schema serves both."""
     return T.StructType(
         [
             T.StructField(
@@ -130,7 +132,13 @@ def debezium_value_schema(payload_schema: T.StructType) -> T.StructType:
                         T.StructField("ts_ms", T.LongType()),
                         T.StructField(
                             "source",
-                            T.StructType([T.StructField("table", T.StringType())]),
+                            T.StructType(
+                                [
+                                    T.StructField("table", T.StringType()),
+                                    T.StructField("lsn", T.LongType()),
+                                    T.StructField("pos", T.LongType()),
+                                ]
+                            ),
                         ),
                     ]
                 ),
@@ -159,6 +167,14 @@ def normalize_debezium(
     - routing (P3): optional ``tables`` filter ≡ binlog ``only_tables``
       (mysql.py:92) — applied before decode so Kafka's predicate
       pushdown can skip whole messages.
+    - ``seq`` (the last-wins total order, A5): the source's log
+      position — postgres ``source.lsn``, else mysql ``source.pos``,
+      else the Kafka partition offset when the frame carries one
+      (Debezium keys messages by pk, so a pk's events share a
+      partition and the offset totally orders them), else ``ts_ms``.
+      ts_ms alone is millisecond-granular and NOT unique per pk — two
+      same-key changes in one millisecond would make last-wins
+      arbitrary.
     """
     v = F.from_json(F.col(value_col).cast("string"), debezium_value_schema(payload_schema))
     p = v.getField("payload")
@@ -167,12 +183,122 @@ def normalize_debezium(
     for src, dst in reversed(list(DEBEZIUM_OP_MAP.items())):
         op = F.when(op_src == src, F.lit(dst)).otherwise(op)
     payload = F.when(op_src == "d", p.getField("before")).otherwise(p.getField("after"))
+    source = p.getField("source")
+    seq_candidates = [source.getField("lsn"), source.getField("pos")]
+    if "offset" in df.columns:  # kafka frame
+        seq_candidates.append(F.col("offset"))
+    seq_candidates.append(p.getField("ts_ms"))
     out = df.select(
-        p.getField("ts_ms").alias("seq"),
+        F.coalesce(*seq_candidates).alias("seq"),
         F.timestamp_millis(p.getField("ts_ms")).alias("ts"),
-        p.getField("source").getField("table").alias("table"),
+        source.getField("table").alias("table"),
         op.alias("op"),
         payload.getField(pk).alias("pk"),
+        payload.alias("payload"),
+    ).where(F.col("op").isNotNull())
+    if tables:
+        out = out.where(F.col("table").isin(*tables))
+    return out
+
+
+# Mongo change-stream operationType → EventType: exactly the three ops
+# the reference's $match pipeline admits (meilisync/source/mongo.py:44-50)
+MONGO_OP_MAP: dict[str, str] = {
+    "insert": "create",
+    "update": "update",
+    "delete": "delete",
+}
+
+
+def mongo_change_stream_schema(payload_schema: T.StructType) -> T.StructType:
+    """Schema of a MongoDB change-stream event document (the shape the
+    reference's ``db.watch`` yields, meilisync/source/mongo.py:55-74).
+    ``updateDescription.updatedFields`` reuses ``payload_schema`` —
+    absent fields decode as NULL, which is exactly the sparse-update
+    payload the partial MERGE expects (Q4/S10)."""
+    return T.StructType(
+        [
+            T.StructField("operationType", T.StringType()),
+            T.StructField(
+                "clusterTime", T.StructType([T.StructField("t", T.LongType()),
+                                             T.StructField("i", T.LongType())])
+            ),
+            T.StructField(
+                "ns",
+                T.StructType(
+                    [T.StructField("db", T.StringType()),
+                     T.StructField("coll", T.StringType())]
+                ),
+            ),
+            T.StructField(
+                "documentKey", T.StructType([T.StructField("_id", T.StringType())])
+            ),
+            T.StructField("fullDocument", payload_schema),
+            T.StructField(
+                "updateDescription",
+                T.StructType([T.StructField("updatedFields", payload_schema)]),
+            ),
+        ]
+    )
+
+
+def normalize_mongo_change_stream(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    *,
+    value_col: str = "value",
+    tables: list[str] | None = None,
+) -> DataFrame:
+    """Mongo change-stream envelope → the engine's normalized event
+    schema ``(seq, ts, table, op, pk, payload struct)`` — completing
+    S4-S6's production trio beside :func:`normalize_debezium`.
+
+    Reference parity (meilisync/source/mongo.py:55-74):
+
+    - op classification (P4): insert/update/delete → create/update/
+      delete; other operationTypes (drop, rename, invalidate) are
+      filtered out — the reference's ``$match`` pipeline does the same
+      server-side (mongo.py:44).
+    - payload: ``fullDocument`` for insert,
+      ``updateDescription.updatedFields`` for update (the sparse
+      partial-update payload, Q4 — mongo.py:62-64), ``documentKey``
+      alone for delete (mongo.py:65-67: the delete path carries only
+      the pk).
+    - pk: ``documentKey._id`` stringified on every op, exactly the
+      reference's ``data["_id"] = str(change["documentKey"]["_id"])``
+      (mongo.py:68, F4 pk stringification).
+    - ``seq``: clusterTime (t, i) packed into one 64-bit position —
+      Mongo's own total order (t = epoch seconds, i = intra-second
+      counter); the Kafka partition offset, when the frame carries
+      one, is appended as a tiebreak-free fallback.
+    - routing (P3): optional ``tables`` filter on ``ns.coll`` ≡ the
+      reference's per-sync collection routing.
+    """
+    v = F.from_json(
+        F.col(value_col).cast("string"), mongo_change_stream_schema(payload_schema)
+    )
+    op_src = v.getField("operationType")
+    op: Column = F.lit(None).cast("string")
+    for src, dst in reversed(list(MONGO_OP_MAP.items())):
+        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
+    payload = (
+        F.when(op_src == "update", v.getField("updateDescription").getField("updatedFields"))
+        .when(op_src == "insert", v.getField("fullDocument"))
+        .otherwise(F.lit(None).cast(payload_schema))
+    )
+    ct = v.getField("clusterTime")
+    seq_candidates = [
+        ct.getField("t") * F.lit(2**20) + F.coalesce(ct.getField("i"), F.lit(0))
+    ]
+    if "offset" in df.columns:  # kafka frame
+        seq_candidates.append(F.col("offset"))
+    out = df.select(
+        F.coalesce(*seq_candidates).alias("seq"),
+        F.timestamp_seconds(ct.getField("t")).alias("ts"),
+        v.getField("ns").getField("coll").alias("table"),
+        op.alias("op"),
+        # F4: pk stringification on every op kind (mongo.py:68)
+        v.getField("documentKey").getField("_id").cast("string").alias("pk"),
         payload.alias("payload"),
     ).where(F.col("op").isNotNull())
     if tables:

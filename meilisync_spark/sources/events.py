@@ -48,11 +48,19 @@ def normalize_events(
     op_map: dict[str, str] | None = None,
     table: str = "users",
     sparse_updates: bool = True,
+    pk_col: str = "user_id",
 ) -> DataFrame:
     """events table → normalized CDC envelope.
 
     Output schema: ``seq long, ts timestamp, table string, op string,
     pk long, value double, k long``.
+
+    ``table``/``pk_col`` parameterize routing (P3) and pk extraction:
+    the multi-sync pipeline (streaming/pipeline.py:run_settings_pipeline)
+    normalizes each sync rule's slice of the raw stream with that rule's
+    table name and configured pk (≡ ``Sync.pk``, reference
+    meilisync/settings.py:41 — the reference looks up ``data[sync.pk]``
+    per event, meilisync/main.py:107-109).
 
     ``sparse_updates=True`` models partial-update payloads (Q4/S10 in
     SURVEY.md: Mongo updates carry only ``updatedFields``): update
@@ -70,7 +78,7 @@ def normalize_events(
             F.col("ts"),
             F.lit(table).alias("table"),  # P3: routing target
             _op_expr(op_map).alias("op"),  # P4: op classification
-            F.col("user_id").alias("pk"),
+            F.col(pk_col).alias("pk"),
             F.col("value"),
             # F3: dynamic JSON payload → typed column
             F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k"),

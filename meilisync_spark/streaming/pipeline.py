@@ -89,43 +89,12 @@ def _empty_index(spark: SparkSession) -> DataFrame:
     )
 
 
-def run_cdc_pipeline(
-    spark: SparkSession,
-    events_path: str,
-    index_path: str,
-    checkpoint_dir: str,
-    *,
-    max_files_per_trigger: int | None = None,
-    processing_interval: str | None = None,
-    available_now: bool = True,
-    pre_batch: Callable[[DataFrame], DataFrame] | None = None,
-    post_batch: Callable[[DataFrame], None] | None = None,
-    timeout_sec: float | None = 120.0,
+def _start_and_await(
+    writer,
+    available_now: bool,
+    processing_interval: str | None,
+    timeout_sec: float | None,
 ):
-    """Run the CDC pipeline until caught up (``available_now``) or until
-    ``timeout_sec``. Returns the StreamingQuery (stopped if awaited)."""
-    events = read_event_stream(spark, events_path, max_files_per_trigger)
-    normalized = normalize_events(events)
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if pre_batch is not None:  # U1 plugin chain, vectorized
-            batch_df = pre_batch(batch_df)
-        if os.path.exists(index_path):
-            base = spark.read.parquet(index_path)
-        else:
-            base = _empty_index(spark)
-        new_state = apply_changes(base, batch_df, pk="pk", payload_cols=PAYLOAD_COLS)
-        # shadow-write + atomic swap so concurrent readers never see a
-        # half-written index (S13 semantics per micro-batch)
-        refresh_data(new_state.select("pk", *PAYLOAD_COLS), index_path)
-        if post_batch is not None:  # U2 post-write hook
-            post_batch(batch_df)
-
-    writer = (
-        normalized.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)  # T1 progress store
-        .outputMode("update")
-    )
     if available_now:
         writer = writer.trigger(availableNow=True)  # T5 catch-up
     elif processing_interval:
@@ -143,3 +112,143 @@ def run_cdc_pipeline(
         if q.exception() is not None:
             raise q.exception()
     return q
+
+
+def run_cdc_pipeline(
+    spark: SparkSession,
+    events_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    processing_interval: str | None = None,
+    available_now: bool = True,
+    pre_batch: Callable[[DataFrame], DataFrame] | None = None,
+    post_batch: Callable[[DataFrame], None] | None = None,
+    timeout_sec: float | None = 120.0,
+    num_buckets: int | None = None,
+):
+    """Run the CDC pipeline until caught up (``available_now``) or until
+    ``timeout_sec``. Returns the StreamingQuery (stopped if awaited).
+
+    ``num_buckets`` switches the index to the hive-bucketed layout
+    (operators/bucketed.py): each micro-batch rewrites only the pk
+    buckets it touches — O(batch) writes instead of O(index), the form
+    that survives a 100-TB index. The default full-rewrite form is kept
+    for single-file indexes and as the oracle-checked baseline.
+    """
+    events = read_event_stream(spark, events_path, max_files_per_trigger)
+    normalized = normalize_events(events)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if pre_batch is not None:  # U1 plugin chain, vectorized
+            batch_df = pre_batch(batch_df)
+        if num_buckets:
+            from meilisync_spark.operators.bucketed import apply_changes_bucketed
+
+            apply_changes_bucketed(
+                spark, index_path, batch_df,
+                pk="pk", payload_cols=PAYLOAD_COLS, num_buckets=num_buckets,
+            )
+        else:
+            if os.path.exists(index_path):
+                base = spark.read.parquet(index_path)
+            else:
+                base = _empty_index(spark)
+            new_state = apply_changes(base, batch_df, pk="pk", payload_cols=PAYLOAD_COLS)
+            # shadow-write + atomic swap so concurrent readers never see a
+            # half-written index (S13 semantics per micro-batch)
+            refresh_data(new_state.select("pk", *PAYLOAD_COLS), index_path)
+        if post_batch is not None:  # U2 post-write hook
+            post_batch(batch_df)
+
+    writer = (
+        normalized.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)  # T1 progress store
+        .outputMode("update")
+    )
+    return _start_and_await(writer, available_now, processing_interval, timeout_sec)
+
+
+def run_settings_pipeline(
+    spark: SparkSession,
+    events_path: str,
+    settings,
+    checkpoint_dir: str,
+    *,
+    table_col: str | None = None,
+    max_files_per_trigger: int | None = None,
+    processing_interval: str | None = None,
+    available_now: bool = True,
+    timeout_sec: float | None = 120.0,
+    num_buckets: int | None = None,
+    extra_pre: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """The reference's full `start` loop: every event routed through its
+    sync rule (meilisync/main.py:107-109) — multi-table, per-sync fields
+    map, per-sync pk, ordered plugin chains, one index per sync.
+
+    Per micro-batch, for each ``Sync`` in ``settings.syncs``:
+
+    1. route: keep raw rows whose ``table_col`` equals ``sync.table``
+       (P3; a ``table_col`` of None means a single-table stream and the
+       rule applies to all rows);
+    2. normalize with the rule's table name + configured pk
+       (``Sync.pk``, reference settings.py:41);
+    3. project the payload through the rule's ``fields`` map (P1,
+       schemas.py:25-30);
+    4. run the ordered plugin chain — global then per-sync
+       (U1, meili.py:95-106 / settings.py:28-36), plus ``extra_pre``
+       (the CLI ``--plugin`` flag) last;
+    5. MERGE into ``{sink.index_path}/{sync.index_name}`` (routing
+       target defaulting to the table name, settings.py:58-60) —
+       bucketed when ``num_buckets`` is set.
+
+    Routing first means each sync's work is a pruned slice of the batch
+    (the table filter pushes into the batch scan); the per-sync MERGEs
+    are independent jobs Spark schedules back-to-back inside the batch.
+    """
+    from meilisync_spark.config import load_plugin
+    from meilisync_spark.operators.project import apply_envelope_fields
+
+    chains: dict[str, list[Callable[[DataFrame], DataFrame]]] = {}
+    for sync in settings.syncs:
+        hooks = [load_plugin(p) for p in [*settings.plugins, *sync.plugins]]
+        if extra_pre is not None:
+            hooks.append(extra_pre)
+        chains[sync.table] = hooks
+
+    events = read_event_stream(
+        spark, events_path, max_files_per_trigger or settings.sink.insert_size
+    )
+
+    def apply_batch(raw: DataFrame, batch_id: int) -> None:
+        for sync in settings.syncs:
+            sub = raw.where(F.col(table_col) == sync.table) if table_col else raw
+            ev = normalize_events(sub, table=sync.table, pk_col=sync.pk)
+            ev = apply_envelope_fields(ev, sync.fields)
+            for hook in chains[sync.table]:
+                ev = hook(ev)
+            payload = [c for c in ev.columns if c not in ("seq", "table", "op", "pk")]
+            index_path = os.path.join(settings.sink.index_path, sync.index_name)
+            if num_buckets:
+                from meilisync_spark.operators.bucketed import apply_changes_bucketed
+
+                apply_changes_bucketed(
+                    spark, index_path, ev.drop("table"),
+                    pk="pk", payload_cols=payload, num_buckets=num_buckets,
+                )
+            else:
+                if os.path.exists(index_path):
+                    base = spark.read.parquet(index_path)
+                else:
+                    base = spark.createDataFrame([], ev.select("pk", *payload).schema)
+                new_state = apply_changes(base, ev, pk="pk", payload_cols=payload)
+                refresh_data(new_state.select("pk", *payload), index_path)
+
+    writer = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    return _start_and_await(writer, available_now, processing_interval, timeout_sec)

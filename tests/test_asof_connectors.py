@@ -101,3 +101,88 @@ def test_normalize_debezium_envelope(spark):
     assert by_op[("update", 1)].payload.name == "a2"
     assert by_op[("delete", 2)].payload.id == 2  # delete keeps the pk (S11)
     assert all(r.table == "users" for r in out)
+
+
+def test_normalize_debezium_seq_prefers_log_position(spark):
+    """seq must be a total order, not ts_ms (millisecond ties make
+    last-wins arbitrary): lsn wins, then pos, then the kafka offset,
+    ts_ms only as the last resort."""
+    from meilisync_spark.sources.cdc_connectors import debezium_value_schema  # noqa: F401
+
+    payload_schema = T.StructType([T.StructField("id", T.LongType())])
+
+    def dbz(op, after, *, lsn=None, pos=None, ts_ms=1700000000000):
+        return json.dumps(
+            {"payload": {"op": op, "before": None, "after": after, "ts_ms": ts_ms,
+                         "source": {"table": "users", "lsn": lsn, "pos": pos}}}
+        )
+
+    # same pk, same millisecond — only the log position orders them
+    rows = [
+        (dbz("u", {"id": 1}, lsn=100),),
+        (dbz("u", {"id": 1}, lsn=200),),
+        (dbz("u", {"id": 2}, pos=7),),
+        (dbz("u", {"id": 3}),),  # no position fields → ts_ms fallback
+    ]
+    out = {(r.pk, r.seq) for r in
+           normalize_debezium(spark.createDataFrame(rows, "value string"),
+                              payload_schema, pk="id").collect()}
+    assert (1, 100) in out and (1, 200) in out
+    assert (2, 7) in out
+    assert (3, 1700000000000) in out
+
+    # a kafka frame (offset column) outranks ts_ms for position-less envelopes
+    kafka = spark.createDataFrame(
+        [(dbz("u", {"id": 3}), 41), (dbz("u", {"id": 3}), 42)],
+        "value string, offset long",
+    )
+    seqs = sorted(r.seq for r in
+                  normalize_debezium(kafka, payload_schema, pk="id").collect())
+    assert seqs == [41, 42]
+
+
+def _mongo_cs(op, *, key="k1", full=None, updated=None, coll="users", t=1700000000, i=1):
+    ev = {
+        "operationType": op,
+        "clusterTime": {"t": t, "i": i},
+        "ns": {"db": "app", "coll": coll},
+        "documentKey": {"_id": key},
+        "fullDocument": full,
+    }
+    if updated is not None:
+        ev["updateDescription"] = {"updatedFields": updated}
+    return json.dumps(ev)
+
+
+def test_normalize_mongo_change_stream_envelope(spark):
+    """S6's production normalizer: insert→create(fullDocument),
+    update→update(updatedFields — the sparse Q4 payload),
+    delete→delete(pk only), other operationTypes dropped, collection
+    routing, pk stringified (F4, mongo.py:68)."""
+    from meilisync_spark.sources.cdc_connectors import normalize_mongo_change_stream
+
+    payload_schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("age", T.LongType())]
+    )
+    rows = [
+        (_mongo_cs("insert", key="a", full={"name": "x", "age": 30}, i=1),),
+        (_mongo_cs("update", key="a", updated={"age": 31}, i=2),),  # sparse: no name
+        (_mongo_cs("delete", key="a", i=3),),
+        (_mongo_cs("insert", key="b", full={"name": "y", "age": 9}, i=4),),
+        (_mongo_cs("drop", key="zz", i=5),),                      # dropped (P5)
+        (_mongo_cs("insert", key="c", full={"name": "z", "age": 1},
+                   coll="other", i=6),),                          # routed out (P3)
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = normalize_mongo_change_stream(df, payload_schema, tables=["users"]).collect()
+    ops = sorted((r.op, r.pk) for r in out)
+    assert ops == [("create", "a"), ("create", "b"), ("delete", "a"), ("update", "a")]
+    by = {(r.op, r.pk): r for r in out}
+    assert by[("create", "a")].payload.name == "x"
+    assert by[("update", "a")].payload.age == 31
+    assert by[("update", "a")].payload.name is None  # sparse update (Q4)
+    assert by[("delete", "a")].payload is None       # delete carries only the pk
+    assert all(isinstance(r.pk, str) for r in out)   # F4 stringification
+    # clusterTime (t, i) packs into a strictly increasing seq
+    seqs = [r.seq for r in sorted(out, key=lambda r: r.seq)]
+    assert seqs == sorted(set(seqs))

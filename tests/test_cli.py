@@ -38,3 +38,51 @@ def test_cli_start_check_refresh(spark, tmp_path, capsys):
 def test_cli_version(capsys):
     assert main(["version"]) == 0
     assert "meilisync_spark" in json.loads(capsys.readouterr().out.strip())
+
+
+def test_cli_start_config_plugin_chain(spark, tmp_path, capsys):
+    """`start --config` with sync rules + chained plugins: the global
+    hook runs before the per-sync hook (U1 order, meili.py:95-106) and
+    each sync lands in its own index under sink.index_path."""
+    sink_root = str(tmp_path / "indexes")
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        "\n".join([
+            "sink:",
+            f"  index_path: {sink_root}",
+            "plugins:",
+            "  - tests.plugin_hooks.double_value",
+            "sync:",
+            "  - table: users",
+            "    pk: user_id",
+            "    plugins:",
+            "      - tests.plugin_hooks.add_one_value",
+        ])
+    )
+    rc = main([
+        "start",
+        "--events", f"{SF_SMOKE}/events.parquet",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--config", str(cfg),
+    ])
+    assert rc == 0
+    assert "sync complete" in capsys.readouterr().out
+
+    # order-sensitive: 2v+1 (double then +1), not 2(v+1)
+    plain_index = str(tmp_path / "plain")
+    main([
+        "start",
+        "--events", f"{SF_SMOKE}/events.parquet",
+        "--index", plain_index,
+        "--checkpoint", str(tmp_path / "ckpt2"),
+    ])
+    capsys.readouterr()
+    expected = {
+        r.pk: (None if r.value is None else r.value * 2 + 1)
+        for r in spark.read.parquet(plain_index).collect()
+    }
+    got = {
+        r.pk: r.value
+        for r in spark.read.parquet(f"{sink_root}/users").collect()
+    }
+    assert got == expected

@@ -23,6 +23,28 @@ def test_refresh_swap_atomic(spark, tmp_path):
     assert read_index(spark, index).count() == 3
     leftovers = [d for d in os.listdir(tmp_path) if "_tmp" in d or "_old" in d]
     assert leftovers == []
+    # symlink layout: the index path is a link that always resolves to
+    # exactly one live version dir; superseded versions are gone
+    assert os.path.islink(index)
+    versions = [d for d in os.listdir(tmp_path) if d.startswith("index_v-")]
+    assert len(versions) == 1
+    assert os.path.realpath(index) == str(tmp_path / versions[0])
+
+
+def test_refresh_sweeps_crash_leftovers(spark, tmp_path):
+    """Stale staging/version dirs from a crashed writer disappear on
+    the next refresh; the live version is untouched."""
+    index = str(tmp_path / "index")
+    refresh_data(spark.createDataFrame([Row(id=1, v=1)]), index)
+    os.makedirs(str(tmp_path / "index_v-deadbeef"))
+    os.makedirs(str(tmp_path / "index_tmp-deadbeef"))
+    os.makedirs(str(tmp_path / "index_old-deadbeef"))
+    refresh_data(spark.createDataFrame([Row(id=2, v=2)]), index)
+    entries = set(os.listdir(tmp_path))
+    assert "index_v-deadbeef" not in entries
+    assert "index_tmp-deadbeef" not in entries
+    assert "index_old-deadbeef" not in entries
+    assert {r.id for r in read_index(spark, index).collect()} == {2}
 
 
 def test_refresh_bucketing(spark, tmp_path):

@@ -1,0 +1,208 @@
+"""Multi-sync config pipeline + bucketed incremental apply.
+
+Covers the round-2 wiring: Settings.syncs routing (P3) with per-sync
+fields maps (P1) and pks, ordered plugin chains (U1), and the
+pk-bucketed index layout where a micro-batch rewrites only the buckets
+it touches (the O(batch)-not-O(index) CDC shape)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import zlib
+
+from pyspark.sql import functions as F
+
+from meilisync_spark.config import Settings, Sync, SinkSettings
+from meilisync_spark.operators.apply import apply_changes
+from meilisync_spark.operators.bucketed import (
+    BUCKET_COL,
+    apply_changes_bucketed,
+    read_buckets,
+)
+from meilisync_spark.operators.compaction import compact_last_wins
+from meilisync_spark.operators.project import apply_envelope_fields
+from meilisync_spark.sources.events import normalize_events
+from meilisync_spark.sources.parquet import load_table
+from meilisync_spark.streaming.pipeline import (
+    PAYLOAD_COLS,
+    run_cdc_pipeline,
+    run_settings_pipeline,
+)
+from tests.conftest import SF_SMOKE
+
+N_BUCKETS = 8
+
+
+def _bucket_of(pk: int) -> int:
+    # mirror of operators/bucketed.bucket_expr: crc32 of the
+    # stringified pk — Spark's crc32 over UTF-8 == zlib.crc32
+    return zlib.crc32(str(pk).encode()) % N_BUCKETS
+
+
+def _file_hashes(index: str) -> dict[str, str]:
+    out = {}
+    for f in glob.glob(os.path.join(index, "**", "*.parquet"), recursive=True):
+        with open(f, "rb") as fh:
+            out[os.path.relpath(f, index)] = hashlib.sha256(fh.read()).hexdigest()
+    return out
+
+
+def _state(spark, index: str) -> dict:
+    return {
+        r.pk: (r.value, r.k)
+        for r in read_buckets(spark, index).select("pk", "value", "k").collect()
+    }
+
+
+def test_bucketed_apply_touches_only_batch_buckets(spark, tmp_path):
+    index = str(tmp_path / "index")
+    ev = normalize_events(load_table(spark, SF_SMOKE, "events")).select(
+        "pk", "seq", "op", *PAYLOAD_COLS
+    )
+    # bootstrap from the full log
+    apply_changes_bucketed(
+        spark, index, ev, pk="pk", payload_cols=PAYLOAD_COLS, num_buckets=N_BUCKETS
+    )
+    before = _file_hashes(index)
+    state_before = _state(spark, index)
+    assert len(before) >= N_BUCKETS // 2  # layout actually bucketed
+
+    # delta touching exactly one bucket: updates for pks in bucket 0
+    pks = [pk for pk in state_before if _bucket_of(pk) == 0][:3]
+    assert pks, "fixture has no pk in bucket 0"
+    delta = spark.createDataFrame(
+        [(pk, 10_000_000 + i, "update", None, 123.0, None) for i, pk in enumerate(pks)],
+        "pk long, seq long, op string, ts timestamp, value double, k long",
+    )
+    touched = apply_changes_bucketed(
+        spark, index, delta, pk="pk", payload_cols=PAYLOAD_COLS, num_buckets=N_BUCKETS
+    )
+    assert touched == [0]
+
+    after = _file_hashes(index)
+    changed = {f for f in before if before[f] != after.get(f)}
+    for f in set(before) | set(after):
+        in_bucket0 = f.startswith(f"{BUCKET_COL}=0{os.sep}")
+        if in_bucket0:
+            continue  # the touched bucket may rewrite freely
+        assert before.get(f) == after.get(f), f"untouched bucket file changed: {f}"
+    assert any(f.startswith(f"{BUCKET_COL}=0{os.sep}") for f in changed | set(after))
+
+    # final state equals the batch MERGE on the pre-delta state
+    expected = dict(state_before)
+    for pk in pks:
+        expected[pk] = (123.0, expected[pk][1])  # partial update keeps k
+    assert _state(spark, index) == expected
+
+
+def test_bucketed_stream_equals_full_rewrite(spark, tmp_path):
+    """run_cdc_pipeline(num_buckets=N) lands on exactly the same final
+    state as the full-rewrite form (the oracle-checked baseline)."""
+    flat_index = str(tmp_path / "flat")
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", flat_index,
+        str(tmp_path / "ckpt_flat"), available_now=True,
+    )
+    flat = {r.pk: (r.value, r.k) for r in spark.read.parquet(flat_index).collect()}
+
+    b_index = str(tmp_path / "bucketed")
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", b_index,
+        str(tmp_path / "ckpt_b"), available_now=True, num_buckets=N_BUCKETS,
+    )
+    assert _state(spark, b_index) == flat
+
+
+def _multi_table_events(spark, tmp_path) -> str:
+    """Raw event log carrying a source-table column: even user_ids are
+    'users' rows, odd are 'accounts' rows."""
+    raw = load_table(spark, SF_SMOKE, "events").withColumn(
+        "tbl", F.when(F.col("user_id") % 2 == 0, "users").otherwise("accounts")
+    )
+    path = str(tmp_path / "raw_events")
+    raw.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_settings_pipeline_routes_two_syncs(spark, tmp_path):
+    """Each table lands in its own index with its own fields map and pk
+    (reference start loop, meilisync/main.py:107-109)."""
+    events_path = _multi_table_events(spark, tmp_path)
+    sink_root = str(tmp_path / "indexes")
+    settings = Settings(
+        sink=SinkSettings(index_path=sink_root),
+        syncs=[
+            Sync(table="users", pk="user_id",
+                 fields={"ts": None, "value": "amount", "k": None}),
+            Sync(table="accounts", pk="event_id", index="acct_idx"),
+        ],
+    )
+    run_settings_pipeline(
+        spark, events_path, settings, str(tmp_path / "ckpt"),
+        table_col="tbl", available_now=True,
+    )
+
+    users_idx = os.path.join(sink_root, "users")
+    acct_idx = os.path.join(sink_root, "acct_idx")
+    assert os.path.exists(users_idx) and os.path.exists(acct_idx)
+
+    raw = spark.read.parquet(events_path)
+
+    # users: fields-renamed payload, pk=user_id
+    ev_u = apply_envelope_fields(
+        normalize_events(raw.where(F.col("tbl") == "users"), table="users",
+                         pk_col="user_id"),
+        {"ts": None, "value": "amount", "k": None},
+    )
+    base = spark.createDataFrame([], ev_u.select("pk", "ts", "amount", "k").schema)
+    exp_u = {
+        r.pk: (r.amount, r.k)
+        for r in apply_changes(base, ev_u, pk="pk",
+                               payload_cols=["ts", "amount", "k"]).collect()
+    }
+    got_u = {r.pk: (r.amount, r.k) for r in spark.read.parquet(users_idx).collect()}
+    assert got_u == exp_u
+    assert "amount" in spark.read.parquet(users_idx).columns  # rename applied
+
+    # accounts: identity payload, pk=event_id (every event unique)
+    ev_a = normalize_events(raw.where(F.col("tbl") == "accounts"),
+                            table="accounts", pk_col="event_id")
+    exp_a = {
+        r.pk: (r.value, r.k)
+        for r in compact_last_wins(ev_a, ["pk"], "seq")
+        .where(F.col("op") != "delete").collect()
+    }
+    got_a = {r.pk: (r.value, r.k) for r in spark.read.parquet(acct_idx).collect()}
+    assert got_a == exp_a
+
+
+def test_plugin_chain_order(spark, tmp_path):
+    """Global chain runs before the per-sync chain, in declaration order
+    (reference meili.py:95-106): value*2 then +1 ⇒ 2v+1, not 2(v+1)."""
+    events_path = f"{SF_SMOKE}/events.parquet"
+    sink_root = str(tmp_path / "indexes")
+    settings = Settings(
+        sink=SinkSettings(index_path=sink_root),
+        plugins=["tests.plugin_hooks.double_value"],
+        syncs=[Sync(table="users", pk="user_id",
+                    plugins=["tests.plugin_hooks.add_one_value"])],
+    )
+    run_settings_pipeline(
+        spark, events_path, settings, str(tmp_path / "ckpt"), available_now=True,
+    )
+
+    plain = str(tmp_path / "plain")
+    run_cdc_pipeline(
+        spark, events_path, plain, str(tmp_path / "ckpt2"), available_now=True
+    )
+    expected = {
+        r.pk: (None if r.value is None else r.value * 2 + 1)
+        for r in spark.read.parquet(plain).collect()
+    }
+    got = {
+        r.pk: r.value
+        for r in spark.read.parquet(os.path.join(sink_root, "users")).collect()
+    }
+    assert got == expected
