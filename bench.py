@@ -76,6 +76,12 @@ HEADLINE = [
     "brand_revenue",
     "multimodal_meta",
     "multimodal_frames",
+    # round 2 additions
+    "sync_dates",
+    "customer_spend_quartiles_scalable",
+    "event_sessions",
+    "decontaminate",
+    "pack_sequences",
 ]
 
 

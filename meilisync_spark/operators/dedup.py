@@ -533,3 +533,79 @@ def simhash_neardup_pairs_oracle_sql() -> str:
     SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)::BIT) AS INTEGER) AS hamming
     FROM pairs WHERE CAST(bit_count(xor(sim_a, sim_b)::BIT) AS INTEGER) <= {HAMMING_MAX}
     """
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: training corpus vs held-out benchmark n-gram overlap
+# (the "did the eval set leak into the training data" check every LLM
+# data pipeline runs before training — GPT-3 appendix C / PaLM §7 style
+# n-gram collision scan)
+# ---------------------------------------------------------------------------
+
+DECON_SHINGLE = 8  # benchmark-overlap n-gram size (long enough to be rare)
+EVAL_MOD = 20      # doc plays the "benchmark" role iff hash(doc_id) % 20 == 0
+
+
+def _eval_flag(doc_id: Column) -> Column:
+    return portable_hash64(F.concat(F.lit("eval:"), doc_id)) % EVAL_MOD == 0
+
+
+def decontaminate(docs: DataFrame) -> DataFrame:
+    """(corpus_doc, eval_doc, n_shared, eval_frac) — every training
+    document sharing ≥1 distinct word-8-gram with a benchmark document,
+    with the fraction of the benchmark doc's shingles it covers (the
+    contamination score; 1.0 ⇒ the eval doc is fully contained).
+
+    The harness splits eval/corpus deterministically by key hash (like
+    incremental_neardup); in production the eval side is the actual
+    benchmark suite — a few MB — so it BROADCASTS and the 100-TB corpus
+    side never shuffles for the join: one scan computing shingle hashes
+    per-row, a broadcast hash join, one small aggregate keyed by doc
+    pairs. No all-pairs anywhere.
+    """
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    sh = F.array_distinct(
+        F.transform(shingles_col(w, DECON_SHINGLE), lambda s: portable_hash64(s))
+    )
+    base = docs.select(
+        "doc_id", F.size(sh).alias("n_sh"), F.explode(sh).alias("sh"),
+        _eval_flag(F.col("doc_id")).alias("is_eval"),
+    )
+    corpus = base.where(~F.col("is_eval")).select(
+        F.col("doc_id").alias("corpus_doc"), "sh"
+    )
+    eval_side = base.where(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc"), F.col("n_sh").alias("eval_n_sh"), "sh"
+    )
+    return (
+        corpus.join(F.broadcast(eval_side), "sh")
+        .groupBy("corpus_doc", "eval_doc", "eval_n_sh")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "corpus_doc",
+            "eval_doc",
+            "n_shared",
+            (F.col("n_shared") / F.col("eval_n_sh")).alias("eval_frac"),
+        )
+    )
+
+
+def decontaminate_oracle_sql() -> str:
+    h = duck_hash64("'eval:' || doc_id")
+    shingles = duck_shingles(duck_words(), DECON_SHINGLE)
+    hashed = f"list_distinct(list_transform({shingles}, s -> {duck_hash64('s')}))"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {hashed} AS sh, ({h} % {EVAL_MOD} = 0) AS is_eval
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh, is_eval FROM t
+    )
+    SELECT c.doc_id AS corpus_doc, e.doc_id AS eval_doc,
+           count(*) AS n_shared,
+           count(*) / any_value(e.n_sh) AS eval_frac
+    FROM ex c JOIN ex e ON c.sh = e.sh AND NOT c.is_eval AND e.is_eval
+    GROUP BY 1, 2
+    """

@@ -453,3 +453,118 @@ def winnow_fingerprints_oracle_sql() -> str:
     )
     SELECT doc_id, fp FROM w, UNNEST(fps) u(fp)
     """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: chunks → fixed-budget training sequences (the step
+# between chunking and the tokenizer/dataloader — T5/GPT-style packing
+# amortizes padding by concatenating short pieces up to a token budget)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 128  # tokens per packed training sequence
+PACK_SHARDS = 8    # packing parallelism within a language
+
+
+def pack_sequences(docs: DataFrame) -> DataFrame:
+    """(lang, shard, seq_id, n_chunks, n_tokens) — deterministic greedy
+    packing of document chunks into fixed-budget training sequences.
+
+    Chunks (the doc_chunks sliding windows) are taken in (doc_id,
+    chunk_id) order inside each (lang, shard) group; a chunk joins the
+    sequence its running token offset falls in
+    (``seq_id = floor(cum_tokens_before / BUDGET)``) — in-order
+    first-fit where chunks never split, so a sequence can overshoot the
+    budget by at most one chunk tail (the standard concat-then-cut
+    packing admits the same slack at the cut points).
+
+    Scale shape: the only shuffle is the (lang, shard) window partition;
+    ``shard = hash(doc_id) % PACK_SHARDS`` bounds every window partition
+    to 1/shards of a language, so no single task ever sorts a whole
+    language — packing is embarrassingly parallel across shards by
+    construction (each shard's sequences are independent, exactly like
+    per-file packing in a real dataloader). Chunk *lengths* are computed
+    arithmetically from the doc's token count — the chunk text is never
+    materialized or shuffled.
+    """
+    docs = spread(docs)
+    from pyspark.sql import Window
+
+    n = F.size(words_col(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n"),
+        (portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id"))) % PACK_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    n_chunks = F.when(
+        F.col("n") > 0,
+        F.lit(1)
+        + F.greatest(
+            F.lit(0).cast("long"),
+            F.ceil((F.col("n") - F.lit(CHUNK_SIZE)) / F.lit(CHUNK_STRIDE)),
+        ),
+    ).otherwise(F.lit(0))
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = base.select(
+        "doc_id", "lang", "shard", "n", F.explode(idx).alias("chunk_id")
+    ).select(
+        "doc_id",
+        "lang",
+        "shard",
+        "chunk_id",
+        F.least(
+            F.lit(CHUNK_SIZE).cast("long"),
+            F.col("n") - F.col("chunk_id") * F.lit(CHUNK_STRIDE),
+        ).alias("chunk_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("chunk_tokens").over(w), F.lit(0))
+    packed = chunks.withColumn(
+        "seq_id", F.floor(cum_before / F.lit(PACK_BUDGET)).cast("long")
+    )
+    return packed.groupBy("lang", "shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").alias("n_tokens"),
+    )
+
+
+def pack_sequences_oracle_sql() -> str:
+    shard_hash = duck_hash64("'shard:' || doc_id")
+    shard = f"CAST({shard_hash} % {PACK_SHARDS} AS INTEGER)"
+    c, s = CHUNK_SIZE, CHUNK_STRIDE
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, len({duck_words()}) AS n, {shard} AS shard
+        FROM documents
+    ),
+    nc AS (
+        SELECT *, CASE WHEN n > 0 THEN
+                    1 + greatest(0, CAST(ceil((n - {c}) / {s}.0) AS BIGINT))
+                  ELSE 0 END AS n_chunks
+        FROM base
+    ),
+    chunks AS (
+        SELECT doc_id, lang, shard, i AS chunk_id,
+               least({c}, n - i * {s}) AS chunk_tokens
+        FROM nc, UNNEST(range(0, n_chunks)) u(i)
+    ),
+    packed AS (
+        SELECT lang, shard,
+               CAST(floor(coalesce(sum(chunk_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+               chunk_tokens
+        FROM chunks
+    )
+    SELECT lang, shard, seq_id, count(*) AS n_chunks, sum(chunk_tokens) AS n_tokens
+    FROM packed GROUP BY 1, 2, 3
+    """

@@ -1294,6 +1294,25 @@ def q_repetition_stats(spark, sf_dir):
     return _text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+@register("decontaminate", _dedup.decontaminate_oracle_sql(),
+          doc="Benchmark decontamination: training docs sharing distinct "
+              "word-8-grams with a held-out eval set, scored by the "
+              "fraction of the eval doc covered. Eval side broadcasts; "
+              "the corpus never shuffles for the join — the GPT-3/PaLM "
+              "n-gram collision scan as one scan + broadcast join.")
+def q_decontaminate(spark, sf_dir):
+    return _dedup.decontaminate(_t(spark, sf_dir, "documents"))
+
+
+@register("pack_sequences", _text.pack_sequences_oracle_sql(),
+          doc="Sequence packing: doc chunks greedily packed into "
+              "128-token training sequences per (lang, shard) — bounded "
+              "window partitions (shard = hash(doc_id) % 8), chunk "
+              "lengths derived arithmetically so no text is shuffled.")
+def q_pack_sequences(spark, sf_dir):
+    return _text.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
 @register("incremental_neardup", _dedup.incremental_neardup_oracle_sql(),
           doc="Incremental dedup: a delta batch probed against the "
               "corpus band index (O(delta) work, corpus never re-paired); "
