@@ -186,3 +186,41 @@ def test_normalize_mongo_change_stream_envelope(spark):
     # clusterTime (t, i) packs into a strictly increasing seq
     seqs = [r.seq for r in sorted(out, key=lambda r: r.seq)]
     assert seqs == sorted(set(seqs))
+
+
+def test_debezium_feeds_compact_and_apply(spark):
+    """The production path composes: Debezium envelope → normalize →
+    compact (A5) → MERGE apply — same downstream operators as the file
+    source, so transport choice never changes semantics."""
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.operators.apply import apply_changes
+    from meilisync_spark.operators.compaction import compact_last_wins
+
+    payload_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def dbz(op, before, after, pos):
+        return json.dumps(
+            {"payload": {"op": op, "before": before, "after": after,
+                         "ts_ms": 1700000000000,  # all in the SAME millisecond
+                         "source": {"table": "users", "pos": pos}}}
+        )
+
+    rows = [
+        (dbz("c", None, {"id": 1, "v": "a"}, 1),),
+        (dbz("u", None, {"id": 1, "v": "b"}, 2),),
+        (dbz("u", None, {"id": 1, "v": "c"}, 3),),   # last-wins needs pos order
+        (dbz("c", None, {"id": 2, "v": "x"}, 4),),
+        (dbz("d", {"id": 2, "v": "x"}, None, 5),),   # created then deleted
+    ]
+    ev = normalize_debezium(
+        spark.createDataFrame(rows, "value string"), payload_schema, pk="id"
+    ).select("pk", "seq", "op", F.col("payload").getField("v").alias("v"))
+    base = spark.createDataFrame([(1, "z")], "pk long, v string")
+    out = {r.pk: r.v for r in
+           apply_changes(base, ev, pk="pk", payload_cols=["v"]).collect()}
+    assert out == {1: "c"}  # pos ordered the same-millisecond updates; 2 deleted
+    last = compact_last_wins(ev, ["pk"], "seq").where(F.col("pk") == 1).collect()
+    assert last[0].v == "c"

@@ -206,3 +206,36 @@ def test_plugin_chain_order(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(sink_root, "users")).collect()
     }
     assert got == expected
+
+
+def test_settings_pipeline_bucketed_mode(spark, tmp_path):
+    """Multi-sync routing composes with the bucketed index layout: same
+    final state as the flat settings run, bucketed directory layout."""
+    events_path = _multi_table_events(spark, tmp_path)
+    flat_root = str(tmp_path / "flat")
+    b_root = str(tmp_path / "bucketed")
+    syncs = [
+        Sync(table="users", pk="user_id"),
+        Sync(table="accounts", pk="event_id", index="acct_idx"),
+    ]
+    run_settings_pipeline(
+        spark, events_path,
+        Settings(sink=SinkSettings(index_path=flat_root), syncs=syncs),
+        str(tmp_path / "ckpt_f"), table_col="tbl", available_now=True,
+    )
+    run_settings_pipeline(
+        spark, events_path,
+        Settings(sink=SinkSettings(index_path=b_root), syncs=syncs),
+        str(tmp_path / "ckpt_b"), table_col="tbl", available_now=True,
+        num_buckets=N_BUCKETS,
+    )
+    for name in ("users", "acct_idx"):
+        flat = {
+            r.pk: (r.value, r.k)
+            for r in spark.read.parquet(os.path.join(flat_root, name)).collect()
+        }
+        assert _state(spark, os.path.join(b_root, name)) == flat
+        assert any(
+            e.startswith(f"{BUCKET_COL}=")
+            for e in os.listdir(os.path.join(b_root, name))
+        )
