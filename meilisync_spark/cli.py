@@ -121,9 +121,29 @@ def cmd_refresh(args: argparse.Namespace) -> int:
 
 def cmd_check(args: argparse.Namespace) -> int:
     spark = get_spark("meilisync-spark-check")
-    src = spark.read.parquet(args.source)
-    idx = spark.read.parquet(args.index)
-    rows = count_check({args.table: (src, idx)}).collect()
+    settings = _settings(args)
+    pairs = {}
+    if settings.syncs:
+        # config mode ≡ the reference's per-sync audit loop
+        # (meilisync/main.py:179-208): every sync rule checked in one run
+        src_root = args.sources or args.source
+        if not src_root:
+            print("check --config needs --sources (directory of per-table parquet)")
+            return 2
+        for sync in settings.syncs:
+            src = spark.read.parquet(os.path.join(src_root, f"{sync.table}.parquet"))
+            idx = spark.read.parquet(
+                os.path.join(settings.sink.index_path, sync.index_name)
+            )
+            pairs[sync.table] = (src, idx)
+    else:
+        if not args.source or not args.index:
+            print("check needs --source and --index (or --config + --sources)")
+            return 2
+        src = spark.read.parquet(args.source)
+        idx = spark.read.parquet(args.index)
+        pairs[args.table] = (src, idx)
+    rows = count_check(pairs).collect()
     ok = all(r.consistent for r in rows)
     for r in rows:
         status = "consistent" if r.consistent else "INCONSISTENT"
@@ -161,9 +181,12 @@ def build_parser() -> argparse.ArgumentParser:
     rf.set_defaults(fn=cmd_refresh)
 
     ck = sub.add_parser("check", help="source vs index count audit")
-    ck.add_argument("--source", required=True)
-    ck.add_argument("--index", required=True)
+    ck.add_argument("--source", help="source parquet (single-pair mode)")
+    ck.add_argument("--index", help="index parquet (single-pair mode)")
     ck.add_argument("--table", default="default")
+    ck.add_argument("--config", help="YAML config: audit every sync rule")
+    ck.add_argument("--sources", help="directory of per-table source parquet "
+                                      "(config mode)")
     ck.set_defaults(fn=cmd_check)
 
     v = sub.add_parser("version")

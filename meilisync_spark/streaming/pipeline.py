@@ -207,6 +207,13 @@ def run_settings_pipeline(
     Routing first means each sync's work is a pruned slice of the batch
     (the table filter pushes into the batch scan); the per-sync MERGEs
     are independent jobs Spark schedules back-to-back inside the batch.
+
+    ``Sync.full`` note: the reference's full-snapshot-then-tail split
+    (main.py:86-101) collapses here — the first ``availableNow`` batch
+    over the whole event log IS the backfill (an absent index
+    bootstraps from the batch), and the checkpoint makes every later
+    run incremental. A separate snapshot phase would double-read the
+    log for the same final state.
     """
     from meilisync_spark.config import load_plugin
     from meilisync_spark.operators.project import apply_envelope_fields

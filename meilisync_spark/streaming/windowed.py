@@ -40,7 +40,16 @@ import os
 def _merge_keyed(spark: SparkSession, batch_df: DataFrame, path: str, keys: list[str]) -> None:
     """Upsert ``batch_df`` into the keyed parquet table at ``path``:
     rows with matching keys are replaced, others kept (one pk-shuffle
-    anti-join — the same MERGE shape as operators/apply.py)."""
+    anti-join — the same MERGE shape as operators/apply.py).
+
+    The full-table rewrite here is bounded by design: this state table
+    holds *aggregates* (windows × group cardinality / live users), not
+    raw events, so O(state) per batch stays small at any input scale —
+    unlike a document index, which is why the CDC pipeline has the
+    bucketed layout (operators/bucketed.py) and this path doesn't
+    need it. If group cardinality ever rivals the event volume, the
+    same ``apply_changes_bucketed`` drops in (the schema is keyed
+    identically)."""
     if os.path.exists(path):
         base = spark.read.parquet(path).join(batch_df.select(*keys), keys, "left_anti")
         new_state = base.unionByName(batch_df)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 from meilisync_spark.cli import main
 from tests.conftest import SF_SMOKE
@@ -86,3 +87,38 @@ def test_cli_start_config_plugin_chain(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{sink_root}/users").collect()
     }
     assert got == expected
+
+
+def test_cli_check_config_mode(spark, tmp_path, capsys):
+    """`check --config` audits every sync rule in one run (reference
+    main.py:179-208) and exits nonzero when any sync drifts."""
+    import duckdb
+
+    sink_root = str(tmp_path / "indexes")
+    sources = str(tmp_path / "sources")
+    os.makedirs(sources)
+    con = duckdb.connect()
+    # two "source tables" + matching indexes; drift the second index
+    con.sql(f"COPY (SELECT range AS id FROM range(10)) TO '{sources}/users.parquet'")
+    con.sql(f"COPY (SELECT range AS id FROM range(7)) TO '{sources}/orders.parquet'")
+    os.makedirs(sink_root)
+    con.sql(f"COPY (SELECT range AS id FROM range(10)) TO '{sink_root}/users.parquet'")
+    con.sql(f"COPY (SELECT range AS id FROM range(6)) TO '{sink_root}/ord_idx.parquet'")
+
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        "\n".join([
+            "sink:",
+            f"  index_path: {sink_root}",
+            "sync:",
+            "  - table: users",
+            "    index: users.parquet",
+            "  - table: orders",
+            "    index: ord_idx.parquet",
+        ])
+    )
+    rc = main(["check", "--config", str(cfg), "--sources", sources])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "users: source=10 index=10 consistent" in out
+    assert "orders: source=7 index=6 INCONSISTENT" in out
