@@ -356,10 +356,14 @@ def vocab_encode(docs: DataFrame) -> DataFrame:
 
     The vocab rank is a global window but runs over *distinct words*
     (vocab-sized, not corpus-sized) so the single-partition sort is a
-    few MB even at web scale; the encode join broadcasts that vocab,
-    and the id arrays are re-assembled with one shuffle on doc_id
-    (array_sort over (pos, id) structs restores token order without a
-    per-group sort pass)."""
+    few MB on natural-language corpora; the encode join broadcasts that
+    vocab, and the id arrays are re-assembled with one shuffle on
+    doc_id (array_sort over (pos, id) structs restores token order
+    without a per-group sort pass). At true web scale the distinct-word
+    set itself explodes (typos, ids, code) — apply a min-frequency
+    cutoff on the counted vocab (``HAVING cnt >= k`` before the rank)
+    so the sorted set stays the kept vocabulary, not the long tail;
+    the rank window is then still single-partition by construction."""
     from pyspark.sql import Window
 
     docs = spread(docs)

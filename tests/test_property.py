@@ -99,3 +99,46 @@ def test_asof_empty_sides(spark, n):
     ).collect()
     assert len(out) == n
     assert all(r.quote is None for r in out)
+
+
+ops = st.sampled_from(["create", "update", "delete"])
+
+
+@given(
+    batches=st.lists(
+        st.lists(st.tuples(pks, ops, st.one_of(st.none(), vals)), min_size=1, max_size=10),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_bucketed_apply_matches_flat_fold(spark, tmp_path_factory, batches):
+    """apply_changes_bucketed folded over random micro-batches lands on
+    the same final state as the flat apply_changes fold — bucketing is
+    a layout choice, never a semantics choice. Adversarial domain: 5
+    pks force same-bucket collisions, create/update/delete interleave,
+    None values exercise the partial-update coalesce."""
+    import os
+
+    from meilisync_spark.operators.apply import apply_changes
+    from meilisync_spark.operators.bucketed import apply_changes_bucketed, read_buckets
+
+    index = str(tmp_path_factory.mktemp("bk") / "index")
+    seq = 0
+    flat = spark.createDataFrame([], "pk long, value long")
+    for batch in batches:
+        data = []
+        for pk, op, v in batch:
+            data.append((pk, seq, op, v))
+            seq += 1
+        df = spark.createDataFrame(data, "pk long, seq long, op string, value long")
+        apply_changes_bucketed(
+            spark, index, df, pk="pk", payload_cols=["value"], num_buckets=3
+        )
+        flat_next = apply_changes(flat, df, pk="pk", payload_cols=["value"])
+        flat = spark.createDataFrame(flat_next.collect(), flat_next.schema)  # pin
+    got = {r.pk: r.value for r in read_buckets(spark, index).collect()}
+    expected = {r.pk: r.value for r in flat.collect()}
+    assert got == expected
