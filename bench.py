@@ -82,6 +82,7 @@ HEADLINE = [
     "event_sessions",
     "decontaminate",
     "pack_sequences",
+    "srp_ann_topk",
 ]
 
 

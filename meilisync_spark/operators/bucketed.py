@@ -120,6 +120,7 @@ def apply_changes_bucketed(
         base = spark.createDataFrame([], changes.select(pk, *payload_cols).schema)
         first = apply_changes(base, changes.drop(BUCKET_COL), pk=pk, payload_cols=payload_cols)
         init_bucketed_index(first, index_path, pk, num_buckets)
+        _drop_if_empty(index_path)
         return sorted(
             r[BUCKET_COL] for r in changes.select(BUCKET_COL).distinct().collect()
         )
@@ -155,4 +156,18 @@ def apply_changes_bucketed(
         # a bucket whose rows were all deleted simply disappears
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
+    _drop_if_empty(index_path)
     return touched
+
+
+def _drop_if_empty(index_path: str) -> None:
+    """An index with zero live rows has NO on-disk representation (a
+    partitioned parquet write of an empty frame emits no schema files,
+    so a leftover marker-only directory would be unreadable). Absent
+    path == empty index — the same contract as the reference's
+    missing-index-is-count-0 (meilisync/meili.py:77-84); the next batch
+    simply bootstraps again."""
+    if os.path.isdir(index_path) and not any(
+        e.startswith(f"{BUCKET_COL}=") for e in os.listdir(index_path)
+    ):
+        shutil.rmtree(index_path, ignore_errors=True)

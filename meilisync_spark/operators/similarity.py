@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from meilisync_spark.functions.vectors import cosine, duck_cosine
+from meilisync_spark.functions.vectors import cosine, duck_cosine, duck_dot
 
 TOP_K = 5
 N_QUERIES = 8  # vec_id < 8 is the benchmark query batch
@@ -336,3 +336,95 @@ def cosine_topk_oracle_sql(k: int = TOP_K) -> str:
 
 def ann_ivf_label_oracle_sql(k: int = TOP_K) -> str:
     return _duck_base(True, k, "label, ")
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH ANN: signed-random-projection bucketing (Charikar '02) — the
+# LSH-bucketed scale path beside the IVF cell probe. No training step
+# (unlike IVF's k-means): the hash family is fixed, so it drops into a
+# streaming ingest where cells can't be re-trained.
+# ---------------------------------------------------------------------------
+
+SRP_BITS = 4    # 2^4 = 16 buckets; real systems size bits ~ log2(N / target)
+SRP_DIM = 64    # fixture embedding dim; parameterize for other corpora
+
+
+def srp_planes(bits: int = SRP_BITS, dim: int = SRP_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, derived from sha256 so
+    both engines embed the SAME literal components (values are k/1000,
+    k ∈ [-1000, 1000] — identical doubles after literal parsing)."""
+    import hashlib
+
+    planes = []
+    for b in range(bits):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.sha256(f"srp:{b}:{j}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _srp_bucket_col(e, planes: list[list[float]]):
+    from meilisync_spark.functions.vectors import dot_product
+
+    bucket = F.lit(0)
+    for b, p in enumerate(planes):
+        w = F.array(*[F.lit(x) for x in p])
+        bucket = bucket + F.when(dot_product(e, w) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def srp_ann_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(q_id, neighbor_id, bucket, rank, cosine) — top-k restricted to
+    the query's SRP bucket. Same probe shape as ann_ivf_label with the
+    trained cell id replaced by the hash bucket: sign bits of ``bits``
+    fixed random projections (cosine-LSH — collision probability
+    1 - angle/π per bit). Bucketing is a per-row fold over the scan
+    (zero shuffle); the query batch broadcasts; probing touches
+    ~1/2^bits of the corpus per query. At 100 TB, partition the corpus
+    by bucket so the probe is a partition-pruned scan."""
+    planes = srp_planes()
+    withb = emb.select(
+        "vec_id", "embedding", _srp_bucket_col(F.col("embedding"), planes).alias("bucket")
+    )
+    q = withb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("neighbor_id") != F.col("q_id")),
+    ).withColumn("cosine", cosine(F.col("q_emb"), F.col("c_emb")))
+    return _topk(pairs, k, ["bucket"])
+
+
+def srp_ann_topk_oracle_sql(k: int = TOP_K) -> str:
+    planes = srp_planes()
+    bits = []
+    for b, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(f"(CASE WHEN {duck_dot('v', lit)} >= 0 THEN {1 << b} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    wb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT * FROM wb WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.bucket AS bucket,
+               {duck_cosine('q.v', 'c.v')} AS cosine
+        FROM q JOIN wb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, bucket, cosine,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT q_id, neighbor_id, bucket, rank, cosine FROM ranked WHERE rank <= {k}
+    """

@@ -1423,6 +1423,16 @@ def q_ann_ivf_label(spark, sf_dir):
     return _sim.ann_ivf_label(_t(spark, sf_dir, "embeddings"))
 
 
+@register("srp_ann_topk", _sim.srp_ann_topk_oracle_sql(),
+          doc="SRP-LSH ANN (Charikar '02): top-k restricted to the "
+              "query's signed-random-projection bucket — the training-"
+              "free LSH scale path beside the IVF cell probe; bucketing "
+              "is a per-row codegen fold, queries broadcast, probe "
+              "touches ~1/2^bits of the corpus.")
+def q_srp_ann_topk(spark, sf_dir):
+    return _sim.srp_ann_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @register("cosine_topk_blas", _sim.cosine_topk_blas_oracle_sql(),
           doc="Brute-force top-k, BLAS path: one numpy matmul per Arrow "
               "batch; cosines rounded to 6dp as the operator contract so "

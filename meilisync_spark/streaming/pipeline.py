@@ -54,29 +54,41 @@ def read_event_stream(
     spark: SparkSession,
     events_path: str,
     max_files_per_trigger: int | None = None,
+    source_format: str = "parquet",
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Streaming scan of an append-only CDC event directory (S4-S6's
     Spark form; in production this is Kafka/Debezium — the file source
     keeps the harness hermetic). File order = arrival order.
 
+    ``source_format``: parquet (default), json, or csv — a CDC drop
+    directory is often newline-JSON in practice. Non-parquet formats
+    need an explicit ``schema`` (the streaming source cannot infer; for
+    json an ISO-8601 ``ts`` parses straight into the timestamp column).
+
     A single-file path is staged into a one-symlink directory (the file
     source requires a directory basePath). Nanos parquet timestamps get
     the same floor-to-micros conversion the batch loader applies.
     """
-    nanos = _nanos_timestamp_cols(events_path)
+    nanos = _nanos_timestamp_cols(events_path) if source_format == "parquet" else []
     if os.path.isfile(events_path):
         staging = tempfile.mkdtemp(prefix="mls_src_")
         os.symlink(events_path, os.path.join(staging, os.path.basename(events_path)))
         src_dir = staging
     else:
         src_dir = events_path
-    schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema)
+    if schema is None:
+        if source_format != "parquet":
+            raise ValueError(f"{source_format} event stream needs an explicit schema")
+        schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema).format(source_format)
+    if source_format == "csv":
+        reader = reader.option("header", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # file-source lists oldest-first so seq order follows file order
     reader = reader.option("latestFirst", "false")
-    df = reader.parquet(src_dir)
+    df = reader.load(src_dir)
     for col in nanos:
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
@@ -127,6 +139,8 @@ def run_cdc_pipeline(
     post_batch: Callable[[DataFrame], None] | None = None,
     timeout_sec: float | None = 120.0,
     num_buckets: int | None = None,
+    source_format: str = "parquet",
+    source_schema=None,
 ):
     """Run the CDC pipeline until caught up (``available_now``) or until
     ``timeout_sec``. Returns the StreamingQuery (stopped if awaited).
@@ -137,7 +151,9 @@ def run_cdc_pipeline(
     that survives a 100-TB index. The default full-rewrite form is kept
     for single-file indexes and as the oracle-checked baseline.
     """
-    events = read_event_stream(spark, events_path, max_files_per_trigger)
+    events = read_event_stream(
+        spark, events_path, max_files_per_trigger, source_format, source_schema
+    )
     normalized = normalize_events(events)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

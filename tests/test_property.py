@@ -139,6 +139,9 @@ def test_bucketed_apply_matches_flat_fold(spark, tmp_path_factory, batches):
         )
         flat_next = apply_changes(flat, df, pk="pk", payload_cols=["value"])
         flat = spark.createDataFrame(flat_next.collect(), flat_next.schema)  # pin
-    got = {r.pk: r.value for r in read_buckets(spark, index).collect()}
+    if os.path.exists(index):
+        got = {r.pk: r.value for r in read_buckets(spark, index).collect()}
+    else:
+        got = {}  # absent path == empty index (reference 404-is-0 contract)
     expected = {r.pk: r.value for r in flat.collect()}
     assert got == expected

@@ -132,3 +132,43 @@ def test_checkpoint_resume_no_reprocessing(spark, workdir):
     expected = {r.pk: (r.value, r.k) for r in base.collect()}
     assert final == expected
     assert partial != final or len(partial) == len(final)
+
+
+def test_json_event_stream_equals_parquet(spark, workdir, duck):
+    """A newline-JSON CDC drop directory lands on exactly the same
+    final index state as the parquet source — the transport never
+    changes semantics (S4-S6 via another file format)."""
+    import duckdb as _duck
+    from pyspark.sql import types as T
+
+    con = _duck.connect()
+    json_dir = os.path.join(workdir, "events_json")
+    os.makedirs(json_dir)
+    # ISO-8601 ts so the streaming json reader parses timestamps directly
+    con.sql(
+        f"COPY (SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts, "
+        f"user_id, event_type, value, props "
+        f"FROM '{SF_SMOKE}/events.parquet' ORDER BY event_id) "
+        f"TO '{json_dir}/events.json' (FORMAT JSON)"
+    )
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    j_index = os.path.join(workdir, "idx_json")
+    run_cdc_pipeline(
+        spark, json_dir, j_index, os.path.join(workdir, "ckpt_j"),
+        available_now=True, source_format="json", source_schema=schema,
+    )
+    p_index = os.path.join(workdir, "idx_parquet")
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", p_index,
+        os.path.join(workdir, "ckpt_p"), available_now=True,
+    )
+    got_j = {r.pk: (r.value, r.k, r.ts) for r in spark.read.parquet(j_index).collect()}
+    got_p = {r.pk: (r.value, r.k, r.ts) for r in spark.read.parquet(p_index).collect()}
+    assert got_j == got_p
