@@ -239,3 +239,50 @@ def test_settings_pipeline_bucketed_mode(spark, tmp_path):
             e.startswith(f"{BUCKET_COL}=")
             for e in os.listdir(os.path.join(b_root, name))
         )
+
+
+def test_settings_pipeline_checkpoint_resume(spark, tmp_path):
+    """Restarting the multi-sync pipeline from its checkpoint applies
+    only new files — per-sync indexes neither lose nor re-apply events
+    (T1/S7 in config mode)."""
+    import duckdb
+
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    con = duckdb.connect()
+    cut = con.sql(f"SELECT max(event_id)/2 FROM '{SF_SMOKE}/events.parquet'").fetchone()[0]
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_SMOKE}/events.parquet' WHERE event_id <= {cut} "
+        f"ORDER BY event_id) TO '{stream_dir}/part1.parquet' (FORMAT PARQUET)"
+    )
+    sink_root = str(tmp_path / "indexes")
+    settings = Settings(
+        sink=SinkSettings(index_path=sink_root),
+        syncs=[Sync(table="users", pk="user_id")],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_settings_pipeline(spark, stream_dir, settings, ckpt, available_now=True)
+    partial = {
+        r.pk: (r.value, r.k)
+        for r in spark.read.parquet(os.path.join(sink_root, "users")).collect()
+    }
+
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_SMOKE}/events.parquet' WHERE event_id > {cut} "
+        f"ORDER BY event_id) TO '{stream_dir}/part2.parquet' (FORMAT PARQUET)"
+    )
+    run_settings_pipeline(spark, stream_dir, settings, ckpt, available_now=True)
+    final = {
+        r.pk: (r.value, r.k)
+        for r in spark.read.parquet(os.path.join(sink_root, "users")).collect()
+    }
+
+    # sequential batch fold over the two chunks = the expected state
+    base = spark.createDataFrame([], "pk long, ts timestamp, value double, k long")
+    for part in ("part1.parquet", "part2.parquet"):
+        ev = normalize_events(spark.read.parquet(os.path.join(stream_dir, part)))
+        base = apply_changes(base, ev, pk="pk", payload_cols=["ts", "value", "k"])
+        base = spark.createDataFrame(base.collect(), base.schema)
+    expected = {r.pk: (r.value, r.k) for r in base.collect()}
+    assert final == expected
+    assert partial != final  # the second chunk really changed state
