@@ -83,6 +83,8 @@ HEADLINE = [
     "decontaminate",
     "pack_sequences",
     "srp_ann_topk",
+    "quality_filter",
+    "pii_scrub",
 ]
 
 

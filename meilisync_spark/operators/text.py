@@ -572,3 +572,99 @@ def pack_sequences_oracle_sql() -> str:
     SELECT lang, shard, seq_id, count(*) AS n_chunks, sum(chunk_tokens) AS n_tokens
     FROM packed GROUP BY 1, 2, 3
     """
+
+
+# ---------------------------------------------------------------------------
+# Composed quality filter (C4/Gopher-style keep/drop rules) and PII scrub
+# ---------------------------------------------------------------------------
+
+QF_MIN_TOKENS = 10
+QF_MAX_PUNCT = 0.25
+QF_MIN_DISTINCT = 0.4
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, keep, reasons) — the composed keep/drop
+    decision every cleaning pipeline ends with: C4/Gopher-style rules
+    (min length, punctuation mass, distinct-token ratio) evaluated in
+    one narrow pass; ``reasons`` names every failed rule so drops are
+    auditable. Zero shuffle; rules are plain codegen'd expressions, so
+    adding one is adding a CASE, not a pass."""
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    n_tokens = F.size(w)
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+        / F.length("text")
+    )
+    distinct_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(w)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    reasons = F.concat_ws(
+        ",",
+        F.when(n_tokens < QF_MIN_TOKENS, F.lit("too_short")),
+        F.when(punct_ratio > QF_MAX_PUNCT, F.lit("too_much_punct")),
+        F.when(distinct_ratio < QF_MIN_DISTINCT, F.lit("repetitive")),
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def quality_filter_oracle_sql() -> str:
+    w = duck_words()
+    n = f"len({w})"
+    punct = r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text)"
+    distinct = f"CASE WHEN {n} > 0 THEN len(list_distinct({w})) / {n} ELSE 0.0 END"
+    return f"""
+    SELECT doc_id, {n} AS n_tokens,
+           concat_ws(',',
+               CASE WHEN {n} < {QF_MIN_TOKENS} THEN 'too_short' END,
+               CASE WHEN {punct} > {QF_MAX_PUNCT} THEN 'too_much_punct' END,
+               CASE WHEN {distinct} < {QF_MIN_DISTINCT} THEN 'repetitive' END
+           ) AS reasons,
+           concat_ws(',',
+               CASE WHEN {n} < {QF_MIN_TOKENS} THEN 'too_short' END,
+               CASE WHEN {punct} > {QF_MAX_PUNCT} THEN 'too_much_punct' END,
+               CASE WHEN {distinct} < {QF_MIN_DISTINCT} THEN 'repetitive' END
+           ) = '' AS keep
+    FROM documents
+    """
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, clean_text) — regex PII redaction
+    (emails, phone-number-shaped digit runs) with per-doc counts, the
+    standard pre-training scrub pass. Patterns are dialect-portable
+    (valid and equivalent under Java regex and RE2). Per-row regex over
+    the scan — zero shuffle, scales with input bytes."""
+    docs = spread(docs)
+    emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0))
+    no_email = F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]")
+    phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0))
+    clean = F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+def pii_scrub_oracle_sql() -> str:
+    email = EMAIL_RE.replace("'", "''")
+    phone = PHONE_RE.replace("'", "''")
+    no_email = f"regexp_replace(text, '{email}', '[EMAIL]', 'g')"
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{email}')) AS n_emails,
+           len(regexp_extract_all({no_email}, '{phone}')) AS n_phones,
+           regexp_replace({no_email}, '{phone}', '[PHONE]', 'g') AS clean_text
+    FROM documents
+    """

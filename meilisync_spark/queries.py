@@ -1294,6 +1294,22 @@ def q_repetition_stats(spark, sf_dir):
     return _text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+@register("quality_filter", _text.quality_filter_oracle_sql(),
+          doc="The composed keep/drop decision: C4/Gopher-style rules "
+              "(min length, punct mass, distinct-token ratio) in one "
+              "narrow pass, with auditable per-rule reasons.")
+def q_quality_filter(spark, sf_dir):
+    return _text.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register("pii_scrub", _text.pii_scrub_oracle_sql(),
+          doc="Regex PII redaction (emails, phone-shaped digit runs) "
+              "with per-doc counts — dialect-portable patterns (Java "
+              "regex ≡ RE2), per-row over the scan, zero shuffle.")
+def q_pii_scrub(spark, sf_dir):
+    return _text.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
 @register("decontaminate", _dedup.decontaminate_oracle_sql(),
           doc="Benchmark decontamination: training docs sharing distinct "
               "word-8-grams with a held-out eval set, scored by the "
