@@ -217,20 +217,17 @@ def label_centroids_oracle_sql() -> str:
     """
 
 
-def ann_recall_at_k(emb: DataFrame, k: int = TOP_K) -> DataFrame:
-    """(q_id, n_hits, n_brute, recall) — recall@k of the IVF cell-probe
-    path against brute-force ground truth, per query. The self-check
-    every ANN deployment needs: quantifies what the one-cell probe
-    trades for its |corpus|/cells scan reduction. Both sides are tiny
-    (|Q|×k rows), so the scoring join costs nothing regardless of
-    corpus size."""
+def _recall_against_brute(emb: DataFrame, ann: DataFrame, k: int) -> DataFrame:
+    """Score any ANN top-k result against the brute-force ground truth.
+    Both sides are tiny (|Q|×k rows), so the scoring join costs nothing
+    regardless of corpus size."""
     brute = cosine_topk(emb, k).select("q_id", "neighbor_id")
-    ivf = ann_ivf_label(emb, k).select(
+    ann = ann.select(
         F.col("q_id").alias("iq_id"), F.col("neighbor_id").alias("i_neighbor")
     )
     joined = brute.join(
-        ivf,
-        (brute.q_id == ivf.iq_id) & (brute.neighbor_id == ivf.i_neighbor),
+        ann,
+        (brute.q_id == ann.iq_id) & (brute.neighbor_id == ann.i_neighbor),
         "left",
     )
     return joined.groupBy("q_id").agg(
@@ -238,6 +235,14 @@ def ann_recall_at_k(emb: DataFrame, k: int = TOP_K) -> DataFrame:
         F.count(F.lit(1)).alias("n_brute"),
         (F.count("i_neighbor") / F.count(F.lit(1))).alias("recall"),
     )
+
+
+def ann_recall_at_k(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(q_id, n_hits, n_brute, recall) — recall@k of the IVF cell-probe
+    path against brute-force ground truth, per query. The self-check
+    every ANN deployment needs: quantifies what the one-cell probe
+    trades for its |corpus|/cells scan reduction."""
+    return _recall_against_brute(emb, ann_ivf_label(emb, k), k)
 
 
 def ann_recall_at_k_oracle_sql(k: int = TOP_K) -> str:
@@ -427,4 +432,35 @@ def srp_ann_topk_oracle_sql(k: int = TOP_K) -> str:
         FROM pairs
     )
     SELECT q_id, neighbor_id, bucket, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+def srp_recall_at_k(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(q_id, n_hits, n_brute, recall) — recall@k of the SRP-LSH bucket
+    probe vs brute-force ground truth.
+
+    Honest numbers on THIS corpus: ~0.1, same as the label-cell probe —
+    the synthetic embeddings are near-orthogonal (true-neighbor cosines
+    sit near 0), so a single-probe 4-bit sketch collides with a true
+    neighbor at ~(1-θ/π)^4 ≈ 6%. That is the real physics of cosine-LSH
+    on weak-similarity data, not a bug: on corpora with actual near
+    neighbors (θ → 0) per-bit agreement → 1 and recall climbs steeply,
+    and multi-probe (flipping low-margin bits) is the standard recall
+    knob on top. The check exists exactly to surface this trade."""
+    return _recall_against_brute(emb, srp_ann_topk(emb, k), k)
+
+
+def srp_recall_at_k_oracle_sql(k: int = TOP_K) -> str:
+    brute = cosine_topk_oracle_sql(k)
+    ann = srp_ann_topk_oracle_sql(k)
+    return f"""
+    WITH br AS (SELECT q_id, neighbor_id FROM ({brute})),
+         ann AS (SELECT q_id, neighbor_id FROM ({ann}))
+    SELECT br.q_id AS q_id,
+           count(ann.neighbor_id) AS n_hits,
+           count(*) AS n_brute,
+           count(ann.neighbor_id) / count(*) AS recall
+    FROM br LEFT JOIN ann
+      ON ann.q_id = br.q_id AND ann.neighbor_id = br.neighbor_id
+    GROUP BY 1
     """

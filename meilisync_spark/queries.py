@@ -1457,6 +1457,14 @@ def q_cosine_topk_blas(spark, sf_dir):
     return _sim.cosine_topk_blas(_t(spark, sf_dir, "embeddings"))
 
 
+@register("srp_recall_at_k", _sim.srp_recall_at_k_oracle_sql(),
+          doc="Recall@k of the SRP bucket probe vs brute force — "
+              "quantifies the cosine-aligned LSH path (contrast with "
+              "ann_recall_at_k's label cells, which are not).")
+def q_srp_recall_at_k(spark, sf_dir):
+    return _sim.srp_recall_at_k(_t(spark, sf_dir, "embeddings"))
+
+
 @register("ann_recall_at_k", _sim.ann_recall_at_k_oracle_sql(),
           doc="Recall@k of the IVF cell probe vs brute-force ground "
               "truth per query — the ANN quality self-check; |Q|×k-row "
