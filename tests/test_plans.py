@@ -1,0 +1,85 @@
+"""Physical-plan contracts — the scale properties SCALE.md claims,
+asserted on the executed plans so they cannot silently regress:
+broadcast joins stay broadcast, scan pushdown/pruning stays pushed,
+the CDC merge reuses the compaction's partitioning, and no row-at-a-
+time Python UDFs sneak into relational paths."""
+
+from __future__ import annotations
+
+import re
+
+from meilisync_spark import queries as Q
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = Q.REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # fact scan pruned to join key + measures only
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_suppkey", "l_extendedprice", "l_discount"
+    }
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = plan[plan.find("PushedFilters"):][:300]
+    # the plan string truncates long filter lists ("..."), so assert the
+    # first value predicate made it past the IsNotNulls — proof the range
+    # predicates reach the reader at all
+    assert "GreaterThanOrEqual(l_shipda" in pushed
+    # only the 4 referenced columns are read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_reuses_compaction_partitioning(spark):
+    """The MERGE's full-outer pk join must reuse the compaction's hash
+    partitioning — exactly one exchange on the changes side feeds both
+    the max_by aggregate and the join (an extra exchange between them
+    would double-shuffle every micro-batch)."""
+    plan = _plan(spark, "cdc_apply")
+    agg_pos = plan.find("max_by")
+    assert agg_pos != -1
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    assert join_pos != -1, "pk merge join missing"
+    # no hashpartitioning exchange between the aggregate and the join
+    between = plan[min(agg_pos, join_pos):max(agg_pos, join_pos)]
+    assert "Exchange hashpartitioning(pk" not in between
+
+
+def test_no_python_row_udfs_in_relational_paths(spark):
+    """Python appears in plans only via Arrow (mapInPandas) operators;
+    BatchEvalPython (row-at-a-time UDF) must never appear."""
+    for name in ["q1_pricing_summary", "q3_top_orders", "minhash_lsh_pairs",
+                 "vocab_encode", "tfidf_top_terms", "exact_dedup",
+                 "pack_sequences", "quality_filter", "srp_ann_topk"]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_sampling_is_scan_side(spark):
+    """split_assign must stay a pure narrow projection — no key shuffle,
+    no sort. (A round-robin exchange from spread() is allowed: it's the
+    local-mode parallelism helper for one-file fixtures, not a
+    semantic shuffle — data never moves BY key.)"""
+    plan = _plan(spark, "split_assign")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Sort" not in plan
