@@ -464,3 +464,39 @@ def srp_recall_at_k_oracle_sql(k: int = TOP_K) -> str:
       ON ann.q_id = br.q_id AND ann.neighbor_id = br.neighbor_id
     GROUP BY 1
     """
+
+
+def ann_ivf_kmeans(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(q_id, neighbor_id, cluster, rank, cosine) — the full IVF loop
+    closed: cells come from the trained k-means quantizer
+    (operators/kmeans.py, exact fixed-point Lloyd) instead of the
+    synthetic ``label`` column, then the probe restricts candidates to
+    the query's cell exactly like ann_ivf_label.
+
+    Non-SQL-expressible end to end (the quantizer is iterative), so
+    this is a library operator with local tests; the probe mechanics
+    are driver-checked via ann_ivf_label and srp_ann_topk. At 100 TB:
+    train on a sample, broadcast centroids (they are already in the
+    assignment closure), write the corpus partitioned by cluster so
+    the probe partition-prunes."""
+    from meilisync_spark.operators.kmeans import kmeans_labels
+
+    cells = kmeans_labels(emb)
+    withc = emb.join(cells, "vec_id").select(
+        "vec_id", "embedding", F.col("cluster")
+    )
+    q = withc.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cluster").alias("q_cluster"),
+    )
+    c = withc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cluster",
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("q_cluster")) & (F.col("neighbor_id") != F.col("q_id")),
+    ).withColumn("cosine", cosine(F.col("q_emb"), F.col("c_emb")))
+    return _topk(pairs, k, ["cluster"])

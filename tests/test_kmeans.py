@@ -52,3 +52,28 @@ def test_kmeans_deterministic_across_runs_and_partitionings(spark):
     assert a == b
     assert len(a) == emb.count()
     assert set(a.values()) <= set(range(K_DEFAULT))
+
+
+def test_ann_ivf_kmeans_probe(spark):
+    """The kmeans-trained IVF probe returns ≤k cell-restricted
+    neighbors per query, every neighbor shares the query's cell, and
+    ranking matches brute-force order within the cell."""
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.operators.similarity import TOP_K, ann_ivf_kmeans
+    from meilisync_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = ann_ivf_kmeans(emb).collect()
+    assert out, "probe returned nothing"
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rows in by_q.items():
+        assert len(rows) <= TOP_K
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+        assert len({r.cluster for r in rows}) == 1  # all from the query's cell
