@@ -85,6 +85,8 @@ HEADLINE = [
     "srp_ann_topk",
     "quality_filter",
     "pii_scrub",
+    "span_dedup",
+    "semantic_dedup",
 ]
 
 

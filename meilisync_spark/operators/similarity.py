@@ -500,3 +500,58 @@ def ann_ivf_kmeans(emb: DataFrame, k: int = TOP_K) -> DataFrame:
         (F.col("cluster") == F.col("q_cluster")) & (F.col("neighbor_id") != F.col("q_id")),
     ).withColumn("cosine", cosine(F.col("q_emb"), F.col("c_emb")))
     return _topk(pairs, k, ["cluster"])
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): drop near-duplicate embeddings per cell
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.3  # cosine threshold; production SemDeDup uses ~0.95+ on
+               # real embeddings — the synthetic vectors here are
+               # near-orthogonal, so the demo threshold sits lower
+
+
+def semantic_dedup(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
+    """(vec_id, label, kept) — SemDeDup-shaped semantic deduplication
+    (Abbas et al. 2023): within each coarse cell (``label``; a
+    production pipeline fills it from the k-means quantizer, see
+    ``kmeans_labels``), a vector is dropped when a *smaller-id* vector
+    in the same cell sits within cosine >= tau of it. "Smallest id
+    survives" is a deterministic, order-free keep rule — unlike the
+    greedy chain variant it needs no sequential scan, so it
+    parallelizes: one cell-blocked join (O(cell²), never corpus²),
+    one groupBy. At 100 TB: partition the corpus by cell id so the
+    self-join is partition-local, and cap cell sizes via the k-means
+    k (cells are ~N/k). No reference analogue."""
+    a = emb.select("vec_id", "embedding", "label")
+    b = emb.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("embedding").alias("nb_emb"),
+        F.col("label").alias("nb_label"),
+    )
+    cond = (
+        (F.col("label") == F.col("nb_label"))
+        & (F.col("nb_id") < F.col("vec_id"))
+        & (cosine(F.col("embedding"), F.col("nb_emb")) >= tau)
+    )
+    return (
+        a.join(b, cond, "left_outer")
+        .groupBy("vec_id", "label")
+        .agg((F.count("nb_id") == 0).cast("int").alias("kept"))
+    )
+
+
+def semantic_dedup_oracle_sql(tau: float = SEM_TAU) -> str:
+    cos = duck_cosine("a.v", "b.v")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    )
+    SELECT a.vec_id, a.label,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM e b
+               WHERE b.label = a.label AND b.vec_id < a.vec_id
+                 AND {cos} >= {tau}
+           ) THEN 0 ELSE 1 END AS kept
+    FROM e a
+    """

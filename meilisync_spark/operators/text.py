@@ -668,3 +668,82 @@ def pii_scrub_oracle_sql() -> str:
            regexp_replace({no_email}, '{phone}', '[PHONE]', 'g') AS clean_text
     FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_LEN = 8  # words per span; Lee et al. use 50 BPE tokens — same shape
+
+
+def span_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, dup_frac) — exact repeated-span
+    detection, the distributed shape of suffix-array substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): any word 8-gram span that occurs in >= 2 distinct
+    documents is duplicated text; per-doc totals plus the duplicated
+    fraction feed a drop/trim policy downstream.
+
+    Plan shape: spans are distinct per doc (``array_distinct``) so a
+    count over the span partition equals the distinct-document count —
+    ONE shuffle on the span key (window count, no join against a
+    separate duplicate set), then one groupBy doc_id. At 100 TB the
+    span strings would be replaced by ``xxhash64(span)`` as the
+    partition key (8-byte keys, same plan; collisions only merge
+    counts) — the string key is kept here so the DuckDB oracle can
+    group on the identical value. No reference analogue (the reference
+    has no text operators at all)."""
+    from pyspark.sql import Window
+
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    sp = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(shingles_col(w, SPAN_LEN))).alias("span"),
+    )
+    n_docs_for_span = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    marked = sp.select(
+        "doc_id", "span", (n_docs_for_span >= 2).cast("int").alias("is_dup")
+    )
+    n_spans = F.count("span")  # non-null only: empty docs keep 0
+    n_dup = F.sum(F.when(F.col("span").isNotNull(), F.col("is_dup")).otherwise(0))
+    return (
+        marked.groupBy("doc_id")
+        .agg(n_spans.alias("n_spans"), n_dup.alias("n_dup_spans"))
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.when(
+                F.col("n_spans") > 0,
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+def span_dedup_oracle_sql() -> str:
+    spans = f"list_distinct({duck_shingles(duck_words(), SPAN_LEN)})"
+    return f"""
+    WITH sp AS (
+        SELECT doc_id, unnest({spans}) AS span FROM documents
+    ),
+    c AS (
+        SELECT doc_id, span, count(*) OVER (PARTITION BY span) AS n_docs FROM sp
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_spans,
+               sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+        FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n_spans, 0) AS n_spans,
+           coalesce(agg.n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN coalesce(agg.n_spans, 0) > 0
+                THEN CAST(agg.n_dup_spans AS DOUBLE) / agg.n_spans
+                ELSE 0.0 END AS dup_frac
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """

@@ -1881,6 +1881,39 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+from meilisync_spark.operators.text import span_dedup as _span_dedup
+from meilisync_spark.operators.text import span_dedup_oracle_sql as _span_dedup_sql
+
+
+@register(
+    "span_dedup",
+    _span_dedup_sql(),
+    doc="Exact repeated-span detection (Lee et al. 2021 substring-dedup "
+        "shape): word 8-grams occurring in >= 2 documents are duplicated "
+        "text; per-doc dup counts + fraction. One shuffle on the span key.",
+)
+def q_span_dedup(spark, sf_dir):
+    return _span_dedup(_t(spark, sf_dir, "documents"))
+
+
+from meilisync_spark.operators.similarity import semantic_dedup as _semantic_dedup
+from meilisync_spark.operators.similarity import (
+    semantic_dedup_oracle_sql as _semantic_dedup_sql,
+)
+
+
+@register(
+    "semantic_dedup",
+    _semantic_dedup_sql(),
+    doc="SemDeDup-shaped semantic dedup (Abbas et al. 2023): within each "
+        "coarse cell, drop vectors with a smaller-id cosine-near neighbor "
+        "(deterministic smallest-id-survives); cell-blocked join, never "
+        "corpus x corpus.",
+)
+def q_semantic_dedup(spark, sf_dir):
+    return _semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Registry accessors (used by __spark_entry__.py and tests)
 # ---------------------------------------------------------------------------
