@@ -61,10 +61,12 @@ def read_event_stream(
     Spark form; in production this is Kafka/Debezium — the file source
     keeps the harness hermetic). File order = arrival order.
 
-    ``source_format``: parquet (default), json, or csv — a CDC drop
-    directory is often newline-JSON in practice. Non-parquet formats
-    need an explicit ``schema`` (the streaming source cannot infer; for
-    json an ISO-8601 ``ts`` parses straight into the timestamp column).
+    ``source_format``: parquet (default), orc, json, or csv — a CDC
+    drop directory is often newline-JSON in practice. Self-describing
+    formats (parquet, orc) infer the schema from the existing files;
+    json/csv need an explicit ``schema`` (the streaming source cannot
+    infer; for json an ISO-8601 ``ts`` parses straight into the
+    timestamp column).
 
     A single-file path is staged into a one-symlink directory (the file
     source requires a directory basePath). Nanos parquet timestamps get
@@ -78,9 +80,12 @@ def read_event_stream(
     else:
         src_dir = events_path
     if schema is None:
-        if source_format != "parquet":
+        if source_format == "parquet":
+            schema = spark.read.parquet(events_path).schema
+        elif source_format == "orc":
+            schema = spark.read.orc(events_path).schema
+        else:
             raise ValueError(f"{source_format} event stream needs an explicit schema")
-        schema = spark.read.parquet(events_path).schema
     reader = spark.readStream.schema(schema).format(source_format)
     if source_format == "csv":
         reader = reader.option("header", "true")

@@ -172,3 +172,28 @@ def test_json_event_stream_equals_parquet(spark, workdir, duck):
     got_j = {r.pk: (r.value, r.k, r.ts) for r in spark.read.parquet(j_index).collect()}
     got_p = {r.pk: (r.value, r.k, r.ts) for r in spark.read.parquet(p_index).collect()}
     assert got_j == got_p
+
+
+def test_orc_event_stream_equals_parquet(spark, workdir):
+    """An ORC CDC drop directory lands on exactly the same final index
+    state as the parquet source — ORC is self-describing, so no
+    explicit schema is needed (S4-S6 via another columnar format)."""
+    orc_dir = os.path.join(workdir, "events_orc")
+    # Spark writes the ORC copy (DuckDB has no ORC writer); timestamps
+    # already micros after the loader's nanos conversion
+    from meilisync_spark.sources.parquet import load_table
+
+    load_table(spark, SF_SMOKE, "events").write.orc(orc_dir)
+    o_index = os.path.join(workdir, "idx_orc")
+    run_cdc_pipeline(
+        spark, orc_dir, o_index, os.path.join(workdir, "ckpt_o"),
+        available_now=True, source_format="orc",
+    )
+    p_index = os.path.join(workdir, "idx_parquet2")
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", p_index,
+        os.path.join(workdir, "ckpt_p2"), available_now=True,
+    )
+    got_o = {r.pk: (r.value, r.k, r.ts) for r in spark.read.parquet(o_index).collect()}
+    got_p = {r.pk: (r.value, r.k, r.ts) for r in spark.read.parquet(p_index).collect()}
+    assert got_o == got_p
