@@ -87,6 +87,8 @@ HEADLINE = [
     "pii_scrub",
     "span_dedup",
     "semantic_dedup",
+    "temperature_resample",
+    "training_order",
 ]
 
 

@@ -128,3 +128,100 @@ def mixture_sample_oracle_sql() -> str:
     JOIN (VALUES {rates}) r(source, rate) USING (source)
     WHERE {h} % {RATE_DENOM} < rate * {RATE_DENOM}
     """
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling (multinomial mixture flattening, T = 2)
+# ---------------------------------------------------------------------------
+
+def temperature_resample(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, rate) — temperature-flattened mixture sampling
+    (the mT5/XLM-R recipe): target source shares q_s ∝ p_s^(1/T); the
+    downsample-only realization keeps source s at
+    ``rate_s = sqrt(min_count / count_s)`` for T = 2, so the rarest
+    source keeps everything and head sources are damped toward it.
+
+    T is fixed at 2 deliberately: the rate is then a bare ``sqrt`` of
+    an exact integer ratio, and IEEE requires sqrt and division to be
+    correctly rounded — so Spark and the DuckDB oracle compute the
+    *bit-identical* threshold (a general ``pow(x, 1/T)`` is not
+    correctly rounded and could flip a boundary hash). Membership is
+    the same portable-hash filter as :func:`mixture_sample`: stable
+    across runs, partitionings, and engines.
+
+    Plan: one tiny count aggregate (map-side partials, |sources| rows),
+    rates broadcast back — the corpus side stays a scan-side filter
+    with zero shuffle."""
+    docs = spread(docs)
+    cnts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = cnts.agg(F.min("cnt").alias("mn"))
+    rates = cnts.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.sqrt(F.col("mn").cast("double") / F.col("cnt")).alias("rate"),
+    )
+    h = portable_hash64(F.concat(F.lit("temp:"), F.col("doc_id"))) % RATE_DENOM
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(h < F.col("rate") * RATE_DENOM)
+        .select("doc_id", "source", "rate")
+    )
+
+
+def temperature_resample_oracle_sql() -> str:
+    h = duck_hash64("'temp:' || doc_id")
+    return f"""
+    WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    r AS (
+        SELECT source,
+               sqrt(CAST((SELECT min(cnt) FROM c) AS DOUBLE) / cnt) AS rate
+        FROM c
+    )
+    SELECT doc_id, d.source, r.rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {h} % {RATE_DENOM} < r.rate * {RATE_DENOM}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Training order (deterministic global shuffle, sharded)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def training_order(docs: DataFrame) -> DataFrame:
+    """(doc_id, shard, pos) — the "shuffle the corpus for training"
+    step as a deterministic pseudo-random permutation: shard =
+    hash(doc) % S, position = rank by an independent hash within the
+    shard. Reading shards in order, positions ascending, yields the
+    same training order on every run and engine.
+
+    Scale shape: the window is PARTITIONED by shard (never an
+    unpartitioned global sort); shards are hash-balanced so each
+    partition sorts ~N/S rows. At 100 TB you'd write the output
+    partitioned by shard and each trainer reads its shard
+    sequentially."""
+    from pyspark.sql import Window
+
+    docs = spread(docs)
+    shard = portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id"))) % N_SHARDS
+    order_h = portable_hash64(F.concat(F.lit("order:"), F.col("doc_id")))
+    w = Window.partitionBy("shard").orderBy(F.asc("oh"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", shard.alias("shard"), order_h.alias("oh"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def training_order_oracle_sql() -> str:
+    sh = duck_hash64("'shard:' || doc_id")
+    oh = duck_hash64("'order:' || doc_id")
+    return f"""
+    SELECT doc_id, shard, pos FROM (
+        SELECT doc_id, {sh} % {N_SHARDS} AS shard,
+               row_number() OVER (PARTITION BY {sh} % {N_SHARDS}
+                                  ORDER BY {oh}, doc_id) AS pos
+        FROM documents
+    )
+    """

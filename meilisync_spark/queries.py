@@ -1914,6 +1914,37 @@ def q_semantic_dedup(spark, sf_dir):
     return _semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
+from meilisync_spark.operators.sampling import (
+    temperature_resample as _temperature_resample,
+    temperature_resample_oracle_sql as _temperature_resample_sql,
+    training_order as _training_order,
+    training_order_oracle_sql as _training_order_sql,
+)
+
+
+@register(
+    "temperature_resample",
+    _temperature_resample_sql(),
+    doc="Temperature-flattened mixture sampling (mT5/XLM-R recipe, T=2): "
+        "rate_s = sqrt(min_count/count_s) — sqrt/division are IEEE "
+        "correctly-rounded so both engines compute bit-identical "
+        "thresholds; portable-hash membership, scan-side filter.",
+)
+def q_temperature_resample(spark, sf_dir):
+    return _temperature_resample(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "training_order",
+    _training_order_sql(),
+    doc="Deterministic global shuffle for training order: hash-balanced "
+        "shards, within-shard rank by an independent hash — windows "
+        "partitioned by shard, never a global sort.",
+)
+def q_training_order(spark, sf_dir):
+    return _training_order(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry accessors (used by __spark_entry__.py and tests)
 # ---------------------------------------------------------------------------
