@@ -31,22 +31,34 @@ N_QUERIES = 8  # vec_id < 8 is the benchmark query batch
 
 
 def _pairs(emb: DataFrame, same_label_only: bool) -> DataFrame:
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+    # norms once per ROW before the join — the join then evaluates only
+    # the dot fold per pair; the q_nrm*c_nrm division keeps operand
+    # order identical to cosine()/the oracle, so values are bit-equal
+    from meilisync_spark.functions.vectors import dot_product, l2_norm
+
+    withn = emb.withColumn("nrm", l2_norm(F.col("embedding")))
+    q = withn.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
+        F.col("nrm").alias("q_nrm"),
     )
-    c = emb.select(
+    c = withn.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("label"),
+        F.col("nrm").alias("c_nrm"),
     )
     cond = F.col("neighbor_id") != F.col("q_id")
     if same_label_only:
         joined = c.join(F.broadcast(q), (F.col("label") == F.col("q_label")) & cond)
     else:
         joined = c.crossJoin(F.broadcast(q)).where(cond)
-    return joined.withColumn("cosine", cosine(F.col("q_emb"), F.col("c_emb")))
+    return joined.withColumn(
+        "cosine",
+        dot_product(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_nrm") * F.col("c_nrm")),
+    )
 
 
 def _topk(pairs: DataFrame, k: int, extra_cols: list[str]) -> DataFrame:
@@ -519,25 +531,46 @@ def semantic_dedup(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
     in the same cell sits within cosine >= tau of it. "Smallest id
     survives" is a deterministic, order-free keep rule — unlike the
     greedy chain variant it needs no sequential scan, so it
-    parallelizes: one cell-blocked join (O(cell²), never corpus²),
-    one groupBy. At 100 TB: partition the corpus by cell id so the
-    self-join is partition-local, and cap cell sizes via the k-means
-    k (cells are ~N/k). No reference analogue."""
-    a = emb.select("vec_id", "embedding", "label")
-    b = emb.select(
+    parallelizes: one cell-blocked SEMI join (O(cell²) worst case,
+    never corpus²; the semi probe short-circuits at the first
+    dominating neighbor, and no pair rows materialize), then a cheap
+    unique-key join to flag survivors. Norms are computed once per
+    ROW before the join — the join condition evaluates only the dot
+    fold per pair (the naive form re-derives both norms per pair, 3×
+    the flops). The division form of the threshold is kept identical
+    to the oracle's so boundary rounding cannot diverge. At 100 TB:
+    partition the corpus by cell id so the self-join is
+    partition-local, and cap cell sizes via the k-means k (cells are
+    ~N/k). No reference analogue."""
+    from meilisync_spark.functions.vectors import dot_product, l2_norm
+
+    withn = emb.select(
+        "vec_id", "embedding", "label", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    b = withn.select(
         F.col("vec_id").alias("nb_id"),
         F.col("embedding").alias("nb_emb"),
         F.col("label").alias("nb_label"),
+        F.col("nrm").alias("nb_nrm"),
     )
     cond = (
         (F.col("label") == F.col("nb_label"))
         & (F.col("nb_id") < F.col("vec_id"))
-        & (cosine(F.col("embedding"), F.col("nb_emb")) >= tau)
+        & (
+            dot_product(F.col("embedding"), F.col("nb_emb"))
+            / (F.col("nrm") * F.col("nb_nrm"))
+            >= tau
+        )
     )
+    dropped = withn.join(b, cond, "left_semi").select("vec_id", F.lit(1).alias("__d"))
     return (
-        a.join(b, cond, "left_outer")
-        .groupBy("vec_id", "label")
-        .agg((F.count("nb_id") == 0).cast("int").alias("kept"))
+        emb.select("vec_id", "label")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("__d").isNull(), 1).otherwise(0).alias("kept"),
+        )
     )
 
 

@@ -1602,14 +1602,29 @@ from meilisync_spark.functions.vectors import duck_cosine as _duck_cosine
         "blocked-pairs shape — never all-pairs across cells.",
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    from meilisync_spark.functions.vectors import cosine
+    # norms once per row pre-join (operand order matches cosine()/the
+    # oracle exactly, so values are bit-equal); the join condition then
+    # costs one dot fold per pair instead of three
+    from meilisync_spark.functions.vectors import dot_product, l2_norm
 
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("label").alias("label_b"))
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", l2_norm(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        "label", F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"), F.col("nrm").alias("nrm_b"),
+    )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cosine", cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .where(F.col("cosine") > 0.3)
         .select("vec_a", "vec_b", "label", "cosine")
     )

@@ -1,0 +1,84 @@
+"""Brute-force reference checks for span_dedup and semantic_dedup on
+tiny hand-built inputs — independent of the DuckDB oracle (which runs
+in test_oracle_parity), these pin the *semantics* against a plain
+Python/numpy reimplementation."""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+import numpy as np
+
+from meilisync_spark.operators.similarity import SEM_TAU, semantic_dedup
+from meilisync_spark.operators.text import SPAN_LEN, span_dedup
+
+
+def _py_spans(text: str, k: int = SPAN_LEN) -> set[str]:
+    words = re.findall("[a-z]+", text.lower())
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def test_span_dedup_matches_bruteforce(spark):
+    words12 = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliet", "kilo", "lima",
+    ]
+    base = " ".join(words12)  # 12 distinct words -> 5 spans of 8
+    docs = [
+        (1, base + " unique one"),
+        (2, base + " unique two"),          # shares the 5 base spans with 1
+        (3, "totally different text with nothing shared at all here ok"),
+        (4, "short doc"),                    # < 8 words -> 0 spans
+        (5, ""),                             # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac) for r in span_dedup(df).collect()}
+
+    spans = {d: _py_spans(t) for d, t in docs}
+    for d, t in docs:
+        dup = {
+            s for s in spans[d]
+            if any(s in spans[o] for o in spans if o != d)
+        }
+        n, nd = len(spans[d]), len(dup)
+        assert got[d][0] == n, (d, got[d])
+        assert got[d][1] == nd, (d, got[d])
+        assert abs(got[d][2] - (nd / n if n else 0.0)) < 1e-12
+
+
+def test_span_dedup_within_doc_repeat_not_cross_doc(spark):
+    """A span repeated twice INSIDE one doc but in no other doc is not
+    'duplicated' — the operator counts distinct documents."""
+    base = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, base + " filler " + base)], "doc_id long, text string"
+    )
+    row = span_dedup(df).collect()[0]
+    assert row.n_dup_spans == 0
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    # plant exact duplicates and a near-duplicate inside label 0
+    vecs[5] = vecs[1]
+    vecs[9] = vecs[1] + 1e-4
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(i % 2)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r.kept for r in semantic_dedup(df).collect()}
+
+    def cos(a, b):
+        a, b = np.asarray(a, dtype="float64"), np.asarray(b, dtype="float64")
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for i, vi, li in rows:
+        dominated = any(
+            j < i and lj == li and cos(vi, vj) >= SEM_TAU
+            for j, vj, lj in rows
+        )
+        assert got[i] == (0 if dominated else 1), i
+    # the planted duplicates of vec 1 (label 1... check: 5%2=1, 9%2=1, 1%2=1)
+    assert got[5] == 0 and got[9] == 0
