@@ -83,3 +83,41 @@ def test_sampling_is_scan_side(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Sort" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing both sides of a join on the join key by the same
+    bucket count makes the join shuffle-free — the co-location story
+    SCALE.md promises for repeated fact-fact joins at 100 TB. Both
+    tables are written bucketed by orderkey; the join plan must contain
+    no Exchange on either side."""
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "ord_b")).saveAsTable("ord_b"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li_b")).saveAsTable("li_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_b").join(
+            spark.table("ord_b"),
+            spark.table("li_b").l_orderkey == spark.table("ord_b").o_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the result is still the plain join
+        n_plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert j.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+        spark.sql("DROP TABLE IF EXISTS li_b")
