@@ -89,6 +89,8 @@ HEADLINE = [
     "semantic_dedup",
     "temperature_resample",
     "training_order",
+    "profile_documents",
+    "compression_ratio",
 ]
 
 

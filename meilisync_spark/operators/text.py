@@ -747,3 +747,52 @@ def span_dedup_oracle_sql() -> str:
                 ELSE 0.0 END AS dup_frac
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib; the genuine Python path)
+# ---------------------------------------------------------------------------
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_raw, n_compressed, ratio) — zlib compression ratio
+    per document, the Gopher/RefinedWeb "too compressible = boilerplate,
+    too incompressible = noise" quality signal.
+
+    This is the one text operator that genuinely needs Python (no zlib
+    in Catalyst or DuckDB), so it takes the sanctioned slow path:
+    ``mapInPandas`` over Arrow batches — per-batch vectorized encode,
+    no row-at-a-time UDF, memory bounded by batch size not partition
+    size. No oracle (``driver_facing=False``); semantics are pinned
+    against direct ``zlib`` calls in tests/test_new_dedup.py.
+
+    Scale: scan-bound, zero shuffle; compression cost ~30 MB/s/core ×
+    whatever the scan feeds — the same profile as the multimodal decode
+    stubs (operators/multimodal.py)."""
+    import pandas as pd
+
+    def _batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_raw": raw.str.len(),
+                    "n_compressed": raw.apply(lambda b: len(zlib.compress(b, 6))),
+                }
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        _batches, "doc_id long, n_raw long, n_compressed long"
+    )
+    return out.select(
+        "doc_id",
+        "n_raw",
+        "n_compressed",
+        F.when(
+            F.col("n_raw") > 0, F.col("n_compressed").cast("double") / F.col("n_raw")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ratio"),
+    )

@@ -1960,6 +1960,44 @@ def q_training_order(spark, sf_dir):
     return _training_order(_t(spark, sf_dir, "documents"))
 
 
+from meilisync_spark.operators.text import compression_ratio as _compression_ratio
+
+
+@register(
+    "compression_ratio",
+    None,
+    doc="zlib compression-ratio quality signal (Gopher/RefinedWeb): the "
+        "one text op that genuinely needs Python — Arrow mapInPandas, "
+        "vectorized per batch; no SQL oracle (no zlib in DuckDB), pinned "
+        "against direct zlib in tests.",
+    driver_facing=False,
+)
+def q_compression_ratio(spark, sf_dir):
+    return _compression_ratio(_t(spark, sf_dir, "documents"))
+
+
+from meilisync_spark.operators.profile import (
+    profile_documents_oracle_sql as _profile_docs_sql,
+    profile_table as _profile_table,
+)
+
+
+@register(
+    "profile_documents",
+    _profile_docs_sql(),
+    doc="ANALYZE-style corpus profile: one scan, one aggregate computes "
+        "per-column nulls/exact-distincts/ranges/length moments, melted "
+        "to long (col, metric, value) form. At 100 TB the exact "
+        "distincts become approx_count_distinct sketches.",
+)
+def q_profile_documents(spark, sf_dir):
+    return _profile_table(
+        _t(spark, sf_dir, "documents"),
+        numeric_cols=["doc_id", "n_chars"],
+        string_cols=["text", "lang", "source"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry accessors (used by __spark_entry__.py and tests)
 # ---------------------------------------------------------------------------

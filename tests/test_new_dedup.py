@@ -82,3 +82,27 @@ def test_semantic_dedup_matches_bruteforce(spark):
         assert got[i] == (0 if dominated else 1), i
     # the planted duplicates of vec 1 (label 1... check: 5%2=1, 9%2=1, 1%2=1)
     assert got[5] == 0 and got[9] == 0
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from meilisync_spark.operators.text import compression_ratio
+
+    docs = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   # highly compressible
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),                                            # empty -> ratio 0
+        (4, None),                                          # null text == empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_raw, r.n_compressed, r.ratio)
+           for r in compression_ratio(df).collect()}
+    for d, t in docs:
+        raw = (t or "").encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert got[d][0] == len(raw)
+        assert got[d][1] == comp
+        expect = comp / len(raw) if raw else 0.0
+        assert abs(got[d][2] - expect) < 1e-12
+    assert got[1][2] < got[2][2]  # repetitive text compresses better
