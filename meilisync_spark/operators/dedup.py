@@ -355,7 +355,20 @@ def connected_components(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # only nodes that touch an edge can ever change label — iterate on
+    # that subgraph alone and emit the (overwhelmingly larger) isolated
+    # rest as self-labeled with zero loop participation. On a near-dup
+    # graph the candidate subgraph is a sliver of the corpus, so each
+    # round's join+groupBy handles |subgraph| rows, not |corpus|.
+    # checkpointed so the isolated branch (materialized by the caller
+    # after edges/pairs are unpersisted) never re-derives the edge set
+    touched = edges.select(F.col("doc_a").alias("doc_id")).distinct().localCheckpoint(True)
+    isolated = nodes.join(touched, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    labels = nodes.join(touched, "doc_id", "left_semi").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
     labels = labels.localCheckpoint(True)
 
     for _ in range(max_iters):
@@ -382,7 +395,7 @@ def connected_components(
             break
     edges.unpersist()
     pairs.unpersist()
-    return labels
+    return labels.union(isolated)
 
 
 def dedup_clusters(docs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
