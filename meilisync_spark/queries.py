@@ -2028,9 +2028,6 @@ DRIVER_ORDER = [
     "brand_revenue",
     "cube_order_stats",
     "pivot_priority_status",
-    "grouping_sets_orders",
-    "promo_revenue_share",
-    "yearly_order_volume",
     "customer_spend_quartiles",
     "events_trailing_1h",
     "asof_purchase_view",
@@ -2048,8 +2045,10 @@ DRIVER_ORDER = [
     "simhash_neardup_pairs",
     "dedup_clusters",
     "embedding_neardup_pairs",
+    "span_dedup",
     # sampling
     "split_assign",
+    "temperature_resample",
     # similarity / embeddings
     "cosine_topk",
     "ann_ivf_label",
@@ -2057,6 +2056,7 @@ DRIVER_ORDER = [
     "ann_recall_at_k",
     "embedding_quantize",
     "label_centroids",
+    "semantic_dedup",
     # multimodal plumbing
     "multimodal_meta",
     "multimodal_resize",
