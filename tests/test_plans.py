@@ -121,3 +121,34 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS ord_b")
         spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_span_dedup_single_scan_no_join(spark):
+    """span_dedup is one scan + (span window, doc groupBy) shuffles —
+    no self-join, no second pass over the text."""
+    plan = _plan(spark, "span_dedup")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_broadcast_semi_no_shuffle_join(spark):
+    """The cell-blocked dominance probe is a broadcast LeftSemi —
+    never a shuffle join — and the survivor flag join broadcasts too."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_profile_documents_single_pass(spark):
+    """The whole profile is ONE scan + one (Expand-based) aggregate."""
+    plan = _plan(spark, "profile_documents")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_temperature_resample_broadcast_rates(spark):
+    """The rate dim joins broadcast; the corpus side never sort-merges."""
+    plan = _plan(spark, "temperature_resample")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
