@@ -63,3 +63,9 @@ def test_driver_window_output_scalar(spark):
             assert not isinstance(
                 f.dataType, (T.ArrayType, T.MapType, T.BinaryType)
             ), f"{name}.{f.name}: {f.dataType}"
+            # DECIMAL renders scale-padded in Spark but as float64 in
+            # the driver's oracle materialization — final outputs must
+            # be cast to DOUBLE (the decimal-sum-then-cast rule)
+            assert not isinstance(
+                f.dataType, T.DecimalType
+            ), f"{name}.{f.name}: {f.dataType} (cast final decimals to double)"
