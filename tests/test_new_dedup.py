@@ -106,3 +106,33 @@ def test_compression_ratio_matches_zlib(spark):
         expect = comp / len(raw) if raw else 0.0
         assert abs(got[d][2] - expect) < 1e-12
     assert got[1][2] < got[2][2]  # repetitive text compresses better
+
+
+def test_span_dedup_empty_and_degenerate(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert span_dedup(df).collect() == []
+    one = spark.createDataFrame([(1, "only seven words here not eight total")],
+                                "doc_id long, text string")
+    row = span_dedup(one).collect()[0]
+    assert (row.n_spans, row.n_dup_spans, row.dup_frac) == (0, 0, 0.0)
+
+
+def test_semantic_dedup_single_vector_per_cell(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.vec_id: r.kept for r in semantic_dedup(df).collect()}
+    assert got == {1: 1, 2: 1}  # alone in their cells -> both kept
+
+
+def test_profile_empty_table(spark):
+    from meilisync_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    rows = profile_table(df, numeric_cols=["doc_id"], string_cols=["text"]).collect()
+    got = {(r.col_name, r.metric): r.value for r in rows}
+    # aggregates over zero rows: counts are 0, min/max/sum/avg are null
+    assert got[("doc_id", "n_distinct")] == 0.0
+    assert got[("doc_id", "n_nulls")] is None or got[("doc_id", "n_nulls")] == 0.0
+    assert got[("doc_id", "min")] is None
