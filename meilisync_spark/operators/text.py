@@ -348,7 +348,7 @@ def doc_chunks_oracle_sql() -> str:
 # Dictionary encoding: frequency-ranked vocabulary + per-doc id arrays
 # ---------------------------------------------------------------------------
 
-def vocab_encode(docs: DataFrame) -> DataFrame:
+def vocab_encode(docs: DataFrame, min_count: int = 1) -> DataFrame:
     """(doc_id, n_tokens, ids) — the tokenize→vocab→encode step of a
     training pipeline: build a corpus vocabulary (id = rank by global
     frequency desc, then word asc — id 1 is the most frequent word) and
@@ -360,10 +360,12 @@ def vocab_encode(docs: DataFrame) -> DataFrame:
     vocab, and the id arrays are re-assembled with one shuffle on
     doc_id (array_sort over (pos, id) structs restores token order
     without a per-group sort pass). At true web scale the distinct-word
-    set itself explodes (typos, ids, code) — apply a min-frequency
-    cutoff on the counted vocab (``HAVING cnt >= k`` before the rank)
-    so the sorted set stays the kept vocabulary, not the long tail;
-    the rank window is then still single-partition by construction."""
+    set itself explodes (typos, ids, code) — that is what ``min_count``
+    is for: the frequency cutoff runs BEFORE the rank window, so the
+    single-partition sort covers only the kept vocabulary, never the
+    long tail. Out-of-vocabulary tokens drop out of ``ids`` (and out of
+    ``n_tokens``) — the standard OOV-drop encode; docs of only OOV
+    tokens drop entirely."""
     from pyspark.sql import Window
 
     docs = spread(docs)
@@ -371,6 +373,8 @@ def vocab_encode(docs: DataFrame) -> DataFrame:
         "doc_id", F.posexplode(words_col(F.col("text"))).alias("pos", "word")
     )
     vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        vocab = vocab.where(F.col("cnt") >= min_count)
     rk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word")))
     vocab_ids = vocab.select("word", rk.alias("id"))
     return (

@@ -136,3 +136,19 @@ def test_profile_empty_table(spark):
     assert got[("doc_id", "n_distinct")] == 0.0
     assert got[("doc_id", "n_nulls")] is None or got[("doc_id", "n_nulls")] == 0.0
     assert got[("doc_id", "min")] is None
+
+
+def test_vocab_encode_min_count_cutoff(spark):
+    from meilisync_spark.operators.text import vocab_encode
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "cherry cherry")],
+        "doc_id long, text string",
+    )
+    # full vocab: apple=3, cherry=3, banana=1 -> ids apple=1, cherry=2, banana=3
+    full = {r.doc_id: list(r.ids) for r in vocab_encode(df).collect()}
+    assert full[1] == [1, 1, 3] and full[2] == [1, 2] and full[3] == [2, 2]
+    # min_count=2 drops banana; surviving ranks unchanged; doc 1 loses a token
+    cut = {r.doc_id: (r.n_tokens, list(r.ids))
+           for r in vocab_encode(df, min_count=2).collect()}
+    assert cut[1] == (2, [1, 1]) and cut[2] == (2, [1, 2]) and cut[3] == (2, [2, 2])
