@@ -681,7 +681,7 @@ def pii_scrub_oracle_sql() -> str:
 SPAN_LEN = 8  # words per span; Lee et al. use 50 BPE tokens — same shape
 
 
-def span_dedup(docs: DataFrame) -> DataFrame:
+def span_dedup(docs: DataFrame, k: int = SPAN_LEN) -> DataFrame:
     """(doc_id, n_spans, n_dup_spans, dup_frac) — exact repeated-span
     detection, the distributed shape of suffix-array substring dedup
     (Lee et al. 2021, "Deduplicating Training Data Makes Language
@@ -704,7 +704,7 @@ def span_dedup(docs: DataFrame) -> DataFrame:
     w = words_col(F.col("text"))
     sp = docs.select(
         "doc_id",
-        F.explode_outer(F.array_distinct(shingles_col(w, SPAN_LEN))).alias("span"),
+        F.explode_outer(F.array_distinct(shingles_col(w, k))).alias("span"),
     )
     n_docs_for_span = F.count(F.lit(1)).over(Window.partitionBy("span"))
     marked = sp.select(

@@ -145,3 +145,33 @@ def test_bucketed_apply_matches_flat_fold(spark, tmp_path_factory, batches):
         got = {}  # absent path == empty index (reference 404-is-0 contract)
     expected = {r.pk: r.value for r in flat.collect()}
     assert got == expected
+
+
+# --- span_dedup vs a brute-force set model --------------------------------
+
+_span_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=14
+)
+
+
+@given(docs=st.lists(_span_words, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_span_dedup_matches_set_model(spark, docs):
+    """Per-doc duplicated-span counts == a brute-force python set model.
+    A 4-word alphabet over 3-word spans forces heavy span collisions
+    both within and across documents."""
+    import meilisync_spark.operators.text as TX
+
+    k = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in TX.span_dedup(df, k=k).collect()
+    }
+    spans = [
+        {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)} for ws in docs
+    ]
+    for d, sp in enumerate(spans):
+        dup = {s for s in sp if any(s in o for j, o in enumerate(spans) if j != d)}
+        assert got[d] == (len(sp), len(dup)), d
