@@ -1960,6 +1960,42 @@ def q_training_order(spark, sf_dir):
     return _training_order(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "streaming_corpus_ingest",
+    r"""
+    SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+           arg_min(doc_id, doc_id) AS doc_id,
+           arg_min(text, doc_id) AS text,
+           arg_min(lang, doc_id) AS lang,
+           arg_min(source, doc_id) AS source,
+           arg_min(n_chars, doc_id) AS n_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="Streaming corpus ingestion: quality-gated append-only intake "
+        "with cross-batch exact dedup against the index (first sighting "
+        "wins); final state equals the batch-global canonical dedup.",
+)
+def q_streaming_corpus_ingest(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from meilisync_spark.streaming.corpus_ingest import run_corpus_ingest
+
+    work = tempfile.mkdtemp(prefix="mls_ingest_")
+    try:
+        run_corpus_ingest(
+            spark, f"{sf_dir}/documents.parquet", f"{work}/corpus",
+            f"{work}/checkpoint",
+        )
+        out = spark.read.parquet(f"{work}/corpus").select(
+            "content_hash", "doc_id", "text", "lang", "source", "n_chars"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 from meilisync_spark.operators.text import compression_ratio as _compression_ratio
 
 

@@ -1,0 +1,112 @@
+"""Continuous corpus ingestion: streaming text intake with a quality
+gate and cross-batch exact dedup against the corpus index.
+
+The LLM-data twin of the CDC pipeline (streaming/pipeline.py): where
+CDC folds *changes* into an index keyed by pk, corpus ingest folds
+*documents* into an index keyed by content hash — first sighting wins,
+later duplicates are dropped forever.
+
+Per micro-batch (all O(batch), never O(corpus) work beyond one
+hash-key probe):
+
+1. content hash = sha256 of whitespace/case-normalized text (the same
+   canonicalization as operators/dedup.exact_dedup, so the streaming
+   result is comparable to the batch operator);
+2. optional quality gate — operators/text.quality_filter's keep rule;
+3. in-batch dedup: min doc_id per hash (deterministic, matches
+   exact_dedup's canonical-id rule);
+4. anti-join against the index's existing hashes — the probe is a
+   join on the hash key only (column-pruned scan of the index; on a
+   bucketed/bloom-indexed table this is a pruned lookup, documented
+   in SCALE.md);
+5. APPEND the survivors. The index is append-only — no rewrite, so a
+   batch costs its own size in writes.
+
+At-least-once file replay is safe: a replayed batch's docs either
+carry hashes already in the index (dropped by the anti-join) or are
+re-appended identically (same deterministic projection). Exactly-once
+within one run comes from the checkpoint, like every other stream
+here.
+
+Reference analogue: none (the reference has no text surface); this is
+a north-star extension composing its CDC streaming shell with the
+dedup operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meilisync_spark.operators.dedup import normalize_text
+from meilisync_spark.operators.text import quality_filter
+from meilisync_spark.streaming.pipeline import _start_and_await
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _with_hash(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "content_hash", F.sha2(normalize_text(F.col("text")), 256)
+    )
+
+
+def ingest_batch(
+    batch: DataFrame, index: DataFrame | None, apply_quality: bool
+) -> DataFrame:
+    """The pure batch step: returns the NEW rows to append (hash +
+    doc columns), deduped in-batch and against the existing index."""
+    b = _with_hash(batch)
+    if apply_quality:
+        keep = quality_filter(batch).where("keep").select("doc_id")
+        b = b.join(keep, "doc_id", "left_semi")
+    # in-batch: canonical copy = min doc_id per hash (exact_dedup rule)
+    b = (
+        b.groupBy("content_hash")
+        .agg(F.min_by(F.struct(*DOC_COLS), F.col("doc_id")).alias("d"))
+        .select("content_hash", "d.*")
+    )
+    if index is not None:
+        seen = index.select("content_hash")
+        b = b.join(seen, "content_hash", "left_anti")
+    return b
+
+
+def run_corpus_ingest(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    apply_quality: bool = False,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_interval: str | None = None,
+    timeout_sec: float | None = 180.0,
+) -> None:
+    schema = spark.read.parquet(docs_path).schema
+    if os.path.isfile(docs_path):
+        # file source needs a directory basePath — stage a one-symlink dir
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="mls_ingest_src_")
+        os.symlink(docs_path, os.path.join(staging, os.path.basename(docs_path)))
+        docs_path = staging
+    stream = spark.readStream.schema(schema).option("latestFirst", "false")
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = stream.parquet(docs_path)
+
+    def handle(batch: DataFrame, _bid: int) -> None:
+        index = (
+            spark.read.parquet(index_path) if os.path.isdir(index_path) else None
+        )
+        fresh = ingest_batch(batch, index, apply_quality)
+        fresh.write.mode("append").parquet(index_path)
+
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    _start_and_await(writer, available_now, processing_interval, timeout_sec)

@@ -1,0 +1,95 @@
+"""Streaming corpus ingestion: the final index equals the batch-global
+exact dedup regardless of micro-batch boundaries, duplicates planted
+across batches never re-enter, and appends are O(batch)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from meilisync_spark.operators.dedup import exact_dedup
+from meilisync_spark.streaming.corpus_ingest import run_corpus_ingest
+from tests.conftest import SF_SMOKE
+
+
+def _stage_batches(spark, out_dir: str) -> None:
+    """Three single-file batches ordered by doc_id, with batch 2 and 3
+    re-shipping some batch-1 texts under new doc_ids (cross-batch
+    duplicates) and batch 3 replaying a batch-2 doc verbatim."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").orderBy("doc_id")
+    rows = docs.collect()
+    third = len(rows) // 3
+    b1, b2, b3 = rows[:third], rows[third : 2 * third], rows[2 * third :]
+    # duplicate content across batches: batch2 carries 5 batch1 texts
+    # under fresh ids; batch3 replays one batch2 row verbatim
+    max_id = max(r.doc_id for r in rows)
+    dup_rows = [
+        (max_id + i + 1, r.text, r.lang, r.source, r.n_chars)
+        for i, r in enumerate(b1[:5])
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    os.makedirs(out_dir)
+    for i, batch in enumerate(
+        [
+            [tuple(r) for r in b1],
+            [tuple(r) for r in b2] + dup_rows,
+            [tuple(r) for r in b3] + [tuple(b2[0])],
+        ]
+    ):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            os.path.join(out_dir, f"stage_{i}")
+        )
+        # move the part file up so the stream dir is flat, arrival-ordered
+        part = glob.glob(os.path.join(out_dir, f"stage_{i}", "part-*.parquet"))[0]
+        os.rename(part, os.path.join(out_dir, f"batch_{i}.parquet"))
+
+
+def test_streaming_ingest_equals_batch_exact_dedup(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    _stage_batches(spark, src)
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    got = spark.read.parquet(idx)
+    # one row per distinct content, carrying the min doc_id (because
+    # batches arrive in doc_id order, first-sighting == min id)
+    expected = exact_dedup(
+        spark.read.parquet(src).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+    )
+    exp = {r.content_hash: r.canonical_id for r in expected.collect()}
+    got_map = {r.content_hash: r.doc_id for r in got.collect()}
+    assert got_map == exp
+    # and every content hash is unique in the index
+    assert got.count() == got.select("content_hash").distinct().count()
+
+
+def test_quality_gate_drops_before_index(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    os.makedirs(src)
+    import itertools
+
+    words = [
+        "".join(t) for t in itertools.islice(itertools.product("abcde", repeat=4), 60)
+    ]
+    body = " ".join(words)
+    rows = [
+        (1, body, "en", "src0", 300),   # long + varied: kept
+        (2, "tiny", "en", "src0", 4),   # too_short: dropped
+        (3, body, "en", "src1", 300),   # dup of 1: dropped
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(src + "/b")
+    part = glob.glob(src + "/b/part-*.parquet")[0]
+    os.rename(part, src + "/batch_0.parquet")
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"), apply_quality=True
+    )
+    got = spark.read.parquet(idx)
+    assert [r.doc_id for r in got.collect()] == [1]
