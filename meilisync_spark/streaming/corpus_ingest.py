@@ -40,11 +40,20 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from meilisync_spark.operators.dedup import normalize_text
+from meilisync_spark.operators.dedup import (
+    NUM_PERM,
+    lsh_bands,
+    minhash_signatures,
+    normalize_text,
+)
 from meilisync_spark.operators.text import quality_filter
 from meilisync_spark.streaming.pipeline import _start_and_await
 
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+# minimum estimated Jaccard (matching signature fraction) for a band
+# collision to count as a near-duplicate of the stored corpus
+NEAR_DUP_TAU = 0.5
 
 
 def _with_hash(docs: DataFrame) -> DataFrame:
@@ -74,6 +83,34 @@ def ingest_batch(
     return b
 
 
+def drop_near_dups(fresh: DataFrame, band_index: DataFrame | None) -> DataFrame:
+    """Filter ``fresh`` (post exact-dedup) against the stored MinHash
+    band index: a doc is dropped when a band collision with the corpus
+    verifies at est_jaccard >= NEAR_DUP_TAU (the incremental_neardup
+    probe, O(|batch|·bucket), never O(corpus²)). Returns the survivors
+    with their ``sig`` column attached so the caller can append their
+    bands to the index."""
+    sigs = minhash_signatures(fresh.select("doc_id", "text"))
+    withsig = fresh.join(sigs, "doc_id")
+    if band_index is None:
+        return withsig
+    probe = lsh_bands(sigs).join(
+        band_index.select(
+            "band_idx", "band_hash", F.col("sig").alias("sig_c")
+        ),
+        ["band_idx", "band_hash"],
+    )
+    matched = F.size(
+        F.filter(F.zip_with("sig", "sig_c", lambda x, y: x == y), lambda m: m)
+    )
+    near = (
+        probe.where(matched / F.lit(NUM_PERM) >= NEAR_DUP_TAU)
+        .select("doc_id")
+        .distinct()
+    )
+    return withsig.join(near, "doc_id", "left_anti")
+
+
 def run_corpus_ingest(
     spark: SparkSession,
     docs_path: str,
@@ -81,11 +118,16 @@ def run_corpus_ingest(
     checkpoint_dir: str,
     *,
     apply_quality: bool = False,
+    near_dedup: bool = False,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     processing_interval: str | None = None,
     timeout_sec: float | None = 180.0,
 ) -> None:
+    """``near_dedup=True`` additionally maintains a MinHash band index
+    beside the corpus (``<index_path>_bands``) and drops batch docs
+    that verify as near-duplicates of the stored corpus — the full
+    continuous-dedup pipeline (exact + near, both O(batch) probes)."""
     schema = spark.read.parquet(docs_path).schema
     if os.path.isfile(docs_path):
         # file source needs a directory basePath — stage a one-symlink dir
@@ -99,12 +141,32 @@ def run_corpus_ingest(
         stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
     src = stream.parquet(docs_path)
 
+    bands_path = index_path.rstrip("/") + "_bands"
+
     def handle(batch: DataFrame, _bid: int) -> None:
         index = (
             spark.read.parquet(index_path) if os.path.isdir(index_path) else None
         )
         fresh = ingest_batch(batch, index, apply_quality)
-        fresh.write.mode("append").parquet(index_path)
+        if near_dedup:
+            band_index = (
+                spark.read.parquet(bands_path)
+                if os.path.isdir(bands_path)
+                else None
+            )
+            # pin the batch result BEFORE the first append: both writes
+            # must see the same survivors, and the lineage reads the
+            # index/band dirs — re-evaluating it after the first append
+            # would see the batch's own rows as "already present"
+            survivors = drop_near_dups(fresh, band_index).localCheckpoint(True)
+            survivors.select("content_hash", *DOC_COLS).write.mode(
+                "append"
+            ).parquet(index_path)
+            lsh_bands(survivors.select("doc_id", "sig")).write.mode(
+                "append"
+            ).parquet(bands_path)
+        else:
+            fresh.write.mode("append").parquet(index_path)
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

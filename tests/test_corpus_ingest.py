@@ -93,3 +93,43 @@ def test_quality_gate_drops_before_index(spark, tmp_path):
     )
     got = spark.read.parquet(idx)
     assert [r.doc_id for r in got.collect()] == [1]
+
+
+def test_near_dedup_drops_cross_batch_near_duplicates(spark, tmp_path):
+    """near_dedup=True: a batch-2 doc that is a light edit of a batch-1
+    doc (same text, one word changed) verifies against the stored band
+    index and is dropped; an unrelated batch-2 doc survives."""
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    os.makedirs(src)
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy stone bridge near the river "
+        "and a cold wind moves slowly through the tall dry grass"
+    )
+    near = base.replace("cold wind", "warm wind")
+    other = (
+        "completely unrelated content about distributed query engines "
+        "and shuffle partitioning strategies for very large clusters "
+        "with adaptive execution and broadcast join planning decisions"
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batches = [
+        [(1, base, "en", "src0", len(base))],
+        [(2, near, "en", "src0", len(near)), (3, other, "en", "src1", len(other))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            src + f"/b{i}"
+        )
+        part = glob.glob(src + f"/b{i}/part-*.parquet")[0]
+        os.rename(part, src + f"/batch_{i}.parquet")
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"),
+        near_dedup=True, max_files_per_trigger=1,
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
+    assert got == [1, 3]
+    # the band index carries exactly the surviving docs
+    bands = spark.read.parquet(idx + "_bands")
+    assert sorted(r.doc_id for r in bands.select("doc_id").distinct().collect()) == [1, 3]
