@@ -151,6 +151,27 @@ def cmd_check(args: argparse.Namespace) -> int:
     return 0 if ok else 1
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """Engine-specific extension (no reference analogue): continuous
+    corpus intake — streaming/corpus_ingest.py behind a command."""
+    from meilisync_spark.streaming.corpus_ingest import run_corpus_ingest
+
+    spark = get_spark("meilisync-spark-ingest")
+    run_corpus_ingest(
+        spark,
+        args.source,
+        args.index,
+        args.checkpoint,
+        apply_quality=args.quality,
+        near_dedup=args.near_dedup,
+        available_now=not args.follow,
+        processing_interval=args.interval,
+    )
+    n = spark.read.parquet(args.index).count()
+    print(f"corpus {args.index}: {n} documents")
+    return 0
+
+
 def cmd_version(_: argparse.Namespace) -> int:
     print(json.dumps({"meilisync_spark": __version__}))
     return 0
@@ -188,6 +209,21 @@ def build_parser() -> argparse.ArgumentParser:
     ck.add_argument("--sources", help="directory of per-table source parquet "
                                       "(config mode)")
     ck.set_defaults(fn=cmd_check)
+
+    ig = sub.add_parser(
+        "ingest", help="stream documents into a deduped corpus index"
+    )
+    ig.add_argument("--source", required=True, help="incoming document dir")
+    ig.add_argument("--index", required=True, help="corpus index path")
+    ig.add_argument("--checkpoint", required=True)
+    ig.add_argument("--quality", action="store_true", help="apply quality gate")
+    ig.add_argument(
+        "--near-dedup", dest="near_dedup", action="store_true",
+        help="also drop MinHash near-duplicates vs the stored band index",
+    )
+    ig.add_argument("--follow", action="store_true", help="keep tailing")
+    ig.add_argument("--interval", default=None, help="processing trigger, e.g. '5 seconds'")
+    ig.set_defaults(fn=cmd_ingest)
 
     v = sub.add_parser("version")
     v.set_defaults(fn=cmd_version)

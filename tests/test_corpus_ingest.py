@@ -133,3 +133,20 @@ def test_near_dedup_drops_cross_batch_near_duplicates(spark, tmp_path):
     # the band index carries exactly the surviving docs
     bands = spark.read.parquet(idx + "_bands")
     assert sorted(r.doc_id for r in bands.select("doc_id").distinct().collect()) == [1, 3]
+
+
+def test_cli_ingest_command(spark, tmp_path):
+    from meilisync_spark.cli import main
+
+    src = str(tmp_path / "incoming")
+    _stage_batches(spark, src)
+    rc = main([
+        "ingest", "--source", src, "--index", str(tmp_path / "corpus"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    n = spark.read.parquet(str(tmp_path / "corpus")).count()
+    distinct = spark.read.parquet(src).select(
+        F.sha2(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256)
+    ).distinct().count()
+    assert n == distinct
