@@ -166,6 +166,9 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         near_dedup=args.near_dedup,
         available_now=not args.follow,
         processing_interval=args.interval,
+        # --follow means tail until killed; the default 180 s timeout is
+        # for finite availableNow replays only
+        timeout_sec=None if args.follow else 180.0,
     )
     n = spark.read.parquet(args.index).count()
     print(f"corpus {args.index}: {n} documents")

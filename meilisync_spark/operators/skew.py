@@ -52,9 +52,12 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = (
+    # NULL row_col would make the salt NULL and the equi-join would
+    # silently drop the row — park NULLs deterministically in salt 0
+    salt = F.coalesce(
         portable_hash64(F.concat(F.lit("salt:"), F.col(row_col).cast("string")))
-        % n_salts
+        % n_salts,
+        F.lit(0),
     )
     big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(

@@ -78,37 +78,65 @@ def ingest_batch(
         .select("content_hash", "d.*")
     )
     if index is not None:
-        seen = index.select("content_hash")
-        b = b.join(seen, "content_hash", "left_anti")
+        # null-safe key: docs with NULL text hash to NULL, and a plain
+        # anti-join would never match NULL=NULL — re-appending the null
+        # doc every batch and breaking hash uniqueness
+        seen = index.select(F.col("content_hash").alias("seen_hash"))
+        b = b.join(
+            seen, F.col("content_hash").eqNullSafe(F.col("seen_hash")), "left_anti"
+        )
     return b
+
+
+def _est_jaccard(sig_a: str, sig_b: str):
+    matched = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    )
+    return matched / F.lit(NUM_PERM)
 
 
 def drop_near_dups(fresh: DataFrame, band_index: DataFrame | None) -> DataFrame:
     """Filter ``fresh`` (post exact-dedup) against the stored MinHash
-    band index: a doc is dropped when a band collision with the corpus
-    verifies at est_jaccard >= NEAR_DUP_TAU (the incremental_neardup
-    probe, O(|batch|·bucket), never O(corpus²)). Returns the survivors
-    with their ``sig`` column attached so the caller can append their
-    bands to the index."""
+    band index AND against itself: a doc is dropped when a band
+    collision verifies at est_jaccard >= NEAR_DUP_TAU against the
+    corpus (the incremental_neardup probe, O(|batch|·bucket), never
+    O(corpus²)) or against a smaller-id doc of the same batch (so the
+    result does not depend on which micro-batch near-twins arrive in).
+    Docs too short to carry a signature (< one shingle) skip the probe
+    but are KEPT — near-dedup must not silently drop short documents.
+    Returns survivors with their ``sig`` attached (null for short
+    docs) so the caller can append their bands."""
     sigs = minhash_signatures(fresh.select("doc_id", "text"))
-    withsig = fresh.join(sigs, "doc_id")
-    if band_index is None:
-        return withsig
-    probe = lsh_bands(sigs).join(
-        band_index.select(
-            "band_idx", "band_hash", F.col("sig").alias("sig_c")
+    withsig = fresh.join(sigs, "doc_id", "left")
+    bands = lsh_bands(sigs)
+    # in-batch self-probe: higher id loses against a verified lower id
+    self_pairs = bands.select("doc_id", "sig", "band_idx", "band_hash").join(
+        bands.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+            "band_idx", "band_hash",
         ),
         ["band_idx", "band_hash"],
-    )
-    matched = F.size(
-        F.filter(F.zip_with("sig", "sig_c", lambda x, y: x == y), lambda m: m)
-    )
-    near = (
-        probe.where(matched / F.lit(NUM_PERM) >= NEAR_DUP_TAU)
+    ).where(F.col("doc_b") < F.col("doc_id"))
+    near_in_batch = (
+        self_pairs.where(_est_jaccard("sig", "sig_b") >= NEAR_DUP_TAU)
         .select("doc_id")
         .distinct()
     )
-    return withsig.join(near, "doc_id", "left_anti")
+    dropped = near_in_batch
+    if band_index is not None:
+        probe = bands.join(
+            band_index.select(
+                "band_idx", "band_hash", F.col("sig").alias("sig_c")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        near_corpus = (
+            probe.where(_est_jaccard("sig", "sig_c") >= NEAR_DUP_TAU)
+            .select("doc_id")
+            .distinct()
+        )
+        dropped = dropped.union(near_corpus)
+    return withsig.join(dropped, "doc_id", "left_anti")
 
 
 def run_corpus_ingest(
@@ -143,17 +171,19 @@ def run_corpus_ingest(
 
     bands_path = index_path.rstrip("/") + "_bands"
 
+    def _read_if_exists(path: str) -> DataFrame | None:
+        # filesystem-agnostic existence probe (os.path.isdir would read
+        # "absent" for every s3://
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
+
     def handle(batch: DataFrame, _bid: int) -> None:
-        index = (
-            spark.read.parquet(index_path) if os.path.isdir(index_path) else None
-        )
+        index = _read_if_exists(index_path)
         fresh = ingest_batch(batch, index, apply_quality)
         if near_dedup:
-            band_index = (
-                spark.read.parquet(bands_path)
-                if os.path.isdir(bands_path)
-                else None
-            )
+            band_index = _read_if_exists(bands_path)
             # pin the batch result BEFORE the first append: both writes
             # must see the same survivors, and the lineage reads the
             # index/band dirs — re-evaluating it after the first append
@@ -162,9 +192,9 @@ def run_corpus_ingest(
             survivors.select("content_hash", *DOC_COLS).write.mode(
                 "append"
             ).parquet(index_path)
-            lsh_bands(survivors.select("doc_id", "sig")).write.mode(
-                "append"
-            ).parquet(bands_path)
+            lsh_bands(
+                survivors.where(F.col("sig").isNotNull()).select("doc_id", "sig")
+            ).write.mode("append").parquet(bands_path)
         else:
             fresh.write.mode("append").parquet(index_path)
 

@@ -150,3 +150,53 @@ def test_cli_ingest_command(spark, tmp_path):
         F.sha2(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256)
     ).distinct().count()
     assert n == distinct
+
+
+def test_null_text_docs_dedup_across_batches(spark, tmp_path):
+    """NULL-text docs hash to NULL; the null-safe anti-join must still
+    dedup them across batches (first sighting wins, like the oracle's
+    GROUP BY which buckets NULLs together)."""
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    os.makedirs(src)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batches = [
+        [(10, None, "en", "s", 0), (11, "real content here", "en", "s", 17)],
+        [(20, None, "en", "s", 0)],  # second NULL-text doc: must be dropped
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + f"/b{i}")
+        part = glob.glob(src + f"/b{i}/part-*.parquet")[0]
+        os.rename(part, src + f"/batch_{i}.parquet")
+    run_corpus_ingest(spark, src, idx, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
+    assert got == [10, 11]
+
+
+def test_near_dedup_keeps_short_docs_and_drops_in_batch_twins(spark, tmp_path):
+    """Docs too short for a MinHash signature survive near-dedup mode,
+    and two near-twins arriving in the SAME batch resolve to the lower
+    doc_id (batch boundaries don't change the corpus)."""
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    os.makedirs(src)
+    base = (
+        "seventeen green turtles watch from a mossy stone bridge near "
+        "the river while a cold wind moves slowly through the dry grass"
+    )
+    near = base.replace("cold wind", "warm breeze")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [
+        (1, "hi", "en", "s", 2),          # < 1 shingle: no signature, kept
+        (2, base, "en", "s", len(base)),
+        (3, near, "en", "s", len(near)),  # in-batch near-twin of 2: dropped
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + "/b0")
+    part = glob.glob(src + "/b0/part-*.parquet")[0]
+    os.rename(part, src + "/batch_0.parquet")
+    run_corpus_ingest(spark, src, idx, str(tmp_path / "ckpt"), near_dedup=True)
+    got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
+    assert got == [1, 2]
+    # the band index only carries signed docs (doc 2)
+    bands = spark.read.parquet(idx + "_bands")
+    assert sorted(r.doc_id for r in bands.select("doc_id").distinct().collect()) == [2]

@@ -45,27 +45,38 @@ def test_salted_join_equals_plain_left(spark):
 
 
 def test_salted_join_spreads_hot_key(spark):
-    """Every salt value actually receives rows of the hot key — the
-    hot key's rows leave on n_salts distinct shuffle keys, which is
-    the whole point of the transform."""
+    """The join actually runs on (key, __salt) — asserted on the
+    physical plan — and the hot key's rows land on all n_salts salt
+    values (recomputed with the shared portable hash, not a copy)."""
+    from meilisync_spark.functions.hashing import portable_hash64
+
     ev, dim = _skewed_frames(spark, SF_SMOKE)
     n_salts = 8
-    salt = ev.select(
+    j = salted_join(ev, dim, key="user_id", row_col="event_id", n_salts=n_salts)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # the salt IS a join key, not a dropped col
+    hot = ev.where(F.col("user_id") == 7).select(
         (
-            F.conv(
-                F.substring(
-                    F.sha2(F.concat(F.lit("salt:"), F.col("event_id").cast("string")), 256),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
+            portable_hash64(F.concat(F.lit("salt:"), F.col("event_id").cast("string")))
             % n_salts
         ).alias("salt")
-    ).where(F.lit(True))
-    n_distinct = salt.distinct().count()
-    assert n_distinct == n_salts
+    )
+    assert hot.distinct().count() == n_salts
+
+
+def test_salted_join_null_row_col_keeps_rows(spark):
+    """A NULL row_col must not lose the row (salt parks at 0)."""
+    big = spark.createDataFrame(
+        [(7, None), (7, 1), (3, 2)], "user_id long, event_id long"
+    )
+    dim = spark.createDataFrame([(7, 70), (3, 30)], "user_id long, tier long")
+    key = lambda r: (r[0], r[1] if r[1] is not None else -1, r[2])
+    plain = sorted(map(tuple, big.join(dim, "user_id").collect()), key=key)
+    salted = sorted(
+        map(tuple, salted_join(big, dim, key="user_id", row_col="event_id").collect()),
+        key=key,
+    )
+    assert plain == salted and len(salted) == 3
 
 
 def test_salted_join_rejects_unsupported_how(spark):
