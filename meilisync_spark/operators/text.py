@@ -573,7 +573,10 @@ def pack_sequences_oracle_sql() -> str:
                chunk_tokens
         FROM chunks
     )
-    SELECT lang, shard, seq_id, count(*) AS n_chunks, sum(chunk_tokens) AS n_tokens
+    SELECT lang, shard, seq_id, count(*) AS n_chunks,
+           -- CAST: sum() over integers is HUGEINT in DuckDB -> float64 in
+           -- pandas -> '128.0' vs Spark's '128' under the driver string hash
+           CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
     FROM packed GROUP BY 1, 2, 3
     """
 
@@ -745,7 +748,9 @@ def span_dedup_oracle_sql() -> str:
     )
     SELECT d.doc_id,
            coalesce(agg.n_spans, 0) AS n_spans,
-           coalesce(agg.n_dup_spans, 0) AS n_dup_spans,
+           -- CAST: sum() over integers is HUGEINT in DuckDB -> float64 in
+           -- pandas -> '0.0' vs Spark's '0' under the driver's string hash
+           CAST(coalesce(agg.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
            CASE WHEN coalesce(agg.n_spans, 0) > 0
                 THEN CAST(agg.n_dup_spans AS DOUBLE) / agg.n_spans
                 ELSE 0.0 END AS dup_frac

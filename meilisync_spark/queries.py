@@ -1554,9 +1554,12 @@ def q_kmeans_labels(spark, sf_dir):
         FROM t
     ),
     sess AS (
+        -- CAST: DuckDB sum(INTEGER) is HUGEINT, which pandas-materializes
+        -- as float64 ('1.0') while Spark's long renders '1' — the driver's
+        -- string-hash would diverge on every row (see tools/driver_sim.py)
         SELECT user_id, te,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
