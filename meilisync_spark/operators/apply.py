@@ -51,21 +51,50 @@ def apply_changes(
     ``base``: current index (``pk`` + payload columns).
     ``changes``: normalized CDC events (``pk``, ``seq``, ``op`` ∈
     {create,update,delete} + the same payload columns).
+
+    Schema drift is tolerated in both directions (the reference sink is
+    schemaless — an ALTER TABLE upstream just starts emitting the new
+    field, meilisync/schemas.py:16 carries an untyped dict):
+
+    - a column only in ``changes`` (new upstream field): existing rows
+      get NULL, creates/updates carry the value;
+    - a column only in ``base`` (narrowed projection): updates keep the
+      sink's current value, creates null it (full-document replace).
+
+    With ``payload_cols=None`` the output schema is the union
+    (base-first order). Type *changes* of an existing column are out of
+    scope — that is a table-format concern (ALTER TABLE + type
+    widening), not a merge concern.
     """
+    base_payload = [c for c in base.columns if c != pk]
     if payload_cols is None:
-        payload_cols = [c for c in changes.columns if c not in (pk, seq_col, op_col)]
+        change_payload = [c for c in changes.columns if c not in (pk, seq_col, op_col)]
+        payload_cols = base_payload + [c for c in change_payload if c not in base_payload]
     last = compact_last_wins(changes, [pk], seq_col)
+
+    # type of each column, taken from whichever side actually has it —
+    # the absent side contributes a typed NULL so the union schema is
+    # stable regardless of which batch introduced the column
+    types = {f.name: f.dataType for f in base.schema.fields}
+    for f in last.schema.fields:
+        types.setdefault(f.name, f.dataType)
 
     b, d = base.alias("b"), last.alias("d")
     joined = b.join(d, F.col(f"b.{pk}") == F.col(f"d.{pk}"), "full_outer")
     op = F.col(f"d.{op_col}")
 
+    def side(prefix: str, cols: Sequence[str], c: str):
+        if c in cols:
+            return F.col(f"{prefix}.{c}")
+        return F.lit(None).cast(types[c])
+
     out_cols = [F.coalesce(F.col(f"d.{pk}"), F.col(f"b.{pk}")).alias(pk)]
     for c in payload_cols:
+        bcol, dcol = side("b", base.columns, c), side("d", last.columns, c)
         out_cols.append(
-            F.when(op == "create", F.col(f"d.{c}"))           # full replace
-            .when(op == "update", F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")))  # partial
-            .otherwise(F.col(f"b.{c}"))                        # untouched row
+            F.when(op == "create", dcol)                      # full replace
+            .when(op == "update", F.coalesce(dcol, bcol))     # partial
+            .otherwise(bcol)                                  # untouched row
             .alias(c)
         )
     return joined.where(op.isNull() | (op != "delete")).select(*out_cols)

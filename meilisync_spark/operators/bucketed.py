@@ -71,12 +71,30 @@ def _sweep_stale(index_path: str) -> None:
 def read_buckets(
     spark: SparkSession, index_path: str, buckets: Sequence[int] | None = None
 ) -> DataFrame:
-    """Read the bucketed index (optionally only the given buckets —
-    partition-pruned to those directories) without the bucket column."""
-    df = spark.read.option("basePath", index_path).parquet(index_path)
-    if buckets is not None:
-        df = df.where(F.col(BUCKET_COL).isin(*[int(b) for b in buckets]))
-    return df.drop(BUCKET_COL)
+    """Read the bucketed index (optionally only the given buckets)
+    without the bucket column.
+
+    Requested buckets are read by passing their directories explicitly:
+    file listing AND schema work are bounded by the touched buckets, not
+    the whole index — at 100 TB the full-index listing itself is a cost.
+    ``mergeSchema`` makes the read drift-safe: after a schema-evolving
+    apply, buckets written before and after the drift carry different
+    parquet schemas and the union (missing columns as NULL) is the
+    correct view; footer reads are bounded by the same pruned file set.
+    """
+    reader = spark.read.option("basePath", index_path).option("mergeSchema", "true")
+    if buckets is None:
+        return reader.parquet(index_path).drop(BUCKET_COL)
+    paths = [
+        os.path.join(index_path, f"{BUCKET_COL}={int(b)}") for b in buckets
+    ]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        # every touched bucket is brand new — empty frame, index schema
+        return (
+            reader.parquet(index_path).where(F.lit(False)).drop(BUCKET_COL)
+        )
+    return reader.parquet(*paths).drop(BUCKET_COL)
 
 
 def init_bucketed_index(
@@ -105,11 +123,17 @@ def apply_changes_bucketed(
     buckets the batch touches. Returns the touched bucket ids.
 
     ``changes`` is a normalized CDC envelope (pk, seq, op + payload).
+
+    With ``payload_cols=None`` the output schema is the union of the
+    current index schema and the batch's payload columns (schema drift —
+    see :func:`~meilisync_spark.operators.apply.apply_changes`): a new
+    upstream field starts appearing in touched buckets, base-only
+    columns are preserved, and ``read_buckets``'s ``mergeSchema`` view
+    unifies old and new bucket files.
     """
-    if payload_cols is None:
-        payload_cols = [
-            c for c in changes.columns if c not in (pk, "seq", "op", "table", BUCKET_COL)
-        ]
+    change_payload = [
+        c for c in changes.columns if c not in (pk, "seq", "op", "table", BUCKET_COL)
+    ]
     _sweep_stale(index_path)
     changes = changes.withColumn(BUCKET_COL, bucket_expr(pk, num_buckets))
     # localCheckpoint: the batch is read twice (bucket list + merge) and
@@ -117,8 +141,9 @@ def apply_changes_bucketed(
     changes = changes.localCheckpoint(eager=True)
 
     if not os.path.exists(index_path):
-        base = spark.createDataFrame([], changes.select(pk, *payload_cols).schema)
-        first = apply_changes(base, changes.drop(BUCKET_COL), pk=pk, payload_cols=payload_cols)
+        cols = change_payload if payload_cols is None else payload_cols
+        base = spark.createDataFrame([], changes.select(pk, *cols).schema)
+        first = apply_changes(base, changes.drop(BUCKET_COL), pk=pk, payload_cols=cols)
         init_bucketed_index(first, index_path, pk, num_buckets)
         _drop_if_empty(index_path)
         return sorted(
@@ -132,6 +157,11 @@ def apply_changes_bucketed(
         return []
 
     base = read_buckets(spark, index_path, touched)
+    if payload_cols is None:
+        base_payload = [c for c in base.columns if c != pk]
+        payload_cols = base_payload + [
+            c for c in change_payload if c not in base_payload
+        ]
     merged = apply_changes(
         base, changes.drop(BUCKET_COL), pk=pk, payload_cols=payload_cols
     ).withColumn(BUCKET_COL, bucket_expr(pk, num_buckets))

@@ -286,3 +286,70 @@ def test_settings_pipeline_checkpoint_resume(spark, tmp_path):
     expected = {r.pk: (r.value, r.k) for r in base.collect()}
     assert final == expected
     assert partial != final  # the second chunk really changed state
+
+
+def test_apply_changes_schema_drift(spark):
+    """Schema drift in both directions (reference sink is schemaless —
+    meilisync/schemas.py:16 carries an untyped dict, so an upstream
+    ALTER TABLE just starts emitting the new field):
+
+    - column only in changes → existing rows NULL, events carry it;
+    - column only in base → updates keep the sink value, creates null
+      it (full-document replace)."""
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "pk long, value double, legacy string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "update", 11.0, "x"),   # update: gains tag, keeps legacy
+            (3, 2, "create", 33.0, "y"),   # create: full replace nulls legacy
+            (4, 3, "create", 44.0, "z"),   # brand-new pk
+        ],
+        "pk long, seq long, op string, value double, tag string",
+    )
+    out = {r.pk: r for r in apply_changes(base, changes, pk="pk").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # union schema, base-first order
+    assert list(out[1].asDict()) == ["pk", "value", "legacy", "tag"]
+    assert (out[1].value, out[1].legacy, out[1].tag) == (11.0, "a", "x")
+    assert (out[2].value, out[2].legacy, out[2].tag) == (20.0, "b", None)
+    assert (out[3].value, out[3].legacy, out[3].tag) == (33.0, None, "y")
+    assert (out[4].value, out[4].legacy, out[4].tag) == (44.0, None, "z")
+
+
+def test_bucketed_apply_schema_drift(spark, tmp_path):
+    """A drifted micro-batch only rewrites its touched buckets: old
+    buckets keep the old parquet schema on disk, and read_buckets's
+    mergeSchema view unifies them (missing column = NULL)."""
+    index = str(tmp_path / "index")
+    b0 = spark.createDataFrame(
+        [(pk, pk, "create", float(pk)) for pk in range(40)],
+        "pk long, seq long, op string, value double",
+    )
+    apply_changes_bucketed(spark, index, b0, pk="pk", num_buckets=N_BUCKETS)
+    before = _file_hashes(index)
+
+    # drifted delta: new 'tag' column, pks confined to bucket 0
+    pks = [pk for pk in range(40) if _bucket_of(pk) == 0]
+    assert pks
+    delta = spark.createDataFrame(
+        [(pk, 100 + pk, "update", None, "new") for pk in pks],
+        "pk long, seq long, op string, value double, tag string",
+    )
+    touched = apply_changes_bucketed(spark, index, delta, pk="pk",
+                                     num_buckets=N_BUCKETS)
+    assert touched == [0]
+
+    after = _file_hashes(index)
+    for f in before:
+        if not f.startswith(f"{BUCKET_COL}=0{os.sep}"):
+            assert before[f] == after.get(f), f"untouched bucket rewrote: {f}"
+
+    got = {r.pk: (r.value, r.tag)
+           for r in read_buckets(spark, index).select("pk", "value", "tag").collect()}
+    for pk in range(40):
+        if pk in pks:
+            assert got[pk] == (float(pk), "new")   # update kept value, gained tag
+        else:
+            assert got[pk] == (float(pk), None)    # old-schema bucket: NULL tag
