@@ -297,9 +297,16 @@ def doc_chunks(docs: DataFrame) -> DataFrame:
     1 + ceil((n - size)/stride), so the final chunk may be short but
     every token is covered exactly; empty docs yield no chunks.
 
-    Pure Catalyst: one narrow scan, sequence+explode fan-out, slice per
-    chunk — no shuffle at all; chunk rows land partition-local to their
-    document, which is exactly what a downstream tokenizer wants."""
+    Pure Catalyst: one narrow scan, transform→explode fan-out — no
+    shuffle at all; chunk rows land partition-local to their document,
+    which is exactly what a downstream tokenizer wants.
+
+    The slice happens INSIDE the ``transform`` lambda, before the
+    explode: each exploded row carries only its own ≤CHUNK_SIZE tokens.
+    Exploding the index first and slicing after would duplicate the full
+    word array into every chunk row — O(n²/stride) bytes per document,
+    which is the difference between linear and quadratic write volume on
+    book-length documents."""
     docs = spread(docs)
     w = words_col(F.col("text"))
     base = docs.select("doc_id", w.alias("w"))
@@ -315,16 +322,20 @@ def doc_chunks(docs: DataFrame) -> DataFrame:
     idx = F.when(n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).otherwise(
         F.array().cast("array<int>")
     )
-    exploded = base.select("doc_id", "w", F.explode(idx).alias("chunk_id"))
-    start = F.lit(1) + F.col("chunk_id") * F.lit(CHUNK_STRIDE)
-    toks = F.slice("w", start, F.lit(CHUNK_SIZE))
-    return exploded.select(
-        "doc_id",
-        "chunk_id",
-        start.alias("start_token"),
-        F.size(toks).alias("n_chunk_tokens"),
-        F.concat_ws(" ", toks).alias("chunk_text"),
-    )
+
+    def chunk(i):
+        start = F.lit(1) + i * F.lit(CHUNK_STRIDE)
+        toks = F.slice(F.col("w"), start, F.lit(CHUNK_SIZE))
+        return F.struct(
+            i.alias("chunk_id"),
+            start.alias("start_token"),
+            F.size(toks).alias("n_chunk_tokens"),
+            F.concat_ws(" ", toks).alias("chunk_text"),
+        )
+
+    return base.select(
+        "doc_id", F.explode(F.transform(idx, chunk)).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.start_token", "c.n_chunk_tokens", "c.chunk_text")
 
 
 def doc_chunks_oracle_sql() -> str:
