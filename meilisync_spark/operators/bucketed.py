@@ -37,6 +37,7 @@ the per-bucket MERGE is operators/apply.py:apply_changes.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -49,6 +50,9 @@ from meilisync_spark.operators.apply import apply_changes
 
 BUCKET_COL = "bucket"
 DEFAULT_NUM_BUCKETS = 64
+
+# underscore prefix: Spark/Hive readers skip it as a non-data file
+META_FILE = "_meta.json"
 
 
 def bucket_expr(pk: str, num_buckets: int) -> Column:
@@ -97,6 +101,36 @@ def read_buckets(
     return reader.parquet(*paths).drop(BUCKET_COL)
 
 
+def _write_meta(index_path: str, pk: str, num_buckets: int) -> None:
+    if os.path.isdir(index_path):
+        with open(os.path.join(index_path, META_FILE), "w") as fh:
+            json.dump({"num_buckets": num_buckets, "pk": pk}, fh)
+
+
+def read_meta(index_path: str) -> dict | None:
+    try:
+        with open(os.path.join(index_path, META_FILE)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _check_layout(index_path: str, pk: str, num_buckets: int) -> None:
+    """The bucket of a key is a function of N: merging with a different
+    N than the layout was written with silently routes pks to the wrong
+    directories (missed merges, duplicate pks). Fail loudly instead."""
+    meta = read_meta(index_path)
+    if meta is None:
+        return  # pre-metadata layout: trust the caller (legacy indexes)
+    if meta["num_buckets"] != num_buckets or meta.get("pk", pk) != pk:
+        raise ValueError(
+            f"index at {index_path} was bucketed with "
+            f"num_buckets={meta['num_buckets']}, pk={meta.get('pk')!r}; "
+            f"got num_buckets={num_buckets}, pk={pk!r} — use rebucket_index() "
+            "to change the layout"
+        )
+
+
 def init_bucketed_index(
     df: DataFrame, index_path: str, pk: str, num_buckets: int = DEFAULT_NUM_BUCKETS
 ) -> None:
@@ -109,6 +143,40 @@ def init_bucketed_index(
         .partitionBy(BUCKET_COL)
         .parquet(index_path)
     )
+    _write_meta(index_path, pk, num_buckets)
+
+
+def rebucket_index(
+    spark: SparkSession, index_path: str, pk: str, new_num_buckets: int
+) -> None:
+    """Change the bucket count of a live index (capacity growth: buckets
+    are sized to fit an executor, and a growing corpus eventually needs
+    more of them).
+
+    Deliberately O(index) — one full shuffle on the new bucket id into a
+    staged directory, then a directory-level swap (reader sees old
+    layout or new layout, never a mix; same staging protocol as the
+    per-batch apply). This is the offline maintenance operation; the
+    per-batch path stays O(batch). At 100 TB this is a planned job, not
+    something a micro-batch ever triggers implicitly — hence the loud
+    ValueError on mismatch instead of auto-rebucketing."""
+    if not os.path.isdir(index_path):
+        return
+    df = read_buckets(spark, index_path)
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{index_path}_tmp-{tag}"
+    (
+        df.withColumn(BUCKET_COL, bucket_expr(pk, new_num_buckets))
+        .repartition(new_num_buckets, BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(staging)
+    )
+    _write_meta(staging, pk, new_num_buckets)
+    old = f"{index_path}_old-{tag}"
+    os.rename(index_path, old)
+    os.rename(staging, index_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def apply_changes_bucketed(
@@ -150,6 +218,7 @@ def apply_changes_bucketed(
             r[BUCKET_COL] for r in changes.select(BUCKET_COL).distinct().collect()
         )
 
+    _check_layout(index_path, pk, num_buckets)
     touched = sorted(
         r[BUCKET_COL] for r in changes.select(BUCKET_COL).distinct().collect()
     )

@@ -353,3 +353,36 @@ def test_bucketed_apply_schema_drift(spark, tmp_path):
             assert got[pk] == (float(pk), "new")   # update kept value, gained tag
         else:
             assert got[pk] == (float(pk), None)    # old-schema bucket: NULL tag
+
+
+def test_rebucket_and_layout_guard(spark, tmp_path):
+    """rebucket_index changes N with identical final state; a merge with
+    the wrong N fails loudly instead of silently splitting pks across
+    layouts."""
+    import pytest
+
+    from meilisync_spark.operators.bucketed import rebucket_index
+
+    index = str(tmp_path / "index")
+    b0 = spark.createDataFrame(
+        [(pk, pk, "create", float(pk)) for pk in range(40)],
+        "pk long, seq long, op string, value double",
+    )
+    apply_changes_bucketed(spark, index, b0, pk="pk", num_buckets=4)
+    before = _state_v = {r.pk: r.value for r in read_buckets(spark, index).collect()}
+
+    with pytest.raises(ValueError, match="rebucket_index"):
+        apply_changes_bucketed(spark, index, b0, pk="pk", num_buckets=16)
+
+    rebucket_index(spark, index, pk="pk", new_num_buckets=16)
+    dirs = {e for e in os.listdir(index) if e.startswith(f"{BUCKET_COL}=")}
+    assert len(dirs) > 4  # actually re-spread
+    assert {r.pk: r.value for r in read_buckets(spark, index).collect()} == before
+
+    # merges continue under the new layout
+    delta = spark.createDataFrame(
+        [(1, 1000, "update", 99.0)], "pk long, seq long, op string, value double"
+    )
+    apply_changes_bucketed(spark, index, delta, pk="pk", num_buckets=16)
+    after = {r.pk: r.value for r in read_buckets(spark, index).collect()}
+    assert after[1] == 99.0 and after[2] == 2.0
