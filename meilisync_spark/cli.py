@@ -175,6 +175,19 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rebucket(args: argparse.Namespace) -> int:
+    """Offline capacity operation for the bucketed index layout (one
+    full shuffle + atomic directory swap; see operators/bucketed.py)."""
+    from meilisync_spark.operators.bucketed import read_meta, rebucket_index
+
+    spark = get_spark("meilisync-spark-rebucket")
+    meta = read_meta(args.index)
+    pk = args.pk or (meta or {}).get("pk") or "pk"
+    rebucket_index(spark, args.index, pk=pk, new_num_buckets=args.buckets)
+    print(f"rebucketed {args.index}: num_buckets={args.buckets} pk={pk}")
+    return 0
+
+
 def cmd_version(_: argparse.Namespace) -> int:
     print(json.dumps({"meilisync_spark": __version__}))
     return 0
@@ -227,6 +240,14 @@ def build_parser() -> argparse.ArgumentParser:
     ig.add_argument("--follow", action="store_true", help="keep tailing")
     ig.add_argument("--interval", default=None, help="processing trigger, e.g. '5 seconds'")
     ig.set_defaults(fn=cmd_ingest)
+
+    rb = sub.add_parser(
+        "rebucket", help="change the bucket count of a bucketed index (offline)"
+    )
+    rb.add_argument("--index", required=True, help="bucketed index path")
+    rb.add_argument("--buckets", type=int, required=True, help="new bucket count")
+    rb.add_argument("--pk", help="pk column (defaults to the layout's meta)")
+    rb.set_defaults(fn=cmd_rebucket)
 
     v = sub.add_parser("version")
     v.set_defaults(fn=cmd_version)

@@ -122,3 +122,28 @@ def test_cli_check_config_mode(spark, tmp_path, capsys):
     assert rc == 1
     assert "users: source=10 index=10 consistent" in out
     assert "orders: source=7 index=6 INCONSISTENT" in out
+
+
+def test_cli_rebucket(spark, tmp_path, capsys):
+    """start --buckets N, then rebucket to M: state identical, meta
+    updated, merges continue under the new layout via the CLI default
+    pk from meta."""
+    from meilisync_spark.operators.bucketed import read_buckets, read_meta
+
+    index = str(tmp_path / "index")
+    rc = main([
+        "start",
+        "--events", f"{SF_SMOKE}/events.parquet",
+        "--index", index,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--buckets", "4",
+    ])
+    assert rc == 0
+    before = {r.pk: (r.value, r.k) for r in read_buckets(spark, index).collect()}
+
+    rc = main(["rebucket", "--index", index, "--buckets", "16"])
+    assert rc == 0
+    assert "num_buckets=16" in capsys.readouterr().out
+    assert read_meta(index)["num_buckets"] == 16
+    assert {r.pk: (r.value, r.k)
+            for r in read_buckets(spark, index).collect()} == before
