@@ -1841,6 +1841,104 @@ def event_zscores(spark, sf_dir):
 
 
 @register(
+    "retention_cohorts",
+    """
+    WITH a AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+    SELECT c.cohort_week, a.week,
+           CAST((a.week - c.cohort_week) / 7 AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: cohort = first active week per user, "
+        "cell = distinct users from that cohort active in each later "
+        "week. Distinct user-weeks first (the big shrink happens before "
+        "any join), then every shuffle is keyed on user_id — Catalyst "
+        "reuses the exchange across the min-agg and the join.",
+)
+def retention_cohorts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    c = a.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        a.join(c, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            "cohort_week",
+            "week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+            "active_users",
+        )
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH e AS (SELECT user_id, ts, event_type FROM events),
+    v AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM e GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(v.t_view) AS t_view,
+               min(CASE WHEN e.event_type = 'click' AND e.ts >= v.t_view
+                        THEN e.ts END) AS t_click
+        FROM e JOIN v USING (user_id) GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(c.t_view) AS t_view, min(c.t_click) AS t_click,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
+                        THEN e.ts END) AS t_purchase
+        FROM e JOIN c USING (user_id) GROUP BY 1
+    )
+    SELECT count(t_view) AS users_view,
+           count(t_click) AS users_click,
+           count(t_purchase) AS users_purchase
+    FROM p
+    """,
+    doc="Ordered funnel (view → click-after-view → purchase-after-click): "
+        "each stage's entry time is the min event time AFTER the previous "
+        "stage, so out-of-order events don't count. Three passes, every "
+        "shuffle keyed on user_id (exchange reuse); NULL propagation "
+        "drops users who never reached the previous stage in both "
+        "engines identically.",
+)
+def event_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ty = F.col("event_type")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(ty == "view", F.col("ts"))).alias("t_view")
+    )
+    c = ev.join(v, "user_id").groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min(
+            F.when((ty == "click") & (F.col("ts") >= F.col("t_view")), F.col("ts"))
+        ).alias("t_click"),
+    )
+    p = ev.join(c, "user_id").groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min(
+            F.when((ty == "purchase") & (F.col("ts") >= F.col("t_click")), F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    return p.agg(
+        F.count("t_view").alias("users_view"),
+        F.count("t_click").alias("users_click"),
+        F.count("t_purchase").alias("users_purchase"),
+    )
+
+
+@register(
     "streaming_sessions",
     """
     WITH flagged AS (
