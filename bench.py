@@ -91,6 +91,10 @@ HEADLINE = [
     "training_order",
     "profile_documents",
     "compression_ratio",
+    "retention_cohorts",
+    "event_funnel",
+    "unigram_freq_score",
+    "source_overlap",
 ]
 
 

@@ -94,6 +94,57 @@ def exact_dedup_oracle_sql() -> str:
     """
 
 
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_pairs) — how many near-duplicate document
+    pairs each unordered source pair shares (source_a <= source_b;
+    equal sources count within-source pairs). The provenance question
+    every corpus mix starts with: how much of crawl B is already in
+    dump A.
+
+    Built on the MinHash-LSH candidate set (exact duplicates share all
+    bands, so they are included), then two doc-keyed joins to attach
+    provenance and one tiny |sources|² aggregate. Volume is bounded by
+    the near-dup pair count — document pairs outside shared LSH buckets
+    are never materialized."""
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    src = spread(docs).select("doc_id", "source")
+    out = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return out
+
+
+def source_overlap_oracle_sql() -> str:
+    return f"""
+    WITH {_duck_sig_cte()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+    FROM pairs
+    JOIN documents da ON pairs.doc_a = da.doc_id
+    JOIN documents db ON pairs.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------

@@ -816,3 +816,60 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency document scoring: mean global token probability
+# ---------------------------------------------------------------------------
+
+def unigram_freq_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_freq) — per-document mean of each
+    token's global corpus probability (KenLM-style unigram scoring with
+    the log dropped so the math stays exact): gibberish/OCR noise is
+    made of globally-rare tokens and scores near 0; boilerplate made of
+    stock words scores high. The standard corpus-relative twin of the
+    doc-local signals in :func:`text_stats`.
+
+    Determinism: everything is integer until the END — per-token corpus
+    counts (exact), per-doc sum of those counts (exact) — then exactly
+    two IEEE double divisions (sum/n)/total, applied in the same order
+    in both engines. No log, no cross-row double accumulation, so the
+    result is bit-identical regardless of partitioning.
+
+    Scale: one tokenize+explode scan, one groupBy(word) building the
+    frequency table (map-side partials; vocab-sized result), one
+    word-keyed join back (AQE broadcasts the vocab side when it fits —
+    natural-language vocabularies are tiny next to the token stream),
+    one doc-keyed agg. Zipfian word skew is absorbed by the map-side
+    combine in the frequency agg; the join side carries one row per
+    token occurrence regardless.  Empty docs have no tokens and drop
+    out (both engines identically)."""
+    docs = spread(docs)
+    tok = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        tok.join(freq, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("s").cast("double") / F.col("n_tokens") / F.col("total"))
+        .alias("avg_token_freq"),
+    )
+
+
+def unigram_freq_score_oracle_sql() -> str:
+    w = duck_words()
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({w}) AS word FROM documents),
+    f AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f),
+    d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS s, count(*) AS n_tokens
+          FROM t JOIN f USING (word) GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           CAST(s AS DOUBLE) / n_tokens / total AS avg_token_freq
+    FROM d, tot
+    """

@@ -1294,6 +1294,16 @@ def q_repetition_stats(spark, sf_dir):
     return _text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+@register("unigram_freq_score", _text.unigram_freq_score_oracle_sql(),
+          doc="Corpus-relative quality signal: per-doc mean of each "
+              "token's global corpus probability (unigram LM scoring "
+              "with the log dropped so the math stays integer-exact "
+              "until two final IEEE divisions). One vocab agg + one "
+              "word-keyed join back; AQE broadcasts the vocab side.")
+def q_unigram_freq_score(spark, sf_dir):
+    return _text.unigram_freq_score(_t(spark, sf_dir, "documents"))
+
+
 @register("quality_filter", _text.quality_filter_oracle_sql(),
           doc="The composed keep/drop decision: C4/Gopher-style rules "
               "(min length, punct mass, distinct-token ratio) in one "
@@ -1399,6 +1409,15 @@ def q_approx_price_quantiles(spark, sf_dir):
           doc="Exact dedup: normalized sha256 hash-groupBy, map-side partials.")
 def q_exact_dedup(spark, sf_dir):
     return _dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("source_overlap", _dedup.source_overlap_oracle_sql(),
+          doc="Cross-source exact-duplicate overlap matrix: pair counts "
+              "from per-(hash, source) group sizes — never materializes "
+              "document pairs; join volume is bounded by duplicate-group "
+              "count, not corpus size.")
+def q_source_overlap(spark, sf_dir):
+    return _dedup.source_overlap(_t(spark, sf_dir, "documents"))
 
 
 @register("minhash_lsh_pairs", _dedup.minhash_lsh_pairs_oracle_sql(),
