@@ -259,20 +259,26 @@ def run_settings_pipeline(
                 ev = hook(ev)
             payload = [c for c in ev.columns if c not in ("seq", "table", "op", "pk")]
             index_path = os.path.join(settings.sink.index_path, sync.index_name)
+            # payload_cols=None → union-schema MERGE (operators/apply.py):
+            # a fields-map edit across restarts (the config-level ALTER
+            # TABLE) widens the index with typed NULLs or keeps base-only
+            # columns, instead of silently dropping them
             if num_buckets:
                 from meilisync_spark.operators.bucketed import apply_changes_bucketed
 
                 apply_changes_bucketed(
                     spark, index_path, ev.drop("table"),
-                    pk="pk", payload_cols=payload, num_buckets=num_buckets,
+                    pk="pk", payload_cols=None, num_buckets=num_buckets,
                 )
             else:
                 if os.path.exists(index_path):
                     base = spark.read.parquet(index_path)
                 else:
                     base = spark.createDataFrame([], ev.select("pk", *payload).schema)
-                new_state = apply_changes(base, ev, pk="pk", payload_cols=payload)
-                refresh_data(new_state.select("pk", *payload), index_path)
+                new_state = apply_changes(
+                    base, ev.drop("table"), pk="pk", payload_cols=None
+                )
+                refresh_data(new_state, index_path)
 
     writer = (
         events.writeStream.foreachBatch(apply_batch)

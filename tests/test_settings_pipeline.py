@@ -386,3 +386,71 @@ def test_rebucket_and_layout_guard(spark, tmp_path):
     apply_changes_bucketed(spark, index, delta, pk="pk", num_buckets=16)
     after = {r.pk: r.value for r in read_buckets(spark, index).collect()}
     assert after[1] == 99.0 and after[2] == 2.0
+
+
+def test_settings_pipeline_fields_drift_across_restarts(spark, tmp_path):
+    """A fields-map edit between runs is the config-level ALTER TABLE:
+    restarting with a widened map adds the new column (old rows NULL,
+    new events carry it); the narrowed-then-widened index never loses a
+    column it already had. Stream schemas are fixed within a run, so
+    drift always arrives exactly this way — across restarts."""
+    import duckdb
+
+    con = duckdb.connect()
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    cut = con.sql(
+        f"SELECT quantile_cont(event_id, 0.5) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_SMOKE}/events.parquet' WHERE event_id <= {cut} "
+        f"ORDER BY event_id) TO '{stream_dir}/part1.parquet' (FORMAT PARQUET)"
+    )
+
+    sink_root = str(tmp_path / "indexes")
+    ckpt = str(tmp_path / "ckpt")
+    narrow = Settings(
+        sink=SinkSettings(index_path=sink_root),
+        syncs=[Sync(table="users", pk="user_id", fields={"ts": None, "value": None})],
+    )
+    run_settings_pipeline(spark, stream_dir, narrow, ckpt, available_now=True)
+    idx = os.path.join(sink_root, "users")
+    assert sorted(spark.read.parquet(idx).columns) == ["pk", "ts", "value"]
+
+    # widen: second chunk replayed through the full payload (adds k)
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_SMOKE}/events.parquet' WHERE event_id > {cut} "
+        f"ORDER BY event_id) TO '{stream_dir}/part2.parquet' (FORMAT PARQUET)"
+    )
+    wide = Settings(
+        sink=SinkSettings(index_path=sink_root),
+        syncs=[Sync(table="users", pk="user_id")],  # full payload: ts, value, k
+    )
+    run_settings_pipeline(spark, stream_dir, wide, ckpt, available_now=True)
+    out = spark.read.parquet(idx)
+    assert sorted(out.columns) == ["k", "pk", "ts", "value"]
+    rows = {r.pk: r for r in out.collect()}
+
+    # expected: fold chunk1 (narrow fields) then chunk2 (full) through
+    # the same union-schema MERGE
+    ev1 = apply_envelope_fields(
+        normalize_events(spark.read.parquet(os.path.join(stream_dir, "part1.parquet"))),
+        {"ts": None, "value": None},
+    ).drop("table")
+    base = spark.createDataFrame([], "pk long, ts timestamp, value double")
+    base = apply_changes(base, ev1, pk="pk", payload_cols=None)
+    base = spark.createDataFrame(base.collect(), base.schema)  # pin
+    ev2 = normalize_events(
+        spark.read.parquet(os.path.join(stream_dir, "part2.parquet"))
+    ).drop("table")
+    expected = {
+        r.pk: r for r in apply_changes(base, ev2, pk="pk", payload_cols=None).collect()
+    }
+    assert set(rows) == set(expected)
+    for pk in rows:
+        assert (rows[pk].ts, rows[pk].value, rows[pk].k) == (
+            expected[pk].ts, expected[pk].value, expected[pk].k
+        ), pk
+    # drift really happened: the run-1 index had no k at all, the final
+    # one carries real values
+    assert any(r.k is not None for r in rows.values())
