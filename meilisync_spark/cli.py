@@ -188,6 +188,16 @@ def cmd_rebucket(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Offline small-file compaction (see operators/refresh.compact_table)."""
+    from meilisync_spark.operators.refresh import compact_table
+
+    spark = get_spark("meilisync-spark-compact")
+    n = compact_table(spark, args.index, target_file_bytes=args.target_bytes)
+    print(f"compacted {args.index}: {n} files")
+    return 0
+
+
 def cmd_version(_: argparse.Namespace) -> int:
     print(json.dumps({"meilisync_spark": __version__}))
     return 0
@@ -248,6 +258,16 @@ def build_parser() -> argparse.ArgumentParser:
     rb.add_argument("--buckets", type=int, required=True, help="new bucket count")
     rb.add_argument("--pk", help="pk column (defaults to the layout's meta)")
     rb.set_defaults(fn=cmd_rebucket)
+
+    cp = sub.add_parser(
+        "compact", help="merge an append-heavy table's small files (offline)"
+    )
+    cp.add_argument("--index", required=True, help="table path")
+    cp.add_argument(
+        "--target-bytes", type=int, default=128 * 1024 * 1024,
+        help="target bytes per output file (default 128 MiB)",
+    )
+    cp.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("version")
     v.set_defaults(fn=cmd_version)

@@ -102,3 +102,35 @@ def refresh_data(
 
 def read_index(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.parquet(index_path)
+
+
+def compact_table(
+    spark: SparkSession,
+    index_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for append-heavy tables (the corpus-ingest
+    index gains one file set per micro-batch; a year of 10-second
+    batches is millions of files whose listing alone dominates scan
+    setup). Rewrites the table into ceil(bytes / target) files via the
+    same versioned-write + atomic-symlink-repoint as refresh_data —
+    readers see the old file set or the new one, never a mix. Returns
+    the resulting file count.
+
+    O(table) I/O by definition, so like rebucket_index this is a
+    planned maintenance job, not something a batch triggers; on a table
+    format it is OPTIMIZE/rewrite_data_files. Coalesce (not
+    repartition): merging files needs no shuffle, only fewer write
+    tasks reading more input splits each."""
+    df = spark.read.parquet(index_path)
+    real = os.path.realpath(index_path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(real)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    refresh_data(df.coalesce(n_files), index_path)
+    real = os.path.realpath(index_path)
+    return sum(f.endswith(".parquet") for _, _, fs in os.walk(real) for f in fs)

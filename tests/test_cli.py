@@ -147,3 +147,14 @@ def test_cli_rebucket(spark, tmp_path, capsys):
     assert read_meta(index)["num_buckets"] == 16
     assert {r.pk: (r.value, r.k)
             for r in read_buckets(spark, index).collect()} == before
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from meilisync_spark.operators.refresh import refresh_data
+
+    index = str(tmp_path / "tbl")
+    refresh_data(spark.range(0, 1000).repartition(10), index)
+    rc = main(["compact", "--index", index, "--target-bytes", str(1 << 30)])
+    assert rc == 0
+    assert "1 files" in capsys.readouterr().out
+    assert spark.read.parquet(index).count() == 1000

@@ -86,3 +86,28 @@ def test_settings_routing_and_defaults():
 def test_plugin_loading_applies_batch_transform(spark):
     fn = load_plugin("pyspark.sql.functions.upper")  # any dotted callable
     assert callable(fn)
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """Append-heavy layout (one file set per micro-batch) compacts to
+    ~target-sized files behind the atomic symlink swap: same rows, far
+    fewer files, still refreshable afterwards."""
+    import glob
+    import os
+
+    from meilisync_spark.operators.refresh import compact_table, refresh_data
+
+    index = str(tmp_path / "corpus")
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    refresh_data(df.repartition(40), index)
+
+    def files():
+        return glob.glob(os.path.join(index, "**", "*.parquet"), recursive=True)
+
+    before = {r.doc_id for r in spark.read.parquet(index).collect()}
+    assert len(files()) == 40
+    n = compact_table(spark, index, target_file_bytes=1 << 30)
+    assert n == len(files()) == 1
+    assert {r.doc_id for r in spark.read.parquet(index).collect()} == before
+    # the swap stayed atomic: path is a live symlink, old version gone
+    assert os.path.islink(index)
