@@ -152,3 +152,25 @@ def test_temperature_resample_broadcast_rates(spark):
     plan = _plan(spark, "temperature_resample")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_new_analytics_plan_contracts(spark):
+    """retention_cohorts / event_funnel / unigram_freq_score /
+    source_overlap: joins stay hash-based (broadcast at fixture scale),
+    no cartesian products, no row-at-a-time Python."""
+    for name in ("retention_cohorts", "event_funnel",
+                 "unigram_freq_score", "source_overlap"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        # unigram's single BroadcastNestedLoopJoin is the 1-row scalar
+        # attach (crossJoin(broadcast(total))) — constant work per task
+        allowed_bnlj = 1 if name == "unigram_freq_score" else 0
+        assert plan.count("BroadcastNestedLoopJoin") <= allowed_bnlj, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_unigram_freq_vocab_broadcasts(spark):
+    """The word-keyed join back must broadcast the vocab side (natural-
+    language vocabularies are tiny next to the token stream)."""
+    plan = _plan(spark, "unigram_freq_score")
+    assert "BroadcastHashJoin" in plan
