@@ -95,6 +95,7 @@ HEADLINE = [
     "event_funnel",
     "unigram_freq_score",
     "source_overlap",
+    "dedup_clusters_verified",
 ]
 
 

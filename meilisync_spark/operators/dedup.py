@@ -478,6 +478,63 @@ def dedup_clusters_oracle_sql() -> str:
     """
 
 
+VERIFY_JACCARD = 0.5
+
+
+def dedup_clusters_verified(
+    docs: DataFrame,
+    threshold: float = VERIFY_JACCARD,
+    max_iters: int = CC_MAX_ITERS,
+) -> DataFrame:
+    """candidate → verify → cluster, the full textbook near-dedup
+    pipeline: LSH candidates are re-checked with EXACT shingle Jaccard
+    and only pairs ≥ ``threshold`` become edges before connected
+    components. Raw LSH candidates over-merge — one low-similarity
+    band collision chains two genuine clusters into one, and at corpus
+    scale transitive over-merging snowballs (the reason MinHashLSH
+    dedup always verifies before clustering).
+
+    Cost over :func:`dedup_clusters` is the verify join only — exact
+    Jaccard is computed on the candidate set (bounded by near-dup
+    count), never all pairs; the component loop then runs on the
+    *smaller* verified edge set."""
+    pairs = (
+        ngram_jaccard_pairs(docs)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    return connected_components(docs, pairs, max_iters)
+
+
+def dedup_clusters_verified_oracle_sql(threshold: float = VERIFY_JACCARD) -> str:
+    dsh = f"list_distinct({duck_shingles(duck_words(), MH_SHINGLE)})"
+    return f"""
+    WITH RECURSIVE {_duck_sig_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    dsh AS (SELECT doc_id, {dsh} AS sh FROM documents),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN dsh a ON a.doc_id = doc_a JOIN dsh b ON b.doc_id = doc_b
+        WHERE len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= {threshold}
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    r(id, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.root FROM r JOIN e ON e.u = r.id
+    )
+    SELECT id AS doc_id, min(root) AS cluster_id FROM r GROUP BY id
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

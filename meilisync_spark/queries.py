@@ -1356,6 +1356,15 @@ def q_dedup_clusters(spark, sf_dir):
     return _dedup.dedup_clusters(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_clusters_verified", _dedup.dedup_clusters_verified_oracle_sql(),
+          doc="candidate -> verify -> cluster: LSH candidates re-checked "
+              "with exact shingle Jaccard (>= 0.5) before connected "
+              "components, so a single low-similarity band collision "
+              "cannot chain two genuine clusters together.")
+def q_dedup_clusters_verified(spark, sf_dir):
+    return _dedup.dedup_clusters_verified(_t(spark, sf_dir, "documents"))
+
+
 @register("split_assign", _sampling.split_assign_oracle_sql(),
           doc="Stable train/val/test assignment by portable content hash "
               "of the key — identical across runs, engines, and "
