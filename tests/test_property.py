@@ -175,3 +175,63 @@ def test_span_dedup_matches_set_model(spark, docs):
     for d, sp in enumerate(spans):
         dup = {s for s in sp if any(s in o for j, o in enumerate(spans) if j != d)}
         assert got[d] == (len(sp), len(dup)), d
+
+
+# --- unigram_freq_score vs a pure-python model ----------------------------
+
+_docs_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=0, max_size=10
+)
+
+
+@given(docs=st.lists(_docs_words, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_unigram_freq_score_matches_python_model(spark, docs):
+    """avg_token_freq == the literal python fold (Counter + the same
+    two-division order); tiny alphabet forces heavy frequency overlap,
+    empty docs must drop out."""
+    from collections import Counter
+
+    from meilisync_spark.operators.text import unigram_freq_score
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_token_freq)
+        for r in unigram_freq_score(df).collect()
+    }
+    cnt = Counter(w for ws in docs for w in ws)
+    total = sum(cnt.values())
+    expected = {
+        i: (len(ws), sum(cnt[w] for w in ws) / len(ws) / total)
+        for i, ws in enumerate(docs)
+        if ws
+    }
+    assert got == expected  # exact equality: same IEEE division order
+
+
+# --- source_overlap vs a brute-force pair count ---------------------------
+
+def test_source_overlap_matches_bruteforce_pairs(spark):
+    """Pair counts per (source_a, source_b) == brute-force counting over
+    the LSH candidate pairs joined to provenance (sf0.001 corpus)."""
+    from collections import Counter
+
+    from meilisync_spark.operators.dedup import minhash_lsh_pairs, source_overlap
+    from meilisync_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
+    ]
+    expected = Counter(
+        tuple(sorted((src[a], src[b]))) for a, b in pairs
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in source_overlap(docs).collect()
+    }
+    assert got == dict(expected)
