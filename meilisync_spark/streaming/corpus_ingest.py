@@ -15,10 +15,14 @@ hash-key probe):
 2. optional quality gate — operators/text.quality_filter's keep rule;
 3. in-batch dedup: min doc_id per hash (deterministic, matches
    exact_dedup's canonical-id rule);
-4. anti-join against the index's existing hashes — the probe is a
-   join on the hash key only (column-pruned scan of the index; on a
-   bucketed/bloom-indexed table this is a pruned lookup, documented
-   in SCALE.md);
+4. anti-join against the index's existing hashes. The index is
+   hive-partitioned by ``hb = crc32(content_hash) % N`` and the probe
+   reads ONLY the hash buckets present in the batch (partition pruning
+   on the ``hb=`` directory key): a steady-state trickle batch touches
+   a handful of buckets, so the seen-hash scan is bounded by touched
+   buckets, not corpus size; a giant backfill batch touches all of
+   them and degrades gracefully to the full (column-pruned) probe.
+   Pre-bucketing flat indexes keep their layout (no mixed dirs).
 5. APPEND the survivors. The index is append-only — no rewrite, so a
    batch costs its own size in writes.
 
@@ -54,6 +58,20 @@ DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 # minimum estimated Jaccard (matching signature fraction) for a band
 # collision to count as a near-duplicate of the stored corpus
 NEAR_DUP_TAU = 0.5
+
+# the index is hive-partitioned by hb = crc32(content_hash) % N so the
+# dedup probe reads only the hash buckets the batch touches (same
+# pruning pattern as operators/bucketed.py). Steady-state trickle
+# batches touch a handful of buckets; a giant backfill batch touches
+# all of them and degrades gracefully to the full probe.
+HASH_BUCKET_COL = "hb"
+N_HASH_BUCKETS = 64
+
+
+def _hb(content_hash):
+    # NULL text hashes to NULL: pin it to bucket 0 so the layout has no
+    # default-partition directory
+    return (F.coalesce(F.crc32(content_hash), F.lit(0)) % N_HASH_BUCKETS).cast("int")
 
 
 def _with_hash(docs: DataFrame) -> DataFrame:
@@ -181,6 +199,21 @@ def run_corpus_ingest(
 
     def handle(batch: DataFrame, _bid: int) -> None:
         index = _read_if_exists(index_path)
+        # a pre-bucketing index stays flat (appending hb= dirs into a
+        # flat directory would mix layouts); rebucket offline to migrate
+        bucketed = index is None or HASH_BUCKET_COL in index.columns
+        if index is not None and HASH_BUCKET_COL in index.columns:
+            # prune the probe to the hash buckets this batch touches —
+            # partition pruning on the hb= directory key bounds the
+            # seen-hash scan by |touched buckets|, not |corpus|
+            touched = [
+                r[0]
+                for r in _with_hash(batch)
+                .select(_hb(F.col("content_hash")))
+                .distinct()
+                .collect()
+            ]
+            index = index.where(F.col(HASH_BUCKET_COL).isin(touched))
         fresh = ingest_batch(batch, index, apply_quality)
         if near_dedup:
             band_index = _read_if_exists(bands_path)
@@ -189,14 +222,20 @@ def run_corpus_ingest(
             # index/band dirs — re-evaluating it after the first append
             # would see the batch's own rows as "already present"
             survivors = drop_near_dups(fresh, band_index).localCheckpoint(True)
-            survivors.select("content_hash", *DOC_COLS).write.mode(
-                "append"
-            ).parquet(index_path)
+            _append(survivors.select("content_hash", *DOC_COLS), bucketed)
             lsh_bands(
                 survivors.where(F.col("sig").isNotNull()).select("doc_id", "sig")
             ).write.mode("append").parquet(bands_path)
         else:
-            fresh.write.mode("append").parquet(index_path)
+            _append(fresh, bucketed)
+
+    def _append(rows: DataFrame, bucketed: bool) -> None:
+        if bucketed:
+            rows.withColumn(HASH_BUCKET_COL, _hb(F.col("content_hash"))).write.mode(
+                "append"
+            ).partitionBy(HASH_BUCKET_COL).parquet(index_path)
+        else:
+            rows.write.mode("append").parquet(index_path)
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 from pyspark.sql import functions as F
 
@@ -200,3 +201,31 @@ def test_near_dedup_keeps_short_docs_and_drops_in_batch_twins(spark, tmp_path):
     # the band index only carries signed docs (doc 2)
     bands = spark.read.parquet(idx + "_bands")
     assert sorted(r.doc_id for r in bands.select("doc_id").distinct().collect()) == [2]
+
+
+def test_index_is_hash_bucketed_and_probe_prunes(spark, tmp_path):
+    """The corpus index lands hive-partitioned by hb=crc32(hash)%N, and
+    a probe filtered to a batch's buckets shows PartitionFilters in the
+    executed plan — the seen-hash scan is bounded by touched buckets."""
+    from meilisync_spark.streaming.corpus_ingest import (
+        HASH_BUCKET_COL,
+        run_corpus_ingest,
+    )
+
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    _stage_batches(spark, src)
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    dirs = [e for e in os.listdir(idx) if e.startswith(f"{HASH_BUCKET_COL}=")]
+    assert len(dirs) > 1  # really spread over hash buckets
+
+    probe = (
+        spark.read.parquet(idx)
+        .where(F.col(HASH_BUCKET_COL).isin([0, 1]))
+        .select("content_hash")
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*hb", plan)
+    assert m, plan[:800]
