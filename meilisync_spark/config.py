@@ -36,6 +36,10 @@ class Sync:
     index: str | None = None
     fields: dict[str, str | None] | None = None
     plugins: list[str] = field(default_factory=list)
+    # engine extension (no reference analogue): per-sync bucket count
+    # for the incremental index layout — size buckets per table so each
+    # fits an executor; None inherits the pipeline-level setting
+    buckets: int | None = None
 
     @property
     def index_name(self) -> str:

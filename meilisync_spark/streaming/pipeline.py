@@ -263,12 +263,13 @@ def run_settings_pipeline(
             # a fields-map edit across restarts (the config-level ALTER
             # TABLE) widens the index with typed NULLs or keeps base-only
             # columns, instead of silently dropping them
-            if num_buckets:
+            nb = sync.buckets if sync.buckets is not None else num_buckets
+            if nb:
                 from meilisync_spark.operators.bucketed import apply_changes_bucketed
 
                 apply_changes_bucketed(
                     spark, index_path, ev.drop("table"),
-                    pk="pk", payload_cols=None, num_buckets=num_buckets,
+                    pk="pk", payload_cols=None, num_buckets=nb,
                 )
             else:
                 if os.path.exists(index_path):

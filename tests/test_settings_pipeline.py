@@ -454,3 +454,42 @@ def test_settings_pipeline_fields_drift_across_restarts(spark, tmp_path):
     # drift really happened: the run-1 index had no k at all, the final
     # one carries real values
     assert any(r.k is not None for r in rows.values())
+
+
+def test_per_sync_bucket_count(spark, tmp_path):
+    """Sync.buckets overrides the pipeline-level bucket count per table:
+    each index lands with its own layout (meta records it), same final
+    state as the flat settings run."""
+    from meilisync_spark.operators.bucketed import read_meta
+
+    events_path = _multi_table_events(spark, tmp_path)
+    b_root = str(tmp_path / "bucketed")
+    flat_root = str(tmp_path / "flat")
+    syncs = lambda: [
+        Sync(table="users", pk="user_id", buckets=4),
+        Sync(table="accounts", pk="event_id", index="acct_idx"),  # inherits 8
+    ]
+    run_settings_pipeline(
+        spark, events_path,
+        Settings(sink=SinkSettings(index_path=b_root), syncs=syncs()),
+        str(tmp_path / "ckpt_b"), table_col="tbl", available_now=True,
+        num_buckets=8,
+    )
+    assert read_meta(os.path.join(b_root, "users"))["num_buckets"] == 4
+    assert read_meta(os.path.join(b_root, "acct_idx"))["num_buckets"] == 8
+
+    run_settings_pipeline(
+        spark, events_path,
+        Settings(sink=SinkSettings(index_path=flat_root), syncs=syncs()),
+        str(tmp_path / "ckpt_f"), table_col="tbl", available_now=True,
+    )
+    for name in ("users", "acct_idx"):
+        got = {
+            r.pk: (r.value, r.k)
+            for r in read_buckets(spark, os.path.join(b_root, name)).collect()
+        }
+        exp = {
+            r.pk: (r.value, r.k)
+            for r in spark.read.parquet(os.path.join(flat_root, name)).collect()
+        }
+        assert got == exp, name
