@@ -96,6 +96,7 @@ HEADLINE = [
     "unigram_freq_score",
     "source_overlap",
     "dedup_clusters_verified",
+    "corpus_pipeline",
 ]
 
 

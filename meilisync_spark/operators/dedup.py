@@ -730,3 +730,86 @@ def decontaminate_oracle_sql() -> str:
     FROM ex c JOIN ex e ON c.sh = e.sh AND NOT c.is_eval AND e.is_eval
     GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: quality gate -> canonical dedup -> decontam
+# ---------------------------------------------------------------------------
+
+def corpus_pipeline(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, n_tokens) — the documents that survive the
+    full curation pipeline a training run actually consumes, composed
+    from the individually-verified stages:
+
+    1. quality gate (operators/text.quality_filter keep rule);
+    2. exact dedup among the kept docs — canonical = min doc_id per
+       content hash (computed on the SURVIVORS: a canonical that was
+       itself quality-dropped must not shadow its duplicates);
+    3. decontamination — drop any survivor sharing a distinct word
+       8-gram with the benchmark side, and the benchmark docs
+       themselves (they are eval, not training data).
+
+    One quality scan, one hash-groupBy, and the decontaminate
+    broadcast-join — the stages compose without any new shuffle shape;
+    every stage is separately oracle-checked, and this query checks the
+    composition end-to-end."""
+    from meilisync_spark.operators.text import quality_filter
+
+    docs = spread(docs)
+    q = quality_filter(docs).where(F.col("keep")).select("doc_id", "n_tokens")
+    kept = docs.join(q, "doc_id").withColumn(
+        "content_hash", F.sha2(normalize_text(F.col("text")), 256)
+    )
+    canon = (
+        kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    contaminated = (
+        decontaminate(docs).select(F.col("corpus_doc").alias("doc_id")).distinct()
+    )
+    return (
+        kept.join(canon, "doc_id", "left_semi")
+        .where(~_eval_flag(F.col("doc_id")))
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+
+
+def corpus_pipeline_oracle_sql() -> str:
+    from meilisync_spark.operators.text import (
+        QF_MAX_PUNCT,
+        QF_MIN_DISTINCT,
+        QF_MIN_TOKENS,
+    )
+
+    w = duck_words()
+    n = f"len({w})"
+    punct = r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text)"
+    distinct = f"CASE WHEN {n} > 0 THEN len(list_distinct({w})) / {n} ELSE 0.0 END"
+    eval_hash = duck_hash64("'eval:' || doc_id")
+    ev = f"({eval_hash} % {EVAL_MOD} = 0)"
+    shingles = duck_shingles(duck_words(), DECON_SHINGLE)
+    hashed = f"list_distinct(list_transform({shingles}, s -> {duck_hash64('s')}))"
+    return f"""
+    WITH k AS (
+        SELECT doc_id, lang, source, {n} AS n_tokens,
+               sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+        FROM documents
+        WHERE {n} >= {QF_MIN_TOKENS}
+          AND NOT ({punct} > {QF_MAX_PUNCT})
+          AND NOT ({distinct} < {QF_MIN_DISTINCT})
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY content_hash),
+    sh AS (
+        SELECT doc_id, unnest({hashed}) AS sh, {ev} AS is_eval FROM documents
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM sh c JOIN sh e ON c.sh = e.sh AND NOT c.is_eval AND e.is_eval
+    )
+    SELECT k.doc_id, k.lang, k.source, k.n_tokens
+    FROM k
+    JOIN canon USING (doc_id)
+    WHERE NOT {ev.replace('doc_id', 'k.doc_id')}
+      AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """

@@ -1365,6 +1365,16 @@ def q_dedup_clusters_verified(spark, sf_dir):
     return _dedup.dedup_clusters_verified(_t(spark, sf_dir, "documents"))
 
 
+@register("corpus_pipeline", _dedup.corpus_pipeline_oracle_sql(),
+          doc="The composed curation pipeline end-to-end: quality gate "
+              "-> exact canonical dedup among survivors -> benchmark "
+              "decontamination (and eval-side exclusion). Each stage is "
+              "separately oracle-checked; this row checks the "
+              "composition.")
+def q_corpus_pipeline(spark, sf_dir):
+    return _dedup.corpus_pipeline(_t(spark, sf_dir, "documents"))
+
+
 @register("split_assign", _sampling.split_assign_oracle_sql(),
           doc="Stable train/val/test assignment by portable content hash "
               "of the key — identical across runs, engines, and "
