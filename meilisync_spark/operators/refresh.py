@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -66,19 +67,25 @@ def refresh_data(
     index_path: str,
     bucket_by: str | None = None,
     num_buckets: int | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Rebuild the index table at ``index_path`` from ``df`` via a
     versioned write + atomic symlink repoint. Returns the number of
     rows loaded (the reference returns the inserted count,
-    meilisync/meili.py:71).
-    """
+    meilisync/meili.py:71). ``partition_by`` writes the version with a
+    hive partition layout (used by :func:`compact_table` to preserve
+    the ``hb=``/``bucket=`` directory schemes the streaming appliers
+    prune on)."""
     tag = uuid.uuid4().hex[:8]
     version = f"{index_path}_v-{tag}"  # ≡ "{index}_tmp" (meili.py:37)
     prev_target = os.path.realpath(index_path) if os.path.islink(index_path) else None
     _sweep_stale(index_path, keep={prev_target} if prev_target else set())
     if bucket_by and num_buckets:
         df = df.repartition(num_buckets, bucket_by)
-    df.write.mode("overwrite").parquet(version)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(version)
     # count from the written files so the returned number is what
     # readers will actually see
     n = df.sparkSession.read.parquet(version).count()
@@ -104,6 +111,29 @@ def read_index(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.parquet(index_path)
 
 
+def _partition_cols(real_path: str) -> list[str]:
+    """Discover the hive partition-column chain from the directory
+    layout (``col=value`` subdirectories, possibly nested). Layout is
+    the source of truth, not the dataframe schema: a partition key is
+    only a directory name, and flattening it into data files silently
+    breaks the ``hb=``/``bucket=`` pruning the streaming appliers rely
+    on (and hides every pre-existing row from basePath readers)."""
+    cols: list[str] = []
+    path = real_path
+    while os.path.isdir(path):
+        subs = [
+            e
+            for e in os.listdir(path)
+            if "=" in e and os.path.isdir(os.path.join(path, e))
+        ]
+        names = {e.split("=", 1)[0] for e in subs}
+        if len(names) != 1:
+            break
+        cols.append(names.pop())
+        path = os.path.join(path, subs[0])
+    return cols
+
+
 def compact_table(
     spark: SparkSession,
     index_path: str,
@@ -117,13 +147,26 @@ def compact_table(
     readers see the old file set or the new one, never a mix. Returns
     the resulting file count.
 
+    Hive-partitioned layouts (the corpus-ingest ``hb=`` index, the CDC
+    ``bucket=`` index) are preserved: the rewrite re-applies
+    ``partitionBy`` on the discovered directory keys and carries the
+    layout metadata file over, so the per-batch partition pruning —
+    and the rows themselves — survive compaction. One task per
+    partition-key hash, so each partition directory compacts to one
+    file (a partition is sized to fit an executor by construction —
+    operators/bucketed.py).
+
     O(table) I/O by definition, so like rebucket_index this is a
     planned maintenance job, not something a batch triggers; on a table
-    format it is OPTIMIZE/rewrite_data_files. Coalesce (not
-    repartition): merging files needs no shuffle, only fewer write
-    tasks reading more input splits each."""
-    df = spark.read.parquet(index_path)
+    format it is OPTIMIZE/rewrite_data_files. Unpartitioned layouts use
+    coalesce (not repartition): merging files needs no shuffle, only
+    fewer write tasks reading more input splits each."""
     real = os.path.realpath(index_path)
+    pcols = _partition_cols(real)
+    # mergeSchema: bucketed CDC indexes are drift-safe via per-bucket
+    # schema union (read_buckets does the same) — compaction must not
+    # drop a column that only newer buckets carry
+    df = spark.read.option("mergeSchema", "true").parquet(index_path)
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, files in os.walk(real)
@@ -131,6 +174,19 @@ def compact_table(
         if f.endswith(".parquet")
     )
     n_files = max(1, -(-total // target_file_bytes))
-    refresh_data(df.coalesce(n_files), index_path)
+    meta = os.path.join(real, "_meta.json")
+    meta_body = None
+    if os.path.isfile(meta):
+        with open(meta) as fh:
+            meta_body = fh.read()
+    if pcols:
+        refresh_data(
+            df.repartition(n_files, *pcols), index_path, partition_by=pcols
+        )
+    else:
+        refresh_data(df.coalesce(n_files), index_path)
     real = os.path.realpath(index_path)
+    if meta_body is not None:
+        with open(os.path.join(real, "_meta.json"), "w") as fh:
+            fh.write(meta_body)
     return sum(f.endswith(".parquet") for _, _, fs in os.walk(real) for f in fs)

@@ -197,12 +197,27 @@ def run_corpus_ingest(
         except Exception:
             return None
 
+    def _is_bucketed(index: DataFrame | None) -> bool:
+        # the layout is a property of the DIRECTORY TREE, not of the
+        # dataframe schema: a rewrite that flattened hb= dirs into data
+        # files (a mis-run compaction) would still show hb in .columns,
+        # and appending hb= dirs beside flat files silently hides the
+        # flat rows from basePath readers. Trust the directories when
+        # the path is locally inspectable; fall back to column presence
+        # for remote filesystems.
+        real = os.path.realpath(index_path)
+        if os.path.isdir(real):
+            entries = os.listdir(real)
+            if any(e.startswith(f"{HASH_BUCKET_COL}=") for e in entries):
+                return True
+            if any(e.endswith(".parquet") for e in entries):
+                return False
+        return index is None or HASH_BUCKET_COL in index.columns
+
     def handle(batch: DataFrame, _bid: int) -> None:
         index = _read_if_exists(index_path)
-        # a pre-bucketing index stays flat (appending hb= dirs into a
-        # flat directory would mix layouts); rebucket offline to migrate
-        bucketed = index is None or HASH_BUCKET_COL in index.columns
-        if index is not None and HASH_BUCKET_COL in index.columns:
+        bucketed = _is_bucketed(index)
+        if index is not None and bucketed:
             # prune the probe to the hash buckets this batch touches —
             # partition pruning on the hb= directory key bounds the
             # seen-hash scan by |touched buckets|, not |corpus|

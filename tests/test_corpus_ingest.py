@@ -229,3 +229,51 @@ def test_index_is_hash_bucketed_and_probe_prunes(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[[^\]]*hb", plan)
     assert m, plan[:800]
+
+
+def test_compact_then_ingest_keeps_layout_and_rows(spark, tmp_path):
+    """Compacting the corpus index must preserve the hb= hive layout:
+    the next batch keeps appending hb= dirs, the probe still prunes,
+    and — the regression this guards — every pre-compaction row stays
+    visible (a layout-flattening compact made basePath reads silently
+    return only post-compaction rows)."""
+    from meilisync_spark.operators.refresh import compact_table
+    from meilisync_spark.streaming.corpus_ingest import HASH_BUCKET_COL
+
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    _stage_batches(spark, src)
+    # run batches 0..1 only, compact, then let batch 2 arrive
+    b2 = os.path.join(src, "batch_2.parquet")
+    parked = str(tmp_path / "parked.parquet")
+    os.rename(b2, parked)
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    before = {r.content_hash for r in spark.read.parquet(idx).collect()}
+    assert len(before) > 0
+    compact_table(spark, idx, target_file_bytes=1 << 30)
+    # layout survived: still hb= dirs (behind the refresh symlink), and
+    # the per-bucket file count collapsed to one
+    real = os.path.realpath(idx)
+    dirs = [e for e in os.listdir(real) if e.startswith(f"{HASH_BUCKET_COL}=")]
+    assert len(dirs) > 1
+    for d in dirs:
+        parts = [
+            f for f in os.listdir(os.path.join(real, d)) if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1
+    assert before == {r.content_hash for r in spark.read.parquet(idx).collect()}
+
+    os.rename(parked, b2)
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    got = spark.read.parquet(idx)
+    expected = exact_dedup(
+        spark.read.parquet(src).select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    exp = {r.content_hash: r.canonical_id for r in expected.collect()}
+    got_map = {r.content_hash: r.doc_id for r in got.collect()}
+    # pre-compaction docs are still here AND still dedup batch-2 replays
+    assert got_map == exp

@@ -111,3 +111,39 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(index).collect()} == before
     # the swap stayed atomic: path is a live symlink, old version gone
     assert os.path.islink(index)
+
+
+def test_compact_table_preserves_bucketed_cdc_layout(spark, tmp_path):
+    """Compacting a bucket=-partitioned CDC index keeps the hive layout
+    and the _meta.json layout contract, so the next bucketed apply still
+    prunes to touched buckets instead of exploding on a flat layout."""
+    import os
+
+    from meilisync_spark.operators.bucketed import (
+        apply_changes_bucketed,
+        init_bucketed_index,
+        read_meta,
+    )
+    from meilisync_spark.operators.refresh import compact_table
+
+    index = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "pk int, val string"
+    )
+    init_bucketed_index(base, index, pk="pk", num_buckets=8)
+    before = {(r.pk, r.val) for r in spark.read.parquet(index).drop("bucket").collect()}
+    compact_table(spark, index, target_file_bytes=1 << 30)
+    real = os.path.realpath(index)
+    assert sorted(e for e in os.listdir(real) if e.startswith("bucket=")) == [
+        f"bucket={b}" for b in sorted(range(8), key=str)
+    ]
+    assert read_meta(index) == {"num_buckets": 8, "pk": "pk"}
+    # a post-compaction apply merges normally and sees every old row
+    changes = spark.createDataFrame(
+        [(0, 1, "update", "v0-new"), (999, 2, "create", "fresh")],
+        "pk int, seq long, op string, val string",
+    )
+    apply_changes_bucketed(spark, index, changes, pk="pk", num_buckets=8)
+    got = {(r.pk, r.val) for r in spark.read.parquet(index).drop("bucket").collect()}
+    expected = (before - {(0, "v0")}) | {(0, "v0-new"), (999, "fresh")}
+    assert got == expected
