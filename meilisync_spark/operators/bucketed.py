@@ -63,12 +63,36 @@ def bucket_expr(pk: str, num_buckets: int) -> Column:
 
 
 def _sweep_stale(index_path: str) -> None:
-    """Remove staging leftovers from a crashed previous batch."""
+    """Remove staging leftovers from a crashed previous batch, and roll
+    back an interrupted :func:`rebucket_index` swap.
+
+    Rebucket parks the live layout under ``{index}_prev-<tag>`` for the
+    instant between "old layout moved aside" and "new layout moved in".
+    A crash in that window leaves the index path absent — which the
+    absent-path-means-empty contract would otherwise read as an empty
+    index and silently bootstrap over. Restoring the parked copy first
+    makes the crash equivalent to "the rebucket never happened"; the
+    half-written ``_stg-*`` staging is then garbage. A ``_prev-*`` that
+    coexists with a live index path is the leftover of a *completed*
+    swap (crash after the rename-in) and is safe to drop."""
     parent, name = os.path.split(index_path.rstrip("/"))
     if not os.path.isdir(parent):
         return
+    prevs = sorted(
+        e for e in os.listdir(parent) if e.startswith(f"{name}_prev-")
+    )
+    if prevs and not os.path.exists(index_path):
+        # single-writer contract ⇒ at most one interrupted swap; roll
+        # it back before anything can mistake "absent" for "empty"
+        os.rename(os.path.join(parent, prevs[0]), index_path)
+        prevs = prevs[1:]
     for entry in os.listdir(parent):
-        if entry.startswith(f"{name}_tmp-") or entry.startswith(f"{name}_old-"):
+        if (
+            entry.startswith(f"{name}_tmp-")
+            or entry.startswith(f"{name}_old-")
+            or entry.startswith(f"{name}_stg-")
+            or entry in prevs
+        ):
             shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
 
@@ -159,12 +183,21 @@ def rebucket_index(
     per-batch apply). This is the offline maintenance operation; the
     per-batch path stays O(batch). At 100 TB this is a planned job, not
     something a micro-batch ever triggers implicitly — hence the loud
-    ValueError on mismatch instead of auto-rebucketing."""
+    ValueError on mismatch instead of auto-rebucketing.
+
+    Crash safety: the new layout is staged under ``_stg-<tag>`` and the
+    live one parked under ``_prev-<tag>`` — both outside the namespace
+    a concurrent-crash sweep deletes — so a crash at ANY point leaves
+    either the old layout live, or the old layout parked where the next
+    :func:`_sweep_stale` rolls it back. The previous two-rename dance
+    staged under ``_tmp-``/``_old-``, which the sweep itself reaps: a
+    crash between the renames lost the entire index."""
     if not os.path.isdir(index_path):
-        return
+        raise FileNotFoundError(f"no index at {index_path}")
+    _sweep_stale(index_path)
     df = read_buckets(spark, index_path)
     tag = uuid.uuid4().hex[:8]
-    staging = f"{index_path}_tmp-{tag}"
+    staging = f"{index_path}_stg-{tag}"
     (
         df.withColumn(BUCKET_COL, bucket_expr(pk, new_num_buckets))
         .repartition(new_num_buckets, BUCKET_COL)
@@ -173,10 +206,10 @@ def rebucket_index(
         .parquet(staging)
     )
     _write_meta(staging, pk, new_num_buckets)
-    old = f"{index_path}_old-{tag}"
-    os.rename(index_path, old)
+    prev = f"{index_path}_prev-{tag}"
+    os.rename(index_path, prev)
     os.rename(staging, index_path)
-    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(prev, ignore_errors=True)
 
 
 def apply_changes_bucketed(

@@ -134,9 +134,9 @@ def test_settings_pipeline_routes_two_syncs(spark, tmp_path):
     settings = Settings(
         sink=SinkSettings(index_path=sink_root),
         syncs=[
-            Sync(table="users", pk="user_id",
+            Sync(full=True, table="users", pk="user_id",
                  fields={"ts": None, "value": "amount", "k": None}),
-            Sync(table="accounts", pk="event_id", index="acct_idx"),
+            Sync(full=True, table="accounts", pk="event_id", index="acct_idx"),
         ],
     )
     run_settings_pipeline(
@@ -186,7 +186,7 @@ def test_plugin_chain_order(spark, tmp_path):
     settings = Settings(
         sink=SinkSettings(index_path=sink_root),
         plugins=["tests.plugin_hooks.double_value"],
-        syncs=[Sync(table="users", pk="user_id",
+        syncs=[Sync(full=True, table="users", pk="user_id",
                     plugins=["tests.plugin_hooks.add_one_value"])],
     )
     run_settings_pipeline(
@@ -215,8 +215,8 @@ def test_settings_pipeline_bucketed_mode(spark, tmp_path):
     flat_root = str(tmp_path / "flat")
     b_root = str(tmp_path / "bucketed")
     syncs = [
-        Sync(table="users", pk="user_id"),
-        Sync(table="accounts", pk="event_id", index="acct_idx"),
+        Sync(full=True, table="users", pk="user_id"),
+        Sync(full=True, table="accounts", pk="event_id", index="acct_idx"),
     ]
     run_settings_pipeline(
         spark, events_path,
@@ -258,7 +258,7 @@ def test_settings_pipeline_checkpoint_resume(spark, tmp_path):
     sink_root = str(tmp_path / "indexes")
     settings = Settings(
         sink=SinkSettings(index_path=sink_root),
-        syncs=[Sync(table="users", pk="user_id")],
+        syncs=[Sync(full=True, table="users", pk="user_id")],
     )
     ckpt = str(tmp_path / "ckpt")
     run_settings_pipeline(spark, stream_dir, settings, ckpt, available_now=True)
@@ -388,6 +388,57 @@ def test_rebucket_and_layout_guard(spark, tmp_path):
     assert after[1] == 99.0 and after[2] == 2.0
 
 
+def test_rebucket_crash_window_rolls_back_not_bootstraps(spark, tmp_path):
+    """A crash between rebucket's park-old and move-in-new renames must
+    NOT lose the index: the parked _prev-* copy is restored by the next
+    batch's sweep (the old protocol parked under _old-*, which the sweep
+    itself deleted — total silent index loss + fresh bootstrap)."""
+    import shutil
+
+    index = str(tmp_path / "index")
+    b0 = spark.createDataFrame(
+        [(pk, pk, "create", float(pk)) for pk in range(40)],
+        "pk long, seq long, op string, value double",
+    )
+    apply_changes_bucketed(spark, index, b0, pk="pk", num_buckets=4)
+    before = {r.pk: r.value for r in read_buckets(spark, index).collect()}
+
+    # reconstruct the mid-swap crash state: old layout parked, index
+    # path absent, staging half-written
+    os.rename(index, index + "_prev-deadbeef")
+    os.makedirs(index + "_stg-deadbeef/bucket=0")
+
+    delta = spark.createDataFrame(
+        [(1, 1000, "update", 99.0)], "pk long, seq long, op string, value double"
+    )
+    apply_changes_bucketed(spark, index, delta, pk="pk", num_buckets=4)
+    got = {r.pk: r.value for r in read_buckets(spark, index).collect()}
+    assert got == {**before, 1: 99.0}  # rolled back, then merged — nothing lost
+    leftovers = [
+        e for e in os.listdir(tmp_path) if "_prev-" in e or "_stg-" in e
+    ]
+    assert leftovers == []
+
+    # crash AFTER the swap completed: live index + stale _prev copy →
+    # the sweep drops the stale copy and leaves the live index alone
+    shutil.copytree(index, index + "_prev-cafecafe")
+    apply_changes_bucketed(spark, index, delta, pk="pk", num_buckets=4)
+    assert not os.path.exists(index + "_prev-cafecafe")
+    assert {r.pk: r.value for r in read_buckets(spark, index).collect()} == {
+        **before, 1: 99.0
+    }
+
+
+def test_cli_rebucket_missing_index_is_an_error(tmp_path, capsys):
+    from meilisync_spark.cli import main
+
+    rc = main([
+        "rebucket", "--index", str(tmp_path / "nope"), "--buckets", "8",
+    ])
+    assert rc == 1
+    assert "no index at" in capsys.readouterr().err
+
+
 def test_settings_pipeline_fields_drift_across_restarts(spark, tmp_path):
     """A fields-map edit between runs is the config-level ALTER TABLE:
     restarting with a widened map adds the new column (old rows NULL,
@@ -411,7 +462,7 @@ def test_settings_pipeline_fields_drift_across_restarts(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     narrow = Settings(
         sink=SinkSettings(index_path=sink_root),
-        syncs=[Sync(table="users", pk="user_id", fields={"ts": None, "value": None})],
+        syncs=[Sync(full=True, table="users", pk="user_id", fields={"ts": None, "value": None})],
     )
     run_settings_pipeline(spark, stream_dir, narrow, ckpt, available_now=True)
     idx = os.path.join(sink_root, "users")
@@ -424,7 +475,7 @@ def test_settings_pipeline_fields_drift_across_restarts(spark, tmp_path):
     )
     wide = Settings(
         sink=SinkSettings(index_path=sink_root),
-        syncs=[Sync(table="users", pk="user_id")],  # full payload: ts, value, k
+        syncs=[Sync(full=True, table="users", pk="user_id")],  # full payload: ts, value, k
     )
     run_settings_pipeline(spark, stream_dir, wide, ckpt, available_now=True)
     out = spark.read.parquet(idx)
@@ -466,8 +517,8 @@ def test_per_sync_bucket_count(spark, tmp_path):
     b_root = str(tmp_path / "bucketed")
     flat_root = str(tmp_path / "flat")
     syncs = lambda: [
-        Sync(table="users", pk="user_id", buckets=4),
-        Sync(table="accounts", pk="event_id", index="acct_idx"),  # inherits 8
+        Sync(full=True, table="users", pk="user_id", buckets=4),
+        Sync(full=True, table="accounts", pk="event_id", index="acct_idx"),  # inherits 8
     ]
     run_settings_pipeline(
         spark, events_path,
