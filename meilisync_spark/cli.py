@@ -180,6 +180,10 @@ def cmd_rebucket(args: argparse.Namespace) -> int:
     full shuffle + atomic directory swap; see operators/bucketed.py)."""
     from meilisync_spark.operators.bucketed import read_meta, rebucket_index
 
+    if not os.path.isdir(args.index):
+        # a typo'd path must not look like a successful maintenance run
+        print(f"error: no index at {args.index}", file=sys.stderr)
+        return 1
     spark = get_spark("meilisync-spark-rebucket")
     meta = read_meta(args.index)
     pk = args.pk or (meta or {}).get("pk") or "pk"

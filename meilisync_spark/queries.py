@@ -1431,10 +1431,11 @@ def q_exact_dedup(spark, sf_dir):
 
 
 @register("source_overlap", _dedup.source_overlap_oracle_sql(),
-          doc="Cross-source exact-duplicate overlap matrix: pair counts "
-              "from per-(hash, source) group sizes — never materializes "
-              "document pairs; join volume is bounded by duplicate-group "
-              "count, not corpus size.")
+          doc="Cross-source near-duplicate overlap matrix: MinHash-LSH "
+              "candidate pairs (exact dups included — they share every "
+              "band) joined to per-doc provenance, then a |sources|^2 "
+              "aggregate; pair volume is bounded by the LSH candidate "
+              "count, never corpus^2.")
 def q_source_overlap(spark, sf_dir):
     return _dedup.source_overlap(_t(spark, sf_dir, "documents"))
 
