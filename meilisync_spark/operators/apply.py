@@ -34,8 +34,50 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from meilisync_spark.operators.compaction import compact_last_wins, compaction_oracle_sql
+
+# value-preserving widening chains (ALTER TABLE ... TYPE safe set): a
+# column may drift ALONG a chain in either direction between base and
+# changes — the merge output takes the wider end. Cross-family drift
+# (string→int, double→decimal, …) is a narrowing/reinterpretation and
+# fails loudly instead of silently casting.
+_INT_CHAIN = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_CHAIN = (T.FloatType, T.DoubleType)
+
+
+def _chain_rank(dt: T.DataType, chain) -> int | None:
+    for i, t in enumerate(chain):
+        if isinstance(dt, t):
+            return i
+    return None
+
+
+def _widen(a: T.DataType, b: T.DataType, col: str) -> T.DataType:
+    """The common type both sides widen to losslessly, or ValueError."""
+    if a == b:
+        return a
+    for chain in (_INT_CHAIN, _FLOAT_CHAIN):
+        ra, rb = _chain_rank(a, chain), _chain_rank(b, chain)
+        if ra is not None and rb is not None:
+            return chain[max(ra, rb)]()
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        # grow integer digits and scale independently (never truncates)
+        scale = max(a.scale, b.scale)
+        ints = max(a.precision - a.scale, b.precision - b.scale)
+        if ints + scale > 38:
+            raise ValueError(
+                f"column {col!r}: decimal widening of {a.simpleString()} vs "
+                f"{b.simpleString()} exceeds precision 38"
+            )
+        return T.DecimalType(ints + scale, scale)
+    raise ValueError(
+        f"column {col!r}: incompatible type drift between index "
+        f"({a.simpleString()}) and changes ({b.simpleString()}) — only "
+        "integral widening, float→double, and decimal growth are safe; "
+        "migrate the index explicitly for anything else"
+    )
 
 
 def apply_changes(
@@ -60,11 +102,12 @@ def apply_changes(
       get NULL, creates/updates carry the value;
     - a column only in ``base`` (narrowed projection): updates keep the
       sink's current value, creates null it (full-document replace).
-
-    With ``payload_cols=None`` the output schema is the union
-    (base-first order). Type *changes* of an existing column are out of
-    scope — that is a table-format concern (ALTER TABLE + type
-    widening), not a merge concern.
+    - a column on BOTH sides with drifted types: value-preserving
+      widenings (byte→short→int→long, float→double, decimal
+      precision/scale growth — the safe ALTER TABLE set) resolve to the
+      wider type on both sides of the merge; anything lossy (string vs
+      int, double vs decimal, long→int that would truncate) raises
+      instead of silently corrupting the index.
     """
     base_payload = [c for c in base.columns if c != pk]
     if payload_cols is None:
@@ -74,18 +117,29 @@ def apply_changes(
 
     # type of each column, taken from whichever side actually has it —
     # the absent side contributes a typed NULL so the union schema is
-    # stable regardless of which batch introduced the column
+    # stable regardless of which batch introduced the column; a column
+    # both sides carry resolves to the widened common type
     types = {f.name: f.dataType for f in base.schema.fields}
     for f in last.schema.fields:
-        types.setdefault(f.name, f.dataType)
+        if f.name in types:
+            types[f.name] = _widen(types[f.name], f.dataType, f.name)
+        else:
+            types[f.name] = f.dataType
 
     b, d = base.alias("b"), last.alias("d")
     joined = b.join(d, F.col(f"b.{pk}") == F.col(f"d.{pk}"), "full_outer")
     op = F.col(f"d.{op_col}")
+    side_types = {
+        "b": {f.name: f.dataType for f in base.schema.fields},
+        "d": {f.name: f.dataType for f in last.schema.fields},
+    }
 
     def side(prefix: str, cols: Sequence[str], c: str):
         if c in cols:
-            return F.col(f"{prefix}.{c}")
+            col = F.col(f"{prefix}.{c}")
+            if side_types[prefix][c] != types[c]:  # widen drifted side
+                col = col.cast(types[c])
+            return col
         return F.lit(None).cast(types[c])
 
     out_cols = [F.coalesce(F.col(f"d.{pk}"), F.col(f"b.{pk}")).alias(pk)]
