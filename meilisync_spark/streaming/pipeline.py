@@ -229,13 +229,22 @@ def run_settings_pipeline(
     (the table filter pushes into the batch scan); the per-sync MERGEs
     are independent jobs Spark schedules back-to-back inside the batch.
 
-    ``Sync.full`` note: the reference's full-snapshot-then-tail split
-    (main.py:86-101) collapses here — the first ``availableNow`` batch
-    over the whole event log IS the backfill (an absent index
-    bootstraps from the batch), and the checkpoint makes every later
-    run incremental. A separate snapshot phase would double-read the
-    log for the same final state.
+    ``Sync.full`` semantics (reference main.py:86-101: backfill only
+    when ``full`` is true and the index is missing; ``full: false``
+    starts tailing from the *current head* — history is never
+    replayed): the reference's full-snapshot-then-tail split collapses
+    here — for ``full: true`` the first ``availableNow`` batch over the
+    whole event log IS the backfill (an absent index bootstraps from
+    the batch; a separate snapshot phase would double-read the log for
+    the same final state). For ``full: false`` syncs the pipeline
+    records the log's head position (max ``event_id``) once at first
+    start — persisted beside the checkpoint so restarts keep the same
+    origin — and every batch drops that sync's events at-or-below it.
+    In production the head marker comes from the log's own position API
+    (binlog coordinates / LSN / resume token) instead of a max() scan.
     """
+    import json
+
     from meilisync_spark.config import load_plugin
     from meilisync_spark.operators.project import apply_envelope_fields
 
@@ -246,6 +255,23 @@ def run_settings_pipeline(
             hooks.append(extra_pre)
         chains[sync.table] = hooks
 
+    head_seq: int | None = None
+    if any(not sync.full for sync in settings.syncs):
+        marker = os.path.join(checkpoint_dir, "head_marker.json")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                head_seq = json.load(fh)["head_seq"]
+        elif not os.path.isdir(os.path.join(checkpoint_dir, "offsets")):
+            # fresh checkpoint: the current end of the log is the origin
+            # for every full:false sync (one column-pruned scan, once)
+            row = spark.read.parquet(events_path).agg(F.max("event_id")).first()
+            head_seq = row[0] if row[0] is not None else -1
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            with open(marker, "w") as fh:
+                json.dump({"head_seq": head_seq}, fh)
+        # else: pre-marker checkpoint mid-stream — keep legacy replay
+        # behavior rather than guessing an origin after the fact
+
     events = read_event_stream(
         spark, events_path, max_files_per_trigger or settings.sink.insert_size
     )
@@ -254,11 +280,20 @@ def run_settings_pipeline(
         for sync in settings.syncs:
             sub = raw.where(F.col(table_col) == sync.table) if table_col else raw
             ev = normalize_events(sub, table=sync.table, pk_col=sync.pk)
+            index_path = os.path.join(settings.sink.index_path, sync.index_name)
+            if not sync.full and head_seq is not None:
+                # full:false — tail only: history at/below the recorded
+                # head never reaches this sync's index. Until the first
+                # post-head event, don't materialize an index at all
+                # (absent path == empty, like the reference's lazily
+                # created sink index)
+                ev = ev.where(F.col("seq") > head_seq)
+                if not os.path.exists(index_path) and ev.isEmpty():
+                    continue
             ev = apply_envelope_fields(ev, sync.fields)
             for hook in chains[sync.table]:
                 ev = hook(ev)
             payload = [c for c in ev.columns if c not in ("seq", "table", "op", "pk")]
-            index_path = os.path.join(settings.sink.index_path, sync.index_name)
             # payload_cols=None → union-schema MERGE (operators/apply.py):
             # a fields-map edit across restarts (the config-level ALTER
             # TABLE) widens the index with typed NULLs or keeps base-only

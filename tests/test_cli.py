@@ -56,6 +56,7 @@ def test_cli_start_config_plugin_chain(spark, tmp_path, capsys):
             "sync:",
             "  - table: users",
             "    pk: user_id",
+            "    full: true",
             "    plugins:",
             "      - tests.plugin_hooks.add_one_value",
         ])

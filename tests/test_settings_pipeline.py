@@ -318,6 +318,53 @@ def test_apply_changes_schema_drift(spark):
     assert (out[4].value, out[4].legacy, out[4].tag) == (44.0, None, "z")
 
 
+def test_apply_changes_type_widening_drift(spark):
+    """Type drift of an existing column: the safe ALTER TABLE widenings
+    (int→long, float→double, decimal growth) resolve to the wider type
+    on either side of the merge; incompatible drift fails loudly."""
+    import pytest
+    from decimal import Decimal
+
+    base = spark.createDataFrame(
+        [(1, 10, 1.5, Decimal("99.99"))],
+        "pk long, n int, x float, amt decimal(10,2)",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "update", 2**40, None, None),
+            (2, 2, "create", 7, 2.25, Decimal("123.456")),
+        ],
+        "pk long, seq long, op string, n long, x double, amt decimal(12,3)",
+    )
+    out = apply_changes(base, changes, pk="pk")
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got == {
+        "pk": "bigint", "n": "bigint", "x": "double", "amt": "decimal(12,3)"
+    }
+    rows = {r.pk: r for r in out.collect()}
+    # widened update lands; untouched base values survive the cast
+    assert rows[1].n == 2**40 and rows[1].x == 1.5
+    assert rows[1].amt == Decimal("99.990")
+    assert rows[2].amt == Decimal("123.456")
+
+    # round-trip: the widened state merges again with the ORIGINAL
+    # narrow change schema (changes narrower than base also widen up)
+    more = spark.createDataFrame(
+        [(1, 3, "update", 5, None, None)],
+        "pk long, seq long, op string, n int, x float, amt decimal(10,2)",
+    )
+    out2 = apply_changes(out, more, pk="pk")
+    assert {f.name: f.dataType.simpleString() for f in out2.schema.fields} == got
+    assert {r.pk: r.n for r in out2.collect()}[1] == 5
+
+    # incompatible drift: loud failure, not a silent cast
+    bad = spark.createDataFrame(
+        [(1, 4, "update", "oops")], "pk long, seq long, op string, n string"
+    )
+    with pytest.raises(ValueError, match="incompatible type drift"):
+        apply_changes(base, bad, pk="pk")
+
+
 def test_bucketed_apply_schema_drift(spark, tmp_path):
     """A drifted micro-batch only rewrites its touched buckets: old
     buckets keep the old parquet schema on disk, and read_buckets's
@@ -544,3 +591,79 @@ def test_per_sync_bucket_count(spark, tmp_path):
             for r in spark.read.parquet(os.path.join(flat_root, name)).collect()
         }
         assert got == exp, name
+
+
+def test_full_false_tails_from_head_not_history(spark, tmp_path):
+    """Reference main.py:86-101: ``full: false`` starts at the current
+    head of the log — pre-existing events are never replayed; a
+    ``full: true`` sync over the same stream still backfills. Events
+    appended after the first start reach both syncs, and a checkpoint
+    restart keeps the recorded origin."""
+    import duckdb
+
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    con = duckdb.connect()
+    cut = con.sql(
+        f"SELECT max(event_id)/2 FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_SMOKE}/events.parquet' WHERE event_id <= {cut} "
+        f"ORDER BY event_id) TO '{stream_dir}/part1.parquet' (FORMAT PARQUET)"
+    )
+    sink_root = str(tmp_path / "indexes")
+    settings = Settings(
+        sink=SinkSettings(index_path=sink_root),
+        syncs=[
+            Sync(full=False, table="users", pk="user_id", index="tail_idx"),
+            Sync(full=True, table="users", pk="user_id", index="full_idx"),
+        ],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_settings_pipeline(spark, stream_dir, settings, ckpt, available_now=True)
+    # history skipped: the tail sync produced nothing, the full one all
+    assert not os.path.exists(os.path.join(sink_root, "tail_idx"))
+    full_1 = {
+        r.pk: (r.value, r.k)
+        for r in spark.read.parquet(os.path.join(sink_root, "full_idx")).collect()
+    }
+    assert full_1
+
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_SMOKE}/events.parquet' WHERE event_id > {cut} "
+        f"ORDER BY event_id) TO '{stream_dir}/part2.parquet' (FORMAT PARQUET)"
+    )
+    run_settings_pipeline(spark, stream_dir, settings, ckpt, available_now=True)
+
+    # the tail sync saw exactly the post-head events
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").where(
+        F.col("event_id") > cut
+    )
+    ev = normalize_events(raw, table="users", pk_col="user_id")
+    base = spark.createDataFrame([], ev.select("pk", *PAYLOAD_COLS).schema)
+    exp_tail = {
+        r.pk: (r.value, r.k)
+        for r in apply_changes(base, ev, pk="pk", payload_cols=PAYLOAD_COLS).collect()
+    }
+    got_tail = {
+        r.pk: (r.value, r.k)
+        for r in spark.read.parquet(os.path.join(sink_root, "tail_idx")).collect()
+    }
+    assert got_tail == exp_tail
+
+    # the full sync folded history then tail (per-batch compaction —
+    # same two flush points as the stream)
+    raw_all = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev_1 = normalize_events(
+        raw_all.where(F.col("event_id") <= cut), table="users", pk_col="user_id"
+    )
+    state_1 = apply_changes(base, ev_1, pk="pk", payload_cols=PAYLOAD_COLS)
+    exp_full = {
+        r.pk: (r.value, r.k)
+        for r in apply_changes(state_1, ev, pk="pk", payload_cols=PAYLOAD_COLS).collect()
+    }
+    got_full = {
+        r.pk: (r.value, r.k)
+        for r in spark.read.parquet(os.path.join(sink_root, "full_idx")).collect()
+    }
+    assert got_full == exp_full
