@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, Arrow-batched
-``mapInPandas``, partitioning, batch shapes. The codec layer is stubbed
-(this environment ships no image/audio libraries): ``decode_real``
-raises ``NotImplementedError`` with the integration point documented,
-and the default path extracts *deterministic* pseudo-metadata from the
-bytes (sha256-derived), which keeps the operator oracle-checkable.
+``mapInPandas``, partitioning, batch shapes. The codec layer has two
+paths: the default extracts *deterministic* pseudo-metadata from the
+bytes (sha256-derived), which keeps the operator oracle-checkable; and
+``use_real_codecs=True`` routes through :func:`decode_real` —
+import-gated PIL/soundfile with stdlib PNG/WAV fallbacks, raising for
+formats nothing present can parse (pyav-less video).
 
 Scale notes:
 
@@ -50,15 +51,54 @@ def make_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(content: bytes, media_type: str):  # pragma: no cover
-    """Integration point for real codecs (PIL / soundfile / pyav).
+def decode_real(content: bytes, media_type: str) -> tuple[int, int, int]:
+    """Real-codec integration point, import-gated: PIL for images and
+    soundfile for audio when installed, with stdlib fallbacks for the
+    two container-formats the standard library can parse on its own
+    (PNG headers via struct, WAV via ``wave``). Video needs pyav — no
+    stdlib fallback exists, so it raises until a deployment wires one.
 
-    Deliberately stubbed: the container has no media libraries. A
-    deployment implements this per media_type and returns
-    (width, height, sample_rate)."""
+    Returns (width, height, sample_rate). The deterministic
+    ``_fake_decode`` stays the oracle-checked default path; this branch
+    is for deployments with actual media blobs."""
+    import io
+    import struct
+
+    if media_type == "image":
+        try:
+            from PIL import Image  # optional dependency
+
+            with Image.open(io.BytesIO(content)) as im:
+                return im.width, im.height, 0
+        except ImportError:
+            pass
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack(">II", content[16:24])  # IHDR dims
+            return w, h, 0
+        raise NotImplementedError(
+            "non-PNG image decoding requires PIL; install it or extend "
+            "decode_real"
+        )
+    if media_type == "audio":
+        try:
+            import soundfile  # optional dependency
+
+            info = soundfile.info(io.BytesIO(content))
+            return 0, 0, int(info.samplerate)
+        except ImportError:
+            pass
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            import wave
+
+            with wave.open(io.BytesIO(content)) as wf:
+                return 0, 0, wf.getframerate()
+        raise NotImplementedError(
+            "non-WAV audio decoding requires soundfile; install it or "
+            "extend decode_real"
+        )
     raise NotImplementedError(
-        "real media decoding requires image/audio libs not present in "
-        "this environment; wire PIL/soundfile/pyav here"
+        "video decoding requires pyav; wire it here for deployments "
+        "with real video blobs"
     )
 
 

@@ -73,3 +73,68 @@ def test_frame_sampling_expands_rows(spark):
         assert len({f.frame_id for f in doc_frames}) == len(doc_frames)
         ts = [f.frame_ts_ms for f in sorted(doc_frames, key=lambda x: x.frame_idx)]
         assert ts == sorted(ts) and ts[0] == 0
+
+
+def _png(width: int, height: int) -> bytes:
+    """Minimal valid RGBA PNG — parseable by PIL and by the stdlib
+    IHDR fallback alike."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00\x00\x00\xff" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav(sample_rate: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(b"\x00\x00" * 16)
+    return buf.getvalue()
+
+
+def test_real_codec_branch_decodes_png_and_wav(spark):
+    """use_real_codecs=True actually decodes: a synthesized PNG yields
+    its true dimensions and a synthesized WAV its true sample rate,
+    through the same Arrow mapInPandas plumbing as the fake path (PIL/
+    soundfile when installed, stdlib PNG/WAV parsers otherwise)."""
+    from meilisync_spark.operators.multimodal import extract_media_metadata
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_png(123, 45))),
+            (2, "audio", bytearray(_wav(22050))),
+        ],
+        "doc_id long, media_type string, content binary",
+    )
+    rows = {r.doc_id: r for r in extract_media_metadata(media, use_real_codecs=True).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].sample_rate) == (123, 45, 0)
+    assert (rows[2].width, rows[2].height, rows[2].sample_rate) == (0, 0, 22050)
+    assert rows[1].n_bytes == len(_png(123, 45))
+
+
+def test_real_codec_branch_raises_on_video(spark):
+    """No pyav anywhere: the video arm must fail loudly, not fake."""
+    import pytest
+
+    from meilisync_spark.operators.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError, match="pyav"):
+        decode_real(b"\x00\x00\x00\x18ftypmp42", "video")
