@@ -49,6 +49,11 @@ SIMHASH_BITS = 32
 SIM_BANDS = 4  # 8-bit bands over the 32-bit simhash
 HAMMING_MAX = 6
 
+# minimum estimated Jaccard (matching-signature fraction) for a band
+# collision to count as a near-duplicate — shared by the batch curation
+# pipeline and the streaming ingest probe (streaming/corpus_ingest.py)
+NEAR_DUP_TAU = 0.5
+
 # MinHash universal-hash permutations: sig_p = min((a_p·h + b_p) mod P)
 # over one 30-bit base hash h per shingle (a,b < 2^30 ⇒ a·h+b < 2^62,
 # exact in int64 in both engines). One sha256 per shingle total — the
@@ -86,11 +91,11 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_dedup_oracle_sql() -> str:
-    return r"""
+def exact_dedup_oracle_sql(source: str = "documents") -> str:
+    return rf"""
     SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
            min(doc_id) AS canonical_id, count(*) AS n_docs
-    FROM documents GROUP BY 1
+    FROM {source} GROUP BY 1
     """
 
 
@@ -219,9 +224,11 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     return pairs.select("doc_a", "doc_b", (matched / F.lit(NUM_PERM)).alias("est_jaccard"))
 
 
-def _duck_sig_cte() -> str:
+def _duck_sig_cte(source: str = "documents") -> str:
     # Oracle recomputes the base hash per permutation (fine at oracle
     # scale) — same values as the Spark fold: min((a·h+b) mod P).
+    # ``source`` lets composed pipelines band a prior CTE's survivors
+    # instead of the raw documents table.
     sh = duck_shingles(duck_words(), MH_SHINGLE)
     h = f"({duck_hash64('s')} % {MH_BASE_MOD})"
     per_perm = ", ".join(
@@ -231,7 +238,7 @@ def _duck_sig_cte() -> str:
     return f"""
     sigs AS (
         SELECT doc_id, [{per_perm}] AS sig
-        FROM (SELECT doc_id, {sh} AS sh FROM documents)
+        FROM (SELECT doc_id, {sh} AS sh FROM {source})
         WHERE len(sh) > 0
     ),
     bands AS (
@@ -773,6 +780,112 @@ def corpus_pipeline(docs: DataFrame) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_tokens")
     )
+
+
+def corpus_pipeline_full(docs: DataFrame) -> DataFrame:
+    """(lang, shard, seq_id, n_chunks, n_tokens) — the complete
+    curation chain a pretraining run consumes, composed end-to-end from
+    the individually-verified stages:
+
+    1. quality gate (operators/text.quality_filter keep rule);
+    2. exact dedup among the kept docs (canonical = min doc_id per
+       content hash, computed on the survivors);
+    3. MinHash-LSH near-dedup among the exact survivors — a doc is
+       dropped when a band collision with a SMALLER-id doc verifies at
+       est_jaccard ≥ NEAR_DUP_TAU (the same pairwise lower-id-wins rule
+       as the streaming ingest probe, streaming/corpus_ingest.py);
+    4. decontamination — drop survivors sharing a distinct word 8-gram
+       with the benchmark side, and the benchmark docs themselves;
+    5. pack_sequences over what remains — the actual training-sequence
+       manifest.
+
+    Shuffle inventory — nothing new appears by composing: one quality
+    scan, one content-hash groupBy, one LSH band self-join (bounded by
+    the already-deduped survivor set), the broadcast decontamination
+    join, and pack's (lang, shard)-bounded window. Every stage is
+    separately oracle-checked; this row checks the composition."""
+    from meilisync_spark.operators.text import pack_sequences, quality_filter
+
+    docs = spread(docs)
+    q = quality_filter(docs).where(F.col("keep")).select("doc_id")
+    kept = docs.join(q, "doc_id", "left_semi").withColumn(
+        "content_hash", F.sha2(normalize_text(F.col("text")), 256)
+    )
+    canon = (
+        kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_sur = kept.join(canon, "doc_id", "left_semi").drop("content_hash")
+    near_drop = (
+        minhash_lsh_pairs(exact_sur.select("doc_id", "text"))
+        .where(F.col("est_jaccard") >= NEAR_DUP_TAU)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    near_sur = exact_sur.join(near_drop, "doc_id", "left_anti")
+    contaminated = (
+        decontaminate(docs).select(F.col("corpus_doc").alias("doc_id")).distinct()
+    )
+    final = (
+        near_sur.where(~_eval_flag(F.col("doc_id")))
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return pack_sequences(final.select("doc_id", "lang", "text"))
+
+
+def corpus_pipeline_full_oracle_sql() -> str:
+    from meilisync_spark.operators.text import (
+        PACK_FINAL_SELECT,
+        QF_MAX_PUNCT,
+        QF_MIN_DISTINCT,
+        QF_MIN_TOKENS,
+        pack_sequences_oracle_ctes,
+    )
+
+    w = duck_words()
+    n = f"len({w})"
+    punct = r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text)"
+    distinct = f"CASE WHEN {n} > 0 THEN len(list_distinct({w})) / {n} ELSE 0.0 END"
+    eval_hash = duck_hash64("'eval:' || doc_id")
+    ev = f"({eval_hash} % {EVAL_MOD} = 0)"
+    shingles = duck_shingles(duck_words(), DECON_SHINGLE)
+    hashed = f"list_distinct(list_transform({shingles}, s -> {duck_hash64('s')}))"
+    return f"""
+    WITH k AS (
+        SELECT doc_id, lang, text,
+               sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+        FROM documents
+        WHERE {n} >= {QF_MIN_TOKENS}
+          AND NOT ({punct} > {QF_MAX_PUNCT})
+          AND NOT ({distinct} < {QF_MIN_DISTINCT})
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY content_hash),
+    ex AS (SELECT k.doc_id, k.lang, k.text FROM k JOIN canon USING (doc_id)),
+    {_duck_sig_cte(source="ex")},
+    near_drop AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2]))
+              / {NUM_PERM} >= {NEAR_DUP_TAU}
+    ),
+    sh AS (
+        SELECT doc_id, unnest({hashed}) AS sh, {ev} AS is_eval FROM documents
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM sh c JOIN sh e ON c.sh = e.sh AND NOT c.is_eval AND e.is_eval
+    ),
+    final AS (
+        SELECT doc_id, lang, text FROM ex
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+          AND NOT {ev}
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    {pack_sequences_oracle_ctes(source="final")}
+    {PACK_FINAL_SELECT}
+    """
 
 
 def corpus_pipeline_oracle_sql() -> str:

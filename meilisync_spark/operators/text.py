@@ -555,20 +555,23 @@ def pack_sequences(docs: DataFrame) -> DataFrame:
     )
 
 
-def pack_sequences_oracle_sql() -> str:
+def pack_sequences_oracle_ctes(source: str = "documents") -> str:
+    """The packing CTE chain over ``source`` (a table or prior CTE),
+    ending in ``packed`` — split out so composed pipelines can append
+    it to their own WITH chain."""
     shard_hash = duck_hash64("'shard:' || doc_id")
     shard = f"CAST({shard_hash} % {PACK_SHARDS} AS INTEGER)"
     c, s = CHUNK_SIZE, CHUNK_STRIDE
     return f"""
-    WITH base AS (
+    pk_base AS (
         SELECT doc_id, lang, len({duck_words()}) AS n, {shard} AS shard
-        FROM documents
+        FROM {source}
     ),
     nc AS (
         SELECT *, CASE WHEN n > 0 THEN
                     1 + greatest(0, CAST(ceil((n - {c}) / {s}.0) AS BIGINT))
                   ELSE 0 END AS n_chunks
-        FROM base
+        FROM pk_base
     ),
     chunks AS (
         SELECT doc_id, lang, shard, i AS chunk_id,
@@ -584,12 +587,20 @@ def pack_sequences_oracle_sql() -> str:
                chunk_tokens
         FROM chunks
     )
+    """
+
+
+PACK_FINAL_SELECT = """
     SELECT lang, shard, seq_id, count(*) AS n_chunks,
            -- CAST: sum() over integers is HUGEINT in DuckDB -> float64 in
            -- pandas -> '128.0' vs Spark's '128' under the driver string hash
            CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
     FROM packed GROUP BY 1, 2, 3
     """
+
+
+def pack_sequences_oracle_sql(source: str = "documents") -> str:
+    return f"WITH {pack_sequences_oracle_ctes(source)} {PACK_FINAL_SELECT}"
 
 
 # ---------------------------------------------------------------------------
@@ -766,6 +777,92 @@ def span_dedup_oracle_sql() -> str:
                 THEN CAST(agg.n_dup_spans AS DOUBLE) / agg.n_spans
                 ELSE 0.0 END AS dup_frac
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+
+def span_removal(docs: DataFrame, k: int = SPAN_LEN) -> DataFrame:
+    """(doc_id, n_words, n_removed, cleaned_text) — actually EXCISE
+    duplicated spans, not just flag them (Lee et al. 2021 §3: of every
+    substring duplicated across the corpus, one occurrence is kept and
+    the rest are removed).
+
+    Deterministic word-level model: every k-word span occurrence is
+    ranked globally by (doc_id, start_pos); the first occurrence of
+    each distinct span survives, every later occurrence is excised —
+    each of its k word positions is dropped from its document — and the
+    text is reconstructed from the surviving words. First-occurrence-
+    wins makes the result independent of execution order, and word
+    granularity keeps the reconstruction exactly reproducible in the
+    SQL oracle (suffix-array byte ranges would not be).
+
+    Plan shape: ONE shuffle partitions span occurrences by span value
+    (the same key as span_dedup — xxhash64(span) is the 100-TB key
+    swap); excised occurrences explode to ≤ k·|occurrences| (doc_id,
+    pos) rows which aggregate per doc into a removal-position set; the
+    rebuild is then a per-row array filter — document text is never
+    exploded word-by-word or shuffled."""
+    from pyspark.sql import Window
+
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    occ = docs.select(
+        "doc_id", F.posexplode(shingles_col(w, k)).alias("p", "span")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("span").orderBy("doc_id", "p")
+    )
+    excised = occ.withColumn("rn", rn).where(F.col("rn") > 1)
+    cover = excised.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))).alias("pos"),
+    )
+    removed = cover.groupBy("doc_id").agg(F.collect_set("pos").alias("rm"))
+    base = docs.select("doc_id", w.alias("ws"))
+    joined = base.join(removed, "doc_id", "left").withColumn(
+        "rm", F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    )
+    kept_words = F.filter(
+        F.col("ws"), lambda x, i: ~F.array_contains(F.col("rm"), i.cast("int"))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size("rm").alias("n_removed"),
+        F.array_join(kept_words, " ").alias("cleaned_text"),
+    )
+
+
+def span_removal_oracle_sql(k: int = SPAN_LEN, source: str = "documents") -> str:
+    spans = duck_shingles(duck_words(), k)
+    return f"""
+    WITH occ AS (
+        SELECT doc_id, o.p, o.span
+        FROM (SELECT doc_id, unnest(list_transform({spans},
+                  (s, i) -> struct_pack(p := i - 1, span := s))) AS o
+              FROM {source})
+    ),
+    ranked AS (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, p) AS rn
+        FROM occ
+    ),
+    cover AS (
+        SELECT DISTINCT doc_id, p + i AS pos
+        FROM ranked, UNNEST(range(0, {k})) u(i)
+        WHERE rn > 1
+    ),
+    removed AS (
+        SELECT doc_id, list(pos) AS rm FROM cover GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len({duck_words()}) AS n_words,
+           coalesce(len(rm), 0) AS n_removed,
+           -- coalesce: DuckDB array_to_string of an empty list is NULL,
+           -- Spark array_join is '' — a fully-excised doc must agree
+           coalesce(array_to_string(list_filter({duck_words()},
+               (x, i) -> NOT coalesce(list_contains(rm, i - 1), FALSE)), ' '), '')
+               AS cleaned_text
+    FROM {source} d LEFT JOIN removed ON d.doc_id = removed.doc_id
     """
 
 

@@ -1375,6 +1375,17 @@ def q_corpus_pipeline(spark, sf_dir):
     return _dedup.corpus_pipeline(_t(spark, sf_dir, "documents"))
 
 
+@register("corpus_pipeline_full", _dedup.corpus_pipeline_full_oracle_sql(),
+          doc="The COMPLETE curation chain as one row: quality gate -> "
+              "exact canonical dedup -> MinHash-LSH near-dedup (pairwise "
+              "lower-id-wins at est_jaccard >= 0.5) -> benchmark "
+              "decontamination -> pack_sequences. Output is the "
+              "training-sequence manifest the run would consume; no new "
+              "shuffle shape appears by composing the verified stages.")
+def q_corpus_pipeline_full(spark, sf_dir):
+    return _dedup.corpus_pipeline_full(_t(spark, sf_dir, "documents"))
+
+
 @register("split_assign", _sampling.split_assign_oracle_sql(),
           doc="Stable train/val/test assignment by portable content hash "
               "of the key — identical across runs, engines, and "
@@ -2051,6 +2062,24 @@ def q_span_dedup(spark, sf_dir):
     return _span_dedup(_t(spark, sf_dir, "documents"))
 
 
+from meilisync_spark.operators.text import span_removal as _span_removal
+from meilisync_spark.operators.text import span_removal_oracle_sql as _span_removal_sql
+
+
+@register(
+    "span_removal",
+    _span_removal_sql(),
+    doc="Duplicated-span EXCISION (Lee et al. 2021 §3): global "
+        "first-occurrence-wins — the first occurrence of each word "
+        "8-gram survives, later occurrences have their word positions "
+        "removed and the text is reconstructed. One shuffle on the span "
+        "key; the rebuild is a per-row array filter, never a word "
+        "explode.",
+)
+def q_span_removal(spark, sf_dir):
+    return _span_removal(_t(spark, sf_dir, "documents"))
+
+
 from meilisync_spark.operators.similarity import semantic_dedup as _semantic_dedup
 from meilisync_spark.operators.similarity import (
     semantic_dedup_oracle_sql as _semantic_dedup_sql,
@@ -2217,11 +2246,15 @@ DRIVER_ORDER = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
-    "simhash_docs",
+    # simhash_docs moved out of the window (simhash_neardup_pairs
+    # subsumes it) for the composed-curation flagship row
+    "corpus_pipeline_full",
     "simhash_neardup_pairs",
     "dedup_clusters",
     "embedding_neardup_pairs",
-    "span_dedup",
+    # span_dedup moved out of the window (span_removal subsumes the
+    # detection half and adds the excision Lee et al. actually perform)
+    "span_removal",
     # sampling
     "split_assign",
     "temperature_resample",

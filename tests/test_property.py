@@ -235,3 +235,34 @@ def test_source_overlap_matches_bruteforce_pairs(spark):
         for r in source_overlap(docs).collect()
     }
     assert got == dict(expected)
+
+
+@given(docs=st.lists(_span_words, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_span_removal_matches_set_model(spark, docs):
+    """Excision == a brute-force python model: rank every span
+    occurrence globally by (doc_id, pos), keep the first occurrence of
+    each distinct span, drop the word positions of every later one,
+    rebuild the text."""
+    import meilisync_spark.operators.text as TX
+
+    k = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.cleaned_text)
+        for r in TX.span_removal(df, k=k).collect()
+    }
+
+    first: dict[str, tuple[int, int]] = {}
+    for d, ws in enumerate(docs):
+        for p in range(len(ws) - k + 1):
+            first.setdefault(" ".join(ws[p : p + k]), (d, p))
+    removed: dict[int, set] = {d: set() for d in range(len(docs))}
+    for d, ws in enumerate(docs):
+        for p in range(len(ws) - k + 1):
+            if first[" ".join(ws[p : p + k])] != (d, p):
+                removed[d].update(range(p, p + k))
+    for d, ws in enumerate(docs):
+        cleaned = " ".join(w for i, w in enumerate(ws) if i not in removed[d])
+        assert got[d] == (len(ws), len(removed[d]), cleaned), d
