@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meilisync_spark.operators.dedup import (
+    NEAR_DUP_TAU,
     NUM_PERM,
     lsh_bands,
     minhash_signatures,
@@ -55,10 +56,6 @@ from meilisync_spark.streaming.pipeline import _start_and_await
 
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
-# minimum estimated Jaccard (matching signature fraction) for a band
-# collision to count as a near-duplicate of the stored corpus
-NEAR_DUP_TAU = 0.5
-
 # the index is hive-partitioned by hb = crc32(content_hash) % N so the
 # dedup probe reads only the hash buckets the batch touches (same
 # pruning pattern as operators/bucketed.py). Steady-state trickle
@@ -67,11 +64,29 @@ NEAR_DUP_TAU = 0.5
 HASH_BUCKET_COL = "hb"
 N_HASH_BUCKETS = 64
 
+# the MinHash band index is likewise partitioned, by bb = band_hash %
+# N, and the near-dup probe prunes to the batch's band buckets. The
+# math differs from hb=: every doc carries BANDS (8) band hashes, so a
+# batch of B docs touches up to 8·B of the N directories — pruning
+# pays off for the steady-state trickle (B≈1-10 → 3-25% of the corpus
+# band rows scanned at N=256) and degrades to the full probe for bulk
+# backfills, where the batch amortizes the scan anyway. N is larger
+# than the hb= layout's because of that 8× touch factor; at extreme
+# scale the honest production answer for point-probing 8·B keys is a
+# KV store / table-format index, not a filesystem scan (SCALE.md).
+BAND_BUCKET_COL = "bb"
+N_BAND_BUCKETS = 256
+
 
 def _hb(content_hash):
     # NULL text hashes to NULL: pin it to bucket 0 so the layout has no
     # default-partition directory
     return (F.coalesce(F.crc32(content_hash), F.lit(0)) % N_HASH_BUCKETS).cast("int")
+
+
+def _bb(band_hash):
+    # band_hash is a signed 64-bit hash: pmod keeps buckets non-negative
+    return F.pmod(F.coalesce(band_hash, F.lit(0)), F.lit(N_BAND_BUCKETS)).cast("int")
 
 
 def _with_hash(docs: DataFrame) -> DataFrame:
@@ -113,7 +128,7 @@ def _est_jaccard(sig_a: str, sig_b: str):
     return matched / F.lit(NUM_PERM)
 
 
-def drop_near_dups(fresh: DataFrame, band_index: DataFrame | None) -> DataFrame:
+def drop_near_dups(fresh: DataFrame, load_band_index) -> DataFrame:
     """Filter ``fresh`` (post exact-dedup) against the stored MinHash
     band index AND against itself: a doc is dropped when a band
     collision verifies at est_jaccard >= NEAR_DUP_TAU against the
@@ -123,8 +138,17 @@ def drop_near_dups(fresh: DataFrame, band_index: DataFrame | None) -> DataFrame:
     Docs too short to carry a signature (< one shingle) skip the probe
     but are KEPT — near-dedup must not silently drop short documents.
     Returns survivors with their ``sig`` attached (null for short
-    docs) so the caller can append their bands."""
-    sigs = minhash_signatures(fresh.select("doc_id", "text"))
+    docs) so the caller can append their bands.
+
+    ``load_band_index`` is called with the batch's own band table and
+    returns the stored corpus band index to probe (or None when none
+    exists yet) — the callback shape lets the caller prune the index
+    read to the batch's band buckets before the join."""
+    # pin the signatures: they feed the survivor join, both sides of
+    # the in-batch self-probe, the corpus probe AND the touched-bucket
+    # collect — without the checkpoint the sha256-per-shingle pipeline
+    # re-runs for each
+    sigs = minhash_signatures(fresh.select("doc_id", "text")).localCheckpoint(True)
     withsig = fresh.join(sigs, "doc_id", "left")
     bands = lsh_bands(sigs)
     # in-batch self-probe: higher id loses against a verified lower id
@@ -141,6 +165,7 @@ def drop_near_dups(fresh: DataFrame, band_index: DataFrame | None) -> DataFrame:
         .distinct()
     )
     dropped = near_in_batch
+    band_index = load_band_index(bands)
     if band_index is not None:
         probe = bands.join(
             band_index.select(
@@ -197,26 +222,26 @@ def run_corpus_ingest(
         except Exception:
             return None
 
-    def _is_bucketed(index: DataFrame | None) -> bool:
+    def _is_bucketed(path: str, col: str, index: DataFrame | None) -> bool:
         # the layout is a property of the DIRECTORY TREE, not of the
-        # dataframe schema: a rewrite that flattened hb= dirs into data
-        # files (a mis-run compaction) would still show hb in .columns,
-        # and appending hb= dirs beside flat files silently hides the
-        # flat rows from basePath readers. Trust the directories when
-        # the path is locally inspectable; fall back to column presence
-        # for remote filesystems.
-        real = os.path.realpath(index_path)
+        # dataframe schema: a rewrite that flattened the partition dirs
+        # into data files (a mis-run compaction) would still show the
+        # column in .columns, and appending col= dirs beside flat files
+        # silently hides the flat rows from basePath readers. Trust the
+        # directories when the path is locally inspectable; fall back
+        # to column presence for remote filesystems.
+        real = os.path.realpath(path)
         if os.path.isdir(real):
             entries = os.listdir(real)
-            if any(e.startswith(f"{HASH_BUCKET_COL}=") for e in entries):
+            if any(e.startswith(f"{col}=") for e in entries):
                 return True
             if any(e.endswith(".parquet") for e in entries):
                 return False
-        return index is None or HASH_BUCKET_COL in index.columns
+        return index is None or col in index.columns
 
     def handle(batch: DataFrame, _bid: int) -> None:
         index = _read_if_exists(index_path)
-        bucketed = _is_bucketed(index)
+        bucketed = _is_bucketed(index_path, HASH_BUCKET_COL, index)
         if index is not None and bucketed:
             # prune the probe to the hash buckets this batch touches —
             # partition pruning on the hb= directory key bounds the
@@ -232,15 +257,43 @@ def run_corpus_ingest(
         fresh = ingest_batch(batch, index, apply_quality)
         if near_dedup:
             band_index = _read_if_exists(bands_path)
+            bands_bucketed = _is_bucketed(bands_path, BAND_BUCKET_COL, band_index)
+
+            def load_band_index(batch_bands: DataFrame) -> DataFrame | None:
+                if band_index is None:
+                    return None
+                if not bands_bucketed:
+                    return band_index  # pre-bucketing flat layout
+                # prune to the batch's band buckets: ≤ BANDS·|batch|
+                # tiny ints, the same directory-pruning contract as hb=
+                touched_bb = [
+                    r[0]
+                    for r in batch_bands.select(_bb(F.col("band_hash")))
+                    .distinct()
+                    .collect()
+                ]
+                return band_index.where(
+                    F.col(BAND_BUCKET_COL).isin(touched_bb)
+                )
+
             # pin the batch result BEFORE the first append: both writes
             # must see the same survivors, and the lineage reads the
             # index/band dirs — re-evaluating it after the first append
             # would see the batch's own rows as "already present"
-            survivors = drop_near_dups(fresh, band_index).localCheckpoint(True)
+            survivors = drop_near_dups(fresh, load_band_index).localCheckpoint(True)
             _append(survivors.select("content_hash", *DOC_COLS), bucketed)
-            lsh_bands(
+            new_bands = lsh_bands(
                 survivors.where(F.col("sig").isNotNull()).select("doc_id", "sig")
-            ).write.mode("append").parquet(bands_path)
+            )
+            if bands_bucketed:
+                (
+                    new_bands.withColumn(BAND_BUCKET_COL, _bb(F.col("band_hash")))
+                    .write.mode("append")
+                    .partitionBy(BAND_BUCKET_COL)
+                    .parquet(bands_path)
+                )
+            else:
+                new_bands.write.mode("append").parquet(bands_path)
         else:
             _append(fresh, bucketed)
 

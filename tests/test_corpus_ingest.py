@@ -277,3 +277,36 @@ def test_compact_then_ingest_keeps_layout_and_rows(spark, tmp_path):
     got_map = {r.content_hash: r.doc_id for r in got.collect()}
     # pre-compaction docs are still here AND still dedup batch-2 replays
     assert got_map == exp
+
+
+def test_band_index_is_bucketed_and_probe_prunes(spark, tmp_path):
+    """The MinHash band index lands hive-partitioned by bb=band_hash%N
+    and a probe filtered to a batch's band buckets shows
+    PartitionFilters — the near-dup probe scan is bounded by touched
+    buckets, not the corpus band count (the last O(corpus)-per-batch
+    path before this)."""
+    from meilisync_spark.streaming.corpus_ingest import (
+        BAND_BUCKET_COL,
+        run_corpus_ingest,
+    )
+
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    _stage_batches(spark, src)
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"),
+        near_dedup=True, max_files_per_trigger=1,
+    )
+    bands_path = idx + "_bands"
+    dirs = [
+        e for e in os.listdir(bands_path) if e.startswith(f"{BAND_BUCKET_COL}=")
+    ]
+    assert len(dirs) > 1  # really spread over band buckets
+
+    probe = (
+        spark.read.parquet(bands_path)
+        .where(F.col(BAND_BUCKET_COL).isin([0, 1, 2]))
+        .select("band_idx", "band_hash", "sig")
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bb", plan), plan[:800]
