@@ -478,6 +478,261 @@ def srp_recall_at_k_oracle_sql(k: int = TOP_K) -> str:
     """
 
 
+def srp_multiprobe_topk(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(q_id, neighbor_id, rank, cosine) — SRP-LSH top-k with
+    multi-probe (Lv et al. 2007): each query probes its own bucket PLUS
+    every Hamming-1 bucket (one sign bit flipped), 1+bits probes out of
+    2^bits. The standard recall knob on top of single-probe LSH: a true
+    neighbor that disagrees on exactly one low-margin bit is recovered
+    at the cost of probing (1+bits)/2^bits of the corpus instead of
+    1/2^bits. Mechanics: the broadcast query batch is exploded into its
+    probe-bucket list (|Q|·(1+bits) rows — still tiny), then the same
+    bucket-equality join as :func:`srp_ann_topk`; each corpus vector
+    lives in exactly one bucket so no candidate dedup is needed. At
+    100 TB the corpus stays partitioned by bucket and each probe is a
+    partition-pruned scan."""
+    planes = srp_planes()
+    withb = emb.select(
+        "vec_id", "embedding", _srp_bucket_col(F.col("embedding"), planes).alias("bucket")
+    )
+    probe_list = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(1 << b)) for b in range(len(planes))],
+    )
+    q = (
+        withb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        .select("q_id", "q_emb", F.explode(probe_list).alias("probe_bucket"))
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe_bucket")) & (F.col("neighbor_id") != F.col("q_id")),
+    ).withColumn("cosine", cosine(F.col("q_emb"), F.col("c_emb")))
+    return _topk(pairs, k, [])
+
+
+def srp_multiprobe_recall(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(q_id, n_hits, n_brute, recall) — recall@k of the multi-probe
+    SRP path vs brute force on the raw fixture: the measured
+    demonstration that probing Hamming-1 buckets lifts recall above
+    :func:`srp_recall_at_k`'s single-probe number at a known extra-scan
+    cost."""
+    return _recall_against_brute(emb, srp_multiprobe_topk(emb, k), k)
+
+
+def _srp_bucket_sql() -> str:
+    planes = srp_planes()
+    bits = []
+    for b, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(f"(CASE WHEN {duck_dot('v', lit)} >= 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def srp_multiprobe_topk_oracle_sql(k: int = TOP_K) -> str:
+    n_planes = len(srp_planes())
+    flips = ", ".join(str(1 << b) for b in range(n_planes))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    wb AS (SELECT vec_id, v, {_srp_bucket_sql()} AS bucket FROM e),
+    q AS (
+        SELECT vec_id, v, xor(bucket, flip) AS probe_bucket
+        FROM wb, UNNEST([0, {flips}]) t(flip)
+        WHERE vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               {duck_cosine('q.v', 'c.v')} AS cosine
+        FROM q JOIN wb c ON c.bucket = q.probe_bucket AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT q_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+def srp_multiprobe_recall_oracle_sql(k: int = TOP_K) -> str:
+    brute = cosine_topk_oracle_sql(k)
+    ann = srp_multiprobe_topk_oracle_sql(k)
+    return f"""
+    WITH br AS (SELECT q_id, neighbor_id FROM ({brute})),
+         ann AS (SELECT q_id, neighbor_id FROM ({ann}))
+    SELECT br.q_id AS q_id,
+           count(ann.neighbor_id) AS n_hits,
+           count(*) AS n_brute,
+           count(ann.neighbor_id) / count(*) AS recall
+    FROM br LEFT JOIN ann
+      ON ann.q_id = br.q_id AND ann.neighbor_id = br.neighbor_id
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Clustered-corpus recall: the positive ANN demonstration. The raw fixture
+# vectors are near-orthogonal, so ann_recall_at_k / srp_recall_at_k honestly
+# report ~0.1 recall — real cosine-LSH physics on weak-similarity data, but
+# no proof the probes FIND neighbors when neighbors exist. These twins derive
+# a genuinely clustered corpus deterministically from the fixture and show
+# both probe shapes at recall ~1.0 on it.
+# ---------------------------------------------------------------------------
+
+CLUSTER_CELLS = 10
+CLUSTER_DELTA = 0.125  # exact binary fraction: b + v*0.125 is one multiply
+                       # and one add in both engines -> bit-equal twin corpus
+
+
+def cluster_bases(cells: int = CLUSTER_CELLS, dim: int = SRP_DIM) -> list[list[float]]:
+    """Deterministic per-cell base vectors (same sha256-literal scheme as
+    :func:`srp_planes`): components k/1000, k in [-1000, 1000], embedded
+    as identical literals in the Spark plan and the DuckDB oracle."""
+    import hashlib
+
+    bases = []
+    for c in range(cells):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.sha256(f"cellbase:{c}:{j}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        bases.append(row)
+    return bases
+
+
+def clustered_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, label) — the clustered twin corpus:
+    ``v' = base(vec_id % cells) + delta * v``. Each cell is a tight cap
+    (base norm ~4.6 vs perturbation norm delta=0.125 on the unit-norm
+    fixture, angular radius ~1.5 degrees), cross-cell cosines stay near
+    random-base levels (~0.1) — so a query's true top-k genuinely lives
+    in its own cell, which is what an ANN probe must exploit. Pure
+    per-row Catalyst (literal array-of-arrays + zip_with), zero shuffle,
+    scan-bound at any corpus size."""
+    bases = cluster_bases()
+    blit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in bases])
+    cell = (F.col("vec_id") % CLUSTER_CELLS).cast("int")
+    base = F.element_at(blit, cell + F.lit(1))
+    v = F.zip_with(
+        base,
+        F.col("embedding"),
+        lambda b, x: b + x.cast("double") * F.lit(CLUSTER_DELTA),
+    )
+    return emb.select(
+        "vec_id",
+        v.alias("embedding"),
+        (F.col("vec_id") % CLUSTER_CELLS).alias("label"),
+    )
+
+
+def ann_recall_clustered(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(q_id, n_hits, n_brute, recall) — IVF cell-probe recall@k on the
+    clustered twin corpus. With real cluster structure the one-cell
+    probe recovers the brute-force top-k exactly (recall 1.0) while
+    scanning 1/cells of the corpus — the demonstration that the probe
+    shape works when neighbors exist (contrast ann_recall_at_k on the
+    raw near-orthogonal fixture)."""
+    ce = clustered_embeddings(emb)
+    return _recall_against_brute(ce, ann_ivf_label(ce, k), k)
+
+
+def srp_recall_clustered(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(q_id, n_hits, n_brute, recall) — SRP-LSH bucket-probe recall@k
+    on the clustered twin corpus: tight clusters land whole in one
+    bucket, so the training-free hash probe also recovers the true
+    top-k (modulo cells that straddle a hyperplane — the measured
+    residual of single-probe LSH)."""
+    ce = clustered_embeddings(emb)
+    return _recall_against_brute(ce, srp_ann_topk(ce, k), k)
+
+
+def _clustered_cte() -> str:
+    """DuckDB CTEs deriving the SAME clustered twin: e(vec_id, v, label)."""
+    bases = cluster_bases()
+    vals = ",\n               ".join(
+        "(" + str(c) + ", [" + ", ".join(repr(x) for x in row) + "]::DOUBLE[])"
+        for c, row in enumerate(bases)
+    )
+    return f"""raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv FROM embeddings),
+    bases(cell, b) AS (VALUES {vals}),
+    e AS (
+        SELECT raw.vec_id AS vec_id,
+               list_transform(range(1, len(rv) + 1), i -> b[i] + rv[i] * {CLUSTER_DELTA}) AS v,
+               raw.vec_id % {CLUSTER_CELLS} AS label
+        FROM raw JOIN bases ON bases.cell = raw.vec_id % {CLUSTER_CELLS}
+    )"""
+
+
+def ann_recall_clustered_oracle_sql(k: int = TOP_K) -> str:
+    return f"""
+    WITH {_clustered_cte()},
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    br AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {duck_cosine('q.v', 'c.v')} DESC, c.vec_id) AS rank
+            FROM q JOIN e c ON c.vec_id <> q.vec_id
+        ) WHERE rank <= {k}
+    ),
+    ir AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {duck_cosine('q.v', 'c.v')} DESC, c.vec_id) AS rank
+            FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+        ) WHERE rank <= {k}
+    )
+    SELECT br.q_id, count(ir.neighbor_id) AS n_hits, count(*) AS n_brute,
+           count(ir.neighbor_id) / count(*) AS recall
+    FROM br LEFT JOIN ir ON br.q_id = ir.q_id AND br.neighbor_id = ir.neighbor_id
+    GROUP BY br.q_id
+    """
+
+
+def srp_recall_clustered_oracle_sql(k: int = TOP_K) -> str:
+    planes = srp_planes()
+    bits = []
+    for b, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(f"(CASE WHEN {duck_dot('v', lit)} >= 0 THEN {1 << b} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    WITH {_clustered_cte()},
+    wb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT * FROM wb WHERE vec_id < {N_QUERIES}),
+    br AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {duck_cosine('q.v', 'c.v')} DESC, c.vec_id) AS rank
+            FROM q JOIN e c ON c.vec_id <> q.vec_id
+        ) WHERE rank <= {k}
+    ),
+    ir AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {duck_cosine('q.v', 'c.v')} DESC, c.vec_id) AS rank
+            FROM q JOIN wb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        ) WHERE rank <= {k}
+    )
+    SELECT br.q_id, count(ir.neighbor_id) AS n_hits, count(*) AS n_brute,
+           count(ir.neighbor_id) / count(*) AS recall
+    FROM br LEFT JOIN ir ON br.q_id = ir.q_id AND br.neighbor_id = ir.neighbor_id
+    GROUP BY br.q_id
+    """
+
+
 def ann_ivf_kmeans(emb: DataFrame, k: int = TOP_K) -> DataFrame:
     """(q_id, neighbor_id, cluster, rank, cosine) — the full IVF loop
     closed: cells come from the trained k-means quantizer

