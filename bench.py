@@ -97,6 +97,12 @@ HEADLINE = [
     "source_overlap",
     "dedup_clusters_verified",
     "corpus_pipeline",
+    # round 3 additions
+    "span_removal",
+    "corpus_pipeline_full",
+    "ann_recall_clustered",
+    "srp_recall_clustered",
+    "srp_multiprobe_recall",
 ]
 
 

@@ -46,9 +46,38 @@ def _settings(args: argparse.Namespace) -> Settings:
     return Settings.from_dict({})
 
 
+def _init_ops(spark, settings) -> None:
+    """Ops surface from config (≡ meilisync/main.py:34-47): debug
+    logging, optional sentry, progress-mirror validation."""
+    if settings.debug:
+        # the reference logs the parsed settings at debug level
+        # (main.py:34-35); the Spark-side analogue also opens up the
+        # engine's own INFO stream
+        spark.sparkContext.setLogLevel("INFO")
+        print(f"debug: settings={settings}", file=sys.stderr)
+    if settings.sentry is not None:
+        try:
+            import sentry_sdk  # type: ignore
+
+            sentry_sdk.init(
+                dsn=settings.sentry.dsn,
+                environment=settings.sentry.environment,
+            )
+        except ImportError:
+            # config asks for sentry but the sdk isn't installed: warn
+            # loudly, keep syncing — error reporting must never take
+            # down the pipeline it reports on
+            print(
+                "warning: sentry configured but sentry_sdk is not "
+                "installed; continuing without error reporting",
+                file=sys.stderr,
+            )
+
+
 def cmd_start(args: argparse.Namespace) -> int:
     spark = get_spark("meilisync-spark-start")
     settings = _settings(args)
+    _init_ops(spark, settings)
     index = args.index or settings.sink.index_path
     interval = (
         f"{settings.sink.insert_interval} seconds"
@@ -60,6 +89,8 @@ def cmd_start(args: argparse.Namespace) -> int:
         # sync rule (table filter, fields map, pk, plugin chains) into
         # one index per sync — the reference's full start loop
         # (meilisync/main.py:71-140)
+        from meilisync_spark.progress import make_progress
+
         pre = load_plugin(args.plugin) if args.plugin else None
         run_settings_pipeline(
             spark,
@@ -73,6 +104,7 @@ def cmd_start(args: argparse.Namespace) -> int:
             num_buckets=args.buckets,
             extra_pre=pre,
             timeout_sec=args.timeout,
+            progress=make_progress(settings.progress),
         )
         names = ", ".join(
             os.path.join(settings.sink.index_path, s.index_name) for s in settings.syncs

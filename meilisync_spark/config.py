@@ -64,10 +64,36 @@ class SinkSettings:
 
 
 @dataclass
+class ProgressSettings:
+    """Ops-mirror store config (≡ meilisync/settings.py:53-57's
+    ``Progress`` with its extra-allowed per-type kwargs). The resume
+    position itself lives in checkpointLocation — see
+    :mod:`meilisync_spark.progress` for the division of labor."""
+
+    type: str = "file"  # "file" | "redis"
+    path: str = "progress.json"  # file store
+    dsn: str = "redis://localhost:6379/0"  # redis store
+    key: str = "meilisync:progress"
+
+
+@dataclass
+class Sentry:
+    """Error-reporting config (≡ meilisync/settings.py:58-61)."""
+
+    dsn: str
+    environment: str = "production"
+
+
+@dataclass
 class Settings:
     sink: SinkSettings = field(default_factory=SinkSettings)
     syncs: list[Sync] = field(default_factory=list)
     plugins: list[str] = field(default_factory=list)  # global plugin chain
+    # ops surface (≡ meilisync/settings.py:63-71): progress mirror,
+    # debug logging, sentry error reporting
+    progress: ProgressSettings | None = None
+    debug: bool = False
+    sentry: Sentry | None = None
 
     def get_sync(self, table: str) -> Sync | None:
         """Route an event's table to its sync rule (P3,
@@ -85,7 +111,18 @@ class Settings:
     def from_dict(cls, d: dict[str, Any]) -> "Settings":
         sink = SinkSettings(**d.get("sink", {}))
         syncs = [Sync(**s) for s in d.get("sync", [])]
-        return cls(sink=sink, syncs=syncs, plugins=d.get("plugins", []))
+        progress = (
+            ProgressSettings(**d["progress"]) if d.get("progress") else None
+        )
+        sentry = Sentry(**d["sentry"]) if d.get("sentry") else None
+        return cls(
+            sink=sink,
+            syncs=syncs,
+            plugins=d.get("plugins", []),
+            progress=progress,
+            debug=bool(d.get("debug", False)),
+            sentry=sentry,
+        )
 
     @classmethod
     def from_yaml(cls, path: str) -> "Settings":

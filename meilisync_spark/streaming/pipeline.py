@@ -204,6 +204,7 @@ def run_settings_pipeline(
     timeout_sec: float | None = 120.0,
     num_buckets: int | None = None,
     extra_pre: Callable[[DataFrame], DataFrame] | None = None,
+    progress=None,
 ):
     """The reference's full `start` loop: every event routed through its
     sync rule (meilisync/main.py:107-109) — multi-table, per-sync fields
@@ -242,6 +243,13 @@ def run_settings_pipeline(
     origin — and every batch drops that sync's events at-or-below it.
     In production the head marker comes from the log's own position API
     (binlog coordinates / LSN / resume token) instead of a max() scan.
+
+    ``progress`` (a :class:`meilisync_spark.progress.ProgressStore`,
+    built from ``Settings.progress`` via ``make_progress``) is the ops
+    mirror: after each batch's MERGEs commit, the latest applied
+    ``event_id`` per table is published (one tiny column-pruned
+    aggregate over the batch, |tables| rows collected). Resume truth
+    stays in checkpointLocation; the store is never read on restart.
     """
     import json
 
@@ -315,6 +323,25 @@ def run_settings_pipeline(
                     base, ev.drop("table"), pk="pk", payload_cols=None
                 )
                 refresh_data(new_state, index_path)
+        if progress is not None:
+            # publish AFTER every sync's merge committed (same
+            # apply-then-record order as the reference, main.py:110-120
+            # — a crash between the two re-applies, never skips)
+            if table_col:
+                head_rows = (
+                    raw.where(F.col(table_col).isin(list(chains)))
+                    .groupBy(table_col)
+                    .agg(F.max("event_id").alias("h"))
+                    .collect()
+                )
+                heads = {r[0]: r["h"] for r in head_rows if r["h"] is not None}
+            else:
+                h = raw.agg(F.max("event_id")).first()[0]
+                heads = (
+                    {s.table: h for s in settings.syncs} if h is not None else {}
+                )
+            if heads:
+                progress.set(**heads)
 
     writer = (
         events.writeStream.foreachBatch(apply_batch)

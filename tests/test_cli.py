@@ -159,3 +159,22 @@ def test_cli_compact(spark, tmp_path, capsys):
     assert rc == 0
     assert "1 files" in capsys.readouterr().out
     assert spark.read.parquet(index).count() == 1000
+
+
+def test_init_ops_tolerates_missing_sentry(spark, capsys):
+    """sentry configured but sdk absent (this container): warn and
+    continue — error reporting must never take down the sync. debug
+    dumps the settings and restores nothing (log level is best-effort
+    ops sugar)."""
+    import sys
+
+    from meilisync_spark.cli import _init_ops
+    from meilisync_spark.config import Sentry, Settings
+
+    assert "sentry_sdk" not in sys.modules
+    s = Settings.from_dict({"debug": True})
+    s.sentry = Sentry(dsn="https://k@sentry.example/1")
+    _init_ops(spark, s)  # must not raise
+    err = capsys.readouterr().err
+    assert "sentry" in err and "debug" in err
+    spark.sparkContext.setLogLevel("WARN")

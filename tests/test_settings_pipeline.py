@@ -667,3 +667,91 @@ def test_full_false_tails_from_head_not_history(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(sink_root, "full_idx")).collect()
     }
     assert got_full == exp_full
+
+
+def test_file_progress_store_roundtrip(tmp_path):
+    """FileProgress merges (independent syncs must not erase each
+    other), survives a fresh handle (it's a file, not process state),
+    and reads back {} before the first publish."""
+    from meilisync_spark.progress import FileProgress, make_progress
+
+    p = str(tmp_path / "ops" / "progress.json")
+    store = FileProgress(p)
+    assert store.get() == {}
+    store.set(users=10)
+    store.set(accounts=7)       # merge, not replace
+    store.set(users=12)         # monotone update
+    assert FileProgress(p).get() == {"users": 12, "accounts": 7}
+    # no stray tmp files left behind by the atomic write
+    assert [f for f in os.listdir(tmp_path / "ops")
+            if f != "progress.json"] == []
+
+    from meilisync_spark.config import ProgressSettings
+    assert isinstance(make_progress(ProgressSettings(type="file", path=p)),
+                      FileProgress)
+    assert make_progress(None) is None
+    try:
+        make_progress(ProgressSettings(type="zookeeper"))
+        raise AssertionError("unknown progress type must fail loudly")
+    except ValueError:
+        pass
+
+
+def test_settings_pipeline_publishes_progress_mirror(spark, tmp_path):
+    """The ops mirror: after the pipeline catches up, the store holds
+    the max applied event_id per routed table — readable without Spark
+    (the reference's progress-store role, meilisync/progress/file.py)."""
+    import json
+
+    from meilisync_spark.progress import FileProgress
+
+    events_path = _multi_table_events(spark, tmp_path)
+    settings = Settings(
+        sink=SinkSettings(index_path=str(tmp_path / "indexes")),
+        syncs=[
+            Sync(full=True, table="users", pk="user_id"),
+            Sync(full=True, table="accounts", pk="event_id"),
+        ],
+    )
+    store = FileProgress(str(tmp_path / "progress.json"))
+    run_settings_pipeline(
+        spark, events_path, settings, str(tmp_path / "ckpt"),
+        table_col="tbl", available_now=True, progress=store,
+    )
+    raw = spark.read.parquet(events_path)
+    exp = {
+        r.tbl: r.h
+        for r in raw.groupBy("tbl").agg(F.max("event_id").alias("h")).collect()
+    }
+    got = store.get()
+    assert got == exp
+    # and it is plain JSON on disk — the "dashboards read it without
+    # the engine" contract
+    with open(tmp_path / "progress.json") as fh:
+        assert json.load(fh) == exp
+
+
+def test_settings_ops_surface_parsing(tmp_path):
+    """progress/debug/sentry parse from the reference YAML shape and
+    default off; cmd_start's ops init tolerates a missing sentry_sdk."""
+    import yaml
+
+    from meilisync_spark.config import ProgressSettings, Sentry
+
+    cfg = {
+        "sink": {"index_path": str(tmp_path / "idx")},
+        "sync": [{"table": "users"}],
+        "progress": {"type": "file", "path": str(tmp_path / "p.json")},
+        "debug": True,
+        "sentry": {"dsn": "https://k@sentry.example/1"},
+    }
+    path = tmp_path / "config.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    s = Settings.from_yaml(str(path))
+    assert s.progress == ProgressSettings(type="file", path=str(tmp_path / "p.json"))
+    assert s.debug is True
+    assert s.sentry == Sentry(dsn="https://k@sentry.example/1",
+                              environment="production")
+    # defaults: all off
+    s0 = Settings.from_dict({})
+    assert s0.progress is None and s0.debug is False and s0.sentry is None
