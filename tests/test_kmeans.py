@@ -77,3 +77,28 @@ def test_ann_ivf_kmeans_probe(spark):
         cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
         assert cosines == sorted(cosines, reverse=True)
         assert len({r.cluster for r in rows}) == 1  # all from the query's cell
+
+
+def test_trained_ivf_recall_on_clustered_twin(spark):
+    """The full IVF story closed on data with real cluster structure:
+    k-means (seeded from vec_id<k — one seed lands in each twin cell)
+    discovers the cells, and the trained-cell probe recovers the
+    brute-force top-k. Local-only like the rest of the k-means loop
+    (iterative ⇒ non-SQL-expressible), but the recall is measured, not
+    asserted by construction."""
+    from meilisync_spark.operators.similarity import (
+        N_QUERIES,
+        _recall_against_brute,
+        ann_ivf_kmeans,
+        clustered_embeddings,
+    )
+    from meilisync_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    ce = clustered_embeddings(load_table(spark, SF_SMOKE, "embeddings"))
+    from meilisync_spark.operators.similarity import TOP_K
+
+    rows = _recall_against_brute(ce, ann_ivf_kmeans(ce), TOP_K).collect()
+    assert len(rows) == N_QUERIES
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.8, mean

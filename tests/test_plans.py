@@ -174,3 +174,16 @@ def test_unigram_freq_vocab_broadcasts(spark):
     language vocabularies are tiny next to the token stream)."""
     plan = _plan(spark, "unigram_freq_score")
     assert "BroadcastHashJoin" in plan
+
+
+def test_ann_probe_joins_stay_broadcast(spark):
+    """The ANN probe joins must broadcast the (exploded) query batch —
+    a shuffled or cartesian probe would move the corpus; the only
+    broadcast-NL allowed is the documented brute-force ground-truth
+    baseline inside the recall scorers."""
+    for name in ["ann_recall_clustered", "srp_recall_clustered",
+                 "srp_multiprobe_topk", "srp_multiprobe_recall"]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
