@@ -98,6 +98,8 @@ HEADLINE = [
     "dedup_clusters_verified",
     "corpus_pipeline",
     # round 3 additions
+    "maxwell_roundtrip",
+    "canal_roundtrip",
     "span_removal",
     "corpus_pipeline_full",
     "ann_recall_clustered",

@@ -157,6 +157,39 @@ def q_normalize_events(spark, sf_dir):
     return normalize_events(_t(spark, sf_dir, "events"))
 
 
+from meilisync_spark.sources.cdc_connectors import (
+    canal_roundtrip as _canal_rt,
+    canal_roundtrip_oracle_sql as _canal_rt_sql,
+    maxwell_roundtrip as _maxwell_rt,
+    maxwell_roundtrip_oracle_sql as _maxwell_rt_sql,
+)
+
+
+@register(
+    "maxwell_roundtrip",
+    _maxwell_rt_sql(),
+    doc="Maxwell binlog-JSON envelope roundtrip: events rendered as "
+        "real Maxwell messages in-engine, parsed back via "
+        "normalize_maxwell (binlog-coordinate seq pack, epoch-second "
+        "ts, JSON double round-trip); oracle computed straight from "
+        "the source columns, so the construct+parse path is what the "
+        "hash certifies.",
+)
+def q_maxwell_roundtrip(spark, sf_dir):
+    return _maxwell_rt(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "canal_roundtrip",
+    _canal_rt_sql(),
+    doc="Canal flat-message envelope roundtrip: batched data arrays, "
+        "stringly values re-typed, id*2^20+pos seq pack, es event "
+        "clock — normalize_canal end-to-end vs a source-derived oracle.",
+)
+def q_canal_roundtrip(spark, sf_dir):
+    return _canal_rt(_t(spark, sf_dir, "events"))
+
+
 @register(
     "compact_events",
     compaction_oracle_sql(_EV, ["pk"], ["seq", "ts", "table", "op", "value", "k"]),

@@ -201,6 +201,391 @@ def normalize_debezium(
     return out
 
 
+# Maxwell type → EventType. bootstrap-insert is Maxwell's snapshot
+# phase — creates, same as Debezium 'r' / the reference's
+# backfill-as-creates (meilisync/meili.py:30-32).
+MAXWELL_OP_MAP: dict[str, str] = {
+    "insert": "create",
+    "bootstrap-insert": "create",
+    "update": "update",
+    "delete": "delete",
+}
+
+MAXWELL_POS_FILE_SHIFT = 1 << 32  # binlog offsets are < 4 GiB by protocol
+
+
+def maxwell_value_schema(payload_schema: T.StructType) -> T.StructType:
+    """Schema of a Maxwell daemon message (one JSON object per row
+    change): ``data`` is the full new row (insert/update) or the
+    deleted row (delete); ``old`` carries the prior values of changed
+    columns on update; ``position`` is the binlog coordinate string
+    ``file.NNNNNN:offset``."""
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),  # epoch seconds
+            T.StructField("xid", T.LongType()),
+            T.StructField("commit", T.BooleanType()),
+            T.StructField("position", T.StringType()),
+            T.StructField("data", payload_schema),
+            T.StructField("old", payload_schema),
+        ]
+    )
+
+
+def normalize_maxwell(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    *,
+    pk: str = "id",
+    value_col: str = "value",
+    tables: list[str] | None = None,
+) -> DataFrame:
+    """Maxwell envelope → the engine's normalized event schema
+    ``(seq, ts, table, op, pk, payload struct)`` — the same contract as
+    :func:`normalize_debezium`, so every downstream operator (routing
+    P3, compaction A5, MERGE apply S9-S11) is transport-agnostic.
+    Maxwell is the lightweight mysql-binlog-to-JSON daemon many shops
+    run instead of Debezium; the reference reads the binlog directly
+    (meilisync/source/mysql.py:81-126) — this is that stream one hop
+    downstream.
+
+    - op classification (P4): insert/bootstrap-insert/update/delete →
+      create/update/delete; other types (``table-create`` DDL,
+      ``bootstrap-start/complete`` markers) are dropped (P5), and the
+      engine continues past them (quirk Q2 not replicated).
+    - payload: ``data`` on every kind — Maxwell's delete carries the
+      full deleted row there (only the pk is consumed downstream,
+      meilisync/meili.py:136-137).
+    - ``seq`` (last-wins total order, A5): the binlog coordinate parsed
+      from ``position`` — ``file_number·2^32 + offset`` (offsets are
+      bounded by the 4 GiB binlog file size, so the pack is
+      collision-free and totally ordered across file rolls); falling
+      back to ``xid``, then the Kafka partition offset, then ``ts``.
+      ts alone is second-granular — never sufficient for same-pk
+      ordering, same reasoning as normalize_debezium's ts_ms fallback.
+    """
+    v = F.from_json(F.col(value_col).cast("string"), maxwell_value_schema(payload_schema))
+    op_src = v.getField("type")
+    op: Column = F.lit(None).cast("string")
+    for src, dst in reversed(list(MAXWELL_OP_MAP.items())):
+        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
+    pos = v.getField("position")
+    file_num = F.regexp_extract(pos, r"\.(\d+):", 1)
+    offset = F.regexp_extract(pos, r":(\d+)$", 1)
+    pos_seq = F.when(
+        (file_num != "") & (offset != ""),
+        file_num.cast("long") * F.lit(MAXWELL_POS_FILE_SHIFT) + offset.cast("long"),
+    )
+    seq_candidates = [pos_seq, v.getField("xid")]
+    if "offset" in df.columns:  # kafka frame
+        seq_candidates.append(F.col("offset"))
+    seq_candidates.append(v.getField("ts"))
+    out = df.select(
+        F.coalesce(*seq_candidates).alias("seq"),
+        F.timestamp_seconds(v.getField("ts")).alias("ts"),
+        v.getField("table").alias("table"),
+        op.alias("op"),
+        v.getField("data").getField(pk).alias("pk"),
+        v.getField("data").alias("payload"),
+    ).where(F.col("op").isNotNull())
+    if tables:
+        out = out.where(F.col("table").isin(*tables))
+    return out
+
+
+# Canal flat-message type → EventType (type is uppercase in canal-json)
+CANAL_OP_MAP: dict[str, str] = {
+    "INSERT": "create",
+    "UPDATE": "update",
+    "DELETE": "delete",
+}
+
+CANAL_BATCH_SHIFT = 1 << 20  # rows per canal batch message bound
+
+
+def canal_value_schema() -> T.StructType:
+    """Schema of a Canal flat-message (canal-json, the Alibaba
+    binlog bridge's Kafka format, also consumed by Flink CDC):
+    ``data`` is an ARRAY of row objects — Canal batches multiple rows
+    of one statement into a single message — and every column value is
+    rendered as a STRING (``mysqlType``/``sqlType`` carry the type
+    info), so rows decode as ``map<string,string>`` and are re-typed
+    against the caller's payload schema."""
+    row = T.MapType(T.StringType(), T.StringType())
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("isDdl", T.BooleanType()),
+            T.StructField("id", T.LongType()),  # monotone batch id
+            T.StructField("es", T.LongType()),  # binlog event time, ms
+            T.StructField("ts", T.LongType()),  # daemon processing time, ms
+            T.StructField("pkNames", T.ArrayType(T.StringType())),
+            T.StructField("data", T.ArrayType(row)),
+            T.StructField("old", T.ArrayType(row)),
+        ]
+    )
+
+
+def normalize_canal(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    *,
+    pk: str = "id",
+    value_col: str = "value",
+    tables: list[str] | None = None,
+) -> DataFrame:
+    """Canal flat-message envelope → the engine's normalized event
+    schema ``(seq, ts, table, op, pk, payload struct)``.
+
+    Two format quirks handled here and nowhere downstream:
+
+    - **batched rows**: one message carries an array of rows, so the
+      message is ``posexplode``d and the row's array position joins the
+      batch id in the total order: ``seq = id·2^20 + pos`` (statement
+      row counts are far below 2^20; the pack preserves binlog order
+      across and within batches). Kafka offset replaces a missing
+      ``id`` with the same pos pack.
+    - **stringly values**: canal-json renders every column value as a
+      string; the typed payload is rebuilt by casting each field of the
+      caller's ``payload_schema`` out of the row map — Catalyst casts,
+      per row, no UDF.
+
+    DDL messages (``isDdl: true``) and non-DML types are dropped (P5);
+    op classification (P4) is INSERT/UPDATE/DELETE → create/update/
+    delete; ``es`` (binlog event time) is the event timestamp — ``ts``
+    is the daemon's processing time, the wrong clock for event-time
+    semantics (T6).
+    """
+    v = F.from_json(F.col(value_col).cast("string"), canal_value_schema())
+    op_src = v.getField("type")
+    op: Column = F.lit(None).cast("string")
+    for src, dst in reversed(list(CANAL_OP_MAP.items())):
+        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
+    base_seq = v.getField("id")
+    seq_base_candidates = [base_seq]
+    if "offset" in df.columns:  # kafka frame
+        seq_base_candidates.append(F.col("offset"))
+    cols = [
+        F.coalesce(*seq_base_candidates).alias("_msg_seq"),
+        F.timestamp_millis(v.getField("es")).alias("ts"),
+        v.getField("table").alias("table"),
+        op.alias("op"),
+        F.posexplode(v.getField("data")).alias("_pos", "_row"),
+    ]
+    exploded = (
+        df.where(
+            op.isNotNull() & ~F.coalesce(v.getField("isDdl"), F.lit(False))
+        )
+        .select(*cols)
+    )
+    typed = F.struct(
+        *[
+            F.element_at(F.col("_row"), f.name).cast(f.dataType).alias(f.name)
+            for f in payload_schema.fields
+        ]
+    )
+    out = exploded.select(
+        (F.col("_msg_seq") * F.lit(CANAL_BATCH_SHIFT) + F.col("_pos")).alias("seq"),
+        "ts",
+        "table",
+        "op",
+        typed.getField(pk).alias("pk"),
+        typed.alias("payload"),
+    )
+    if tables:
+        out = out.where(F.col("table").isin(*tables))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable envelope roundtrips: the fixture's events table is
+# rendered into REAL Maxwell / Canal JSON envelopes in-engine, pushed
+# through the normalizers, and the oracle computes the expected
+# normalized rows directly from the source columns — so the JSON
+# construction+parse path (the part a unit test could fake) is what the
+# cross-engine hash actually certifies.
+# ---------------------------------------------------------------------------
+
+_RT_PAYLOAD = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("k", T.LongType()),
+    ]
+)
+_RT_OPS = {"signup": "insert", "purchase": "update", "click": "update",
+           "error": "delete"}
+_RT_SQL_OP = ("CASE event_type WHEN 'signup' THEN 'create' "
+              "WHEN 'purchase' THEN 'update' WHEN 'click' THEN 'update' "
+              "WHEN 'error' THEN 'delete' END")
+MAXWELL_RT_FILE_ROWS = 1_000_000  # events per synthetic binlog file
+
+
+def _rt_source(events: DataFrame) -> DataFrame:
+    from meilisync_spark.sources.events import PROPS_SCHEMA
+
+    return events.where(F.col("event_type").isin(*_RT_OPS)).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k"),
+        "event_type",
+    )
+
+
+def maxwell_roundtrip(events: DataFrame) -> DataFrame:
+    """(seq, ts, table, op, pk, value, k) — events rendered as Maxwell
+    envelopes (type map, epoch-second ts, a synthetic binlog coordinate
+    ``master.%06d:offset`` rolling every 1M events) and normalized back
+    via :func:`normalize_maxwell`. The parsed seq must reconstruct the
+    file·2^32+offset coordinate and the doubles must round-trip through
+    JSON bit-exactly (Jackson shortest-repr)."""
+    src = _rt_source(events)
+    op_src: Column = F.lit(None).cast("string")
+    for evt, mop in reversed(list(_RT_OPS.items())):
+        op_src = F.when(F.col("event_type") == evt, F.lit(mop)).otherwise(op_src)
+    env = src.select(
+        F.to_json(
+            F.struct(
+                F.lit("app").alias("database"),
+                F.lit("users").alias("table"),
+                op_src.alias("type"),
+                F.unix_timestamp("ts").alias("ts"),
+                F.col("event_id").alias("xid"),
+                F.format_string(
+                    "master.%06d:%d",
+                    (F.lit(1) + F.floor(
+                        F.col("event_id") / F.lit(MAXWELL_RT_FILE_ROWS)
+                    )).cast("long"),
+                    F.col("event_id") % MAXWELL_RT_FILE_ROWS,
+                ).alias("position"),
+                F.struct("user_id", "value", "k").alias("data"),
+            )
+        ).alias("value")
+    )
+    out = normalize_maxwell(env, _RT_PAYLOAD, pk="user_id")
+    return out.select(
+        "seq", "ts", "table", "op", "pk",
+        F.col("payload").getField("value").alias("value"),
+        F.col("payload").getField("k").alias("k"),
+    )
+
+
+def maxwell_roundtrip_oracle_sql() -> str:
+    return f"""
+    SELECT (1 + event_id // {MAXWELL_RT_FILE_ROWS}) * {MAXWELL_POS_FILE_SHIFT}
+               + (event_id % {MAXWELL_RT_FILE_ROWS}) AS seq,
+           make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS ts,
+           'users' AS "table",
+           {_RT_SQL_OP} AS op,
+           user_id AS pk,
+           value,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'click', 'error')
+    """
+
+
+CANAL_RT_BATCH = 4  # events per synthetic statement batch
+
+
+def canal_roundtrip(events: DataFrame) -> DataFrame:
+    """(seq, ts, table, op, pk, value, k) — events grouped into Canal
+    flat-messages (rows of one op kind batched ``CANAL_RT_BATCH`` at a
+    time into the ``data`` array, values rendered as strings the way
+    canal-json does, message id = the batch's min event_id, ``es`` =
+    the first row's event time) and normalized back via
+    :func:`normalize_canal`. Exercises the posexplode seq pack
+    (id·2^20+pos), the stringly-value re-typing, and the es-vs-ts clock
+    choice — end to end against an oracle computed straight from the
+    source columns."""
+    src = _rt_source(events)
+    op_src: Column = F.lit(None).cast("string")
+    for evt, dst in reversed(
+        [("signup", "INSERT"), ("purchase", "UPDATE"), ("click", "UPDATE"),
+         ("error", "DELETE")]
+    ):
+        op_src = F.when(F.col("event_type") == evt, F.lit(dst)).otherwise(op_src)
+    grouped = (
+        src.withColumn("_batch", (F.col("event_id") / CANAL_RT_BATCH).cast("long"))
+        # batch key is the RAW source op: a statement's rows share one
+        # op kind, and purchase/click are distinct statements even
+        # though both normalize to update
+        .groupBy("event_type", "_batch")
+        .agg(
+            F.min("event_id").alias("_mid"),
+            F.unix_millis(F.min_by("ts", "event_id")).alias("_es"),
+            F.array_sort(
+                F.collect_list(F.struct("event_id", "user_id", "value", "k"))
+            ).alias("_rows"),
+        )
+    )
+    env = grouped.withColumn("_ctype", op_src).select(
+        F.to_json(
+            F.struct(
+                F.lit("app").alias("database"),
+                F.lit("users").alias("table"),
+                F.col("_ctype").alias("type"),
+                F.lit(False).alias("isDdl"),
+                F.col("_mid").alias("id"),
+                F.col("_es").alias("es"),
+                (F.col("_es") + F.lit(500)).alias("ts"),
+                F.array(F.lit("user_id")).alias("pkNames"),
+                F.transform(
+                    "_rows",
+                    lambda r: F.struct(
+                        r.getField("user_id").cast("string").alias("user_id"),
+                        r.getField("value").cast("string").alias("value"),
+                        r.getField("k").cast("string").alias("k"),
+                    ),
+                ).alias("data"),
+            )
+        ).alias("value")
+    )
+    out = normalize_canal(env, _RT_PAYLOAD, pk="user_id")
+    return out.select(
+        "seq", "ts", "table", "op", "pk",
+        F.col("payload").getField("value").alias("value"),
+        F.col("payload").getField("k").alias("k"),
+    )
+
+
+def canal_roundtrip_oracle_sql() -> str:
+    return f"""
+    WITH f AS (
+        SELECT event_id, ts, user_id, value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               event_type
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'click', 'error')
+    ),
+    w AS (
+        SELECT *,
+               min(event_id) OVER win AS mid,
+               row_number() OVER (PARTITION BY event_type,
+                                  event_id // {CANAL_RT_BATCH}
+                                  ORDER BY event_id) - 1 AS pos,
+               arg_min(ts, event_id) OVER win AS ts0
+        FROM f
+        WINDOW win AS (PARTITION BY event_type, event_id // {CANAL_RT_BATCH})
+    )
+    SELECT mid * {CANAL_BATCH_SHIFT} + pos AS seq,
+           make_timestamp(epoch_ms(ts0) * 1000) AS ts,
+           'users' AS "table",
+           {_RT_SQL_OP} AS op,
+           user_id AS pk,
+           value,
+           k
+    FROM w
+    """
+
+
 # Mongo change-stream operationType → EventType: exactly the three ops
 # the reference's $match pipeline admits (meilisync/source/mongo.py:44-50)
 MONGO_OP_MAP: dict[str, str] = {

@@ -224,3 +224,144 @@ def test_debezium_feeds_compact_and_apply(spark):
     assert out == {1: "c"}  # pos ordered the same-millisecond updates; 2 deleted
     last = compact_last_wins(ev, ["pk"], "seq").where(F.col("pk") == 1).collect()
     assert last[0].v == "c"
+
+
+def _mxw(typ, data, *, table="users", ts=1700000000, xid=None, position=None):
+    ev = {"database": "app", "table": table, "type": typ, "ts": ts,
+          "data": data}
+    if xid is not None:
+        ev["xid"] = xid
+    if position is not None:
+        ev["position"] = position
+    return json.dumps(ev)
+
+
+def test_normalize_maxwell_envelope(spark):
+    """Maxwell daemon messages (the lightweight binlog→JSON bridge):
+    insert/bootstrap-insert→create, update→update (full new row in
+    `data`), delete→delete (deleted row in `data`, pk consumed);
+    DDL/bootstrap markers dropped (P5); routing (P3)."""
+    from meilisync_spark.sources.cdc_connectors import normalize_maxwell
+
+    payload_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    rows = [
+        (_mxw("insert", {"id": 1, "name": "a"}),),
+        (_mxw("bootstrap-insert", {"id": 2, "name": "b"}),),  # snapshot → create
+        (_mxw("update", {"id": 1, "name": "a2"}),),
+        (_mxw("delete", {"id": 2, "name": "b"}),),
+        (_mxw("table-create", None),),                        # DDL → dropped
+        (_mxw("bootstrap-start", None),),                     # marker → dropped
+        (_mxw("insert", {"id": 3, "name": "x"}, table="other"),),  # routed out
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = normalize_maxwell(df, payload_schema, pk="id", tables=["users"]).collect()
+    ops = sorted((r.op, r.pk) for r in out)
+    assert ops == [("create", 1), ("create", 2), ("delete", 2), ("update", 1)]
+    by_op = {(r.op, r.pk): r for r in out}
+    assert by_op[("update", 1)].payload.name == "a2"
+    assert all(r.table == "users" for r in out)
+
+
+def test_normalize_maxwell_seq_prefers_binlog_position(spark):
+    """seq: binlog coordinate (file·2^32 + offset, ordering across file
+    rolls) beats xid beats the kafka offset beats second-granular ts."""
+    from meilisync_spark.sources.cdc_connectors import (
+        MAXWELL_POS_FILE_SHIFT,
+        normalize_maxwell,
+    )
+
+    payload_schema = T.StructType([T.StructField("id", T.LongType())])
+    rows = [
+        (_mxw("update", {"id": 1}, position="master.000006:800911"),),
+        (_mxw("update", {"id": 1}, position="master.000007:5"),),  # file roll
+        (_mxw("update", {"id": 2}, xid=9001),),
+        (_mxw("update", {"id": 3}),),  # ts fallback
+    ]
+    out = {(r.pk, r.seq) for r in
+           normalize_maxwell(spark.createDataFrame(rows, "value string"),
+                             payload_schema, pk="id").collect()}
+    assert (1, 6 * MAXWELL_POS_FILE_SHIFT + 800911) in out
+    assert (1, 7 * MAXWELL_POS_FILE_SHIFT + 5) in out   # roll sorts above
+    assert (2, 9001) in out
+    assert (3, 1700000000) in out
+
+    kafka = spark.createDataFrame(
+        [(_mxw("update", {"id": 3}), 41)], "value string, offset long"
+    )
+    assert [r.seq for r in
+            normalize_maxwell(kafka, payload_schema, pk="id").collect()] == [41]
+
+
+def _cnl(typ, data, *, table="users", mid=1, es=1700000000000, is_ddl=False):
+    return json.dumps(
+        {"database": "app", "table": table, "type": typ, "isDdl": is_ddl,
+         "id": mid, "es": es, "ts": es + 500, "pkNames": ["id"], "data": data}
+    )
+
+
+def test_normalize_canal_envelope(spark):
+    """Canal flat-messages: batched `data` arrays explode to one event
+    per row with seq = id·2^20 + pos (in-batch order preserved);
+    stringly column values re-typed against the payload schema; DDL
+    messages dropped; es (binlog event time) is the event clock."""
+    from meilisync_spark.sources.cdc_connectors import CANAL_BATCH_SHIFT, normalize_canal
+
+    payload_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    rows = [
+        (_cnl("INSERT", [{"id": "1", "v": "1.5"}, {"id": "2", "v": "2.5"}], mid=10),),
+        (_cnl("UPDATE", [{"id": "1", "v": "9.25"}], mid=11),),
+        (_cnl("DELETE", [{"id": "2", "v": "2.5"}], mid=12),),
+        (_cnl("CREATE", None, mid=13, is_ddl=True),),            # DDL → dropped
+        (_cnl("INSERT", [{"id": "7", "v": "0"}], table="other", mid=14),),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = normalize_canal(df, payload_schema, pk="id", tables=["users"]).collect()
+    assert sorted((r.op, r.pk) for r in out) == [
+        ("create", 1), ("create", 2), ("delete", 2), ("update", 1)]
+    by_seq = {r.seq: r for r in out}
+    # batch 10 rows keep array order; typed payload round-trips doubles
+    assert by_seq[10 * CANAL_BATCH_SHIFT + 0].payload.v == 1.5
+    assert by_seq[10 * CANAL_BATCH_SHIFT + 1].payload.v == 2.5
+    assert by_seq[11 * CANAL_BATCH_SHIFT + 0].payload.v == 9.25
+    assert all(str(r.ts) == "2023-11-14 22:13:20" for r in out)  # es, not ts
+
+
+def test_maxwell_and_canal_feed_compact_and_apply(spark):
+    """Transport-agnostic contract: both normalizers' output drives the
+    same compact→MERGE chain as the native event path, landing on the
+    same final state for the same logical history."""
+    from meilisync_spark.operators.apply import apply_changes
+    from meilisync_spark.operators.compaction import compact_last_wins
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.sources.cdc_connectors import normalize_canal, normalize_maxwell
+
+    payload_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    # history: create 1, create 2, update 1, delete 2
+    mxw = spark.createDataFrame(
+        [(_mxw("insert", {"id": 1, "v": 1.0}, position="m.000001:1"),),
+         (_mxw("insert", {"id": 2, "v": 2.0}, position="m.000001:2"),),
+         (_mxw("update", {"id": 1, "v": 1.5}, position="m.000001:3"),),
+         (_mxw("delete", {"id": 2, "v": 2.0}, position="m.000001:4"),)],
+        "value string",
+    )
+    cnl = spark.createDataFrame(
+        [(_cnl("INSERT", [{"id": "1", "v": "1.0"}, {"id": "2", "v": "2.0"}], mid=1),),
+         (_cnl("UPDATE", [{"id": "1", "v": "1.5"}], mid=2),),
+         (_cnl("DELETE", [{"id": "2", "v": "2.0"}], mid=3),)],
+        "value string",
+    )
+    base = spark.createDataFrame([], "pk long, v double")
+    for ev in (normalize_maxwell(mxw, payload_schema, pk="id"),
+               normalize_canal(cnl, payload_schema, pk="id")):
+        flat = ev.select("seq", "op", "pk", F.col("payload.v").alias("v"))
+        state = apply_changes(
+            base, compact_last_wins(flat, ["pk"], "seq"), pk="pk", payload_cols=["v"]
+        )
+        assert {(r.pk, r.v) for r in state.collect()} == {(1, 1.5)}

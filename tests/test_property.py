@@ -266,3 +266,83 @@ def test_span_removal_matches_set_model(spark, docs):
     for d, ws in enumerate(docs):
         cleaned = " ".join(w for i, w in enumerate(ws) if i not in removed[d])
         assert got[d] == (len(ws), len(removed[d]), cleaned), d
+
+
+# --- envelope normalizer robustness: adversarial payload content ----------
+
+_env_strings = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           exclude_categories=("Cs",)),  # no lone surrogates
+    max_size=12,
+)
+_env_doubles = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.just(0.0), st.just(-0.0), st.just(1e-308), st.just(1.7e308),
+)
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), _env_doubles, _env_strings), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_maxwell_canal_normalizers_roundtrip_any_payload(spark, rows):
+    """Whatever the row content — unicode, JSON-escape-worthy strings,
+    subnormal/huge/negative-zero doubles — building a real Maxwell or
+    Canal envelope and normalizing it must recover exactly the typed
+    values (strings byte-equal, doubles bit-equal via shortest-repr
+    roundtrip). Guards the JSON escape/parse path that the fixture's
+    tame ASCII content never stresses."""
+    import json as _json
+    import math
+
+    from pyspark.sql import types as T
+
+    from meilisync_spark.sources.cdc_connectors import (
+        CANAL_BATCH_SHIFT,
+        normalize_canal,
+        normalize_maxwell,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+    ])
+    expected = {}
+    mxw_rows, cnl_data = [], []
+    for i, (pk, v, s) in enumerate(rows):
+        expected[i] = (pk, v, s)
+        mxw_rows.append((_json.dumps(
+            {"database": "app", "table": "users", "type": "insert",
+             "ts": 1700000000, "position": f"m.000001:{i}",
+             "data": {"id": pk, "v": v, "s": s}}),))
+        # canal renders values as strings; repr() is python's
+        # shortest-roundtrip double form, same contract as Java's
+        cnl_data.append({"id": str(pk), "v": repr(v), "s": s})
+    mxw = normalize_maxwell(
+        spark.createDataFrame(mxw_rows, "value string"), schema, pk="id"
+    ).collect()
+    got_m = {r.seq - 4294967296: (r.payload.id, r.payload.v, r.payload.s)
+             for r in mxw}
+    cnl = normalize_canal(
+        spark.createDataFrame([(_json.dumps(
+            {"database": "app", "table": "users", "type": "INSERT",
+             "isDdl": False, "id": 7, "es": 1700000000000, "ts": 1700000000500,
+             "pkNames": ["id"], "data": cnl_data}),)], "value string"),
+        schema, pk="id",
+    ).collect()
+    got_c = {r.seq - 7 * CANAL_BATCH_SHIFT: (r.payload.id, r.payload.v, r.payload.s)
+             for r in cnl}
+
+    def eq(a, b):
+        return all(
+            (x == y) or (isinstance(x, float) and isinstance(y, float)
+                         and math.copysign(1, x) == math.copysign(1, y)
+                         and x == y)
+            for x, y in zip(a, b))
+
+    assert set(got_m) == set(expected) == set(got_c)
+    for i, exp in expected.items():
+        assert eq(got_m[i], exp), (got_m[i], exp)
+        assert eq(got_c[i], exp), (got_c[i], exp)
