@@ -111,9 +111,41 @@ def cmd_start(args: argparse.Namespace) -> int:
         )
         print(f"sync complete: indexes at {names}")
         return 0
+    normalizer = None
+    payload_cols = None
+    if getattr(args, "envelope", None):
+        # raw-envelope drop-dir mode: the connector normalizer replaces
+        # normalize_events and the payload columns come from the user's
+        # DDL schema (sources/cdc_connectors.py)
+        from pyspark.sql import functions as _F
+        from pyspark.sql import types as _T
+
+        from meilisync_spark.sources import cdc_connectors as _cc
+
+        norm_fn = {
+            "maxwell": _cc.normalize_maxwell,
+            "canal": _cc.normalize_canal,
+            "debezium": _cc.normalize_debezium,
+            "mongo": _cc.normalize_mongo_change_stream,
+        }[args.envelope]
+        if not args.payload_schema:
+            print("--envelope needs --payload-schema (DDL, e.g. 'id long, v double')")
+            return 2
+        pschema = _T.StructType.fromDDL(args.payload_schema)
+        epk = args.envelope_pk
+        payload_cols = [f.name for f in pschema.fields if f.name != epk]
+
+        def normalizer(df, _fn=norm_fn, _s=pschema, _pk=epk, _cols=payload_cols):
+            kw = {} if _fn is _cc.normalize_mongo_change_stream else {"pk": _pk}
+            ev = _fn(df, _s, **kw)
+            return ev.select(
+                "seq", "ts", "table", "op", "pk",
+                *[_F.col(f"payload.{c}").alias(c) for c in _cols],
+            )
+
     # phase 1 — backfill when the index is absent (T5, main.py:86-101);
-    # bucketed mode bootstraps its own layout on the first micro-batch
-    if not os.path.exists(index) and not args.buckets:
+    # bucketed and envelope modes bootstrap on the first micro-batch
+    if not os.path.exists(index) and not args.buckets and not getattr(args, "envelope", None):
         # load_path (not a raw spark.read) so nanos timestamps get the
         # same canonical conversion the streaming path applies — the
         # index schema must be identical across both writers
@@ -138,6 +170,9 @@ def cmd_start(args: argparse.Namespace) -> int:
         pre_batch=pre,
         num_buckets=args.buckets,
         timeout_sec=args.timeout,
+        source_format=args.source_format,
+        normalizer=normalizer,
+        payload_cols=payload_cols,
     )
     print(f"sync complete: index at {index}")
     return 0
@@ -255,6 +290,16 @@ def build_parser() -> argparse.ArgumentParser:
                                         "(multi-sync routing)")
     st.add_argument("--buckets", type=int,
                     help="pk-bucket the index; each batch rewrites only touched buckets")
+    st.add_argument("--source-format", dest="source_format", default="parquet",
+                    choices=["parquet", "orc", "json", "csv", "text"],
+                    help="event-log format; 'text' = raw envelope lines")
+    st.add_argument("--envelope", choices=["maxwell", "canal", "debezium", "mongo"],
+                    help="normalize raw CDC envelopes instead of fixture events "
+                         "(use with --source-format text)")
+    st.add_argument("--payload-schema", dest="payload_schema",
+                    help="DDL row schema for --envelope, e.g. 'id long, v double'")
+    st.add_argument("--envelope-pk", dest="envelope_pk", default="id",
+                    help="pk field inside the envelope payload")
     st.add_argument("--timeout", type=float, default=120.0)
     st.set_defaults(fn=cmd_start)
 

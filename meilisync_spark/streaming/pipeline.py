@@ -61,12 +61,15 @@ def read_event_stream(
     Spark form; in production this is Kafka/Debezium — the file source
     keeps the harness hermetic). File order = arrival order.
 
-    ``source_format``: parquet (default), orc, json, or csv — a CDC
-    drop directory is often newline-JSON in practice. Self-describing
-    formats (parquet, orc) infer the schema from the existing files;
-    json/csv need an explicit ``schema`` (the streaming source cannot
-    infer; for json an ISO-8601 ``ts`` parses straight into the
-    timestamp column).
+    ``source_format``: parquet (default), orc, json, csv, or text — a
+    CDC drop directory is often newline-JSON in practice.
+    Self-describing formats (parquet, orc) infer the schema from the
+    existing files; json/csv need an explicit ``schema`` (the streaming
+    source cannot infer; for json an ISO-8601 ``ts`` parses straight
+    into the timestamp column). ``text`` yields one ``value string``
+    row per line — the raw-envelope shape the connector normalizers
+    (sources/cdc_connectors.py: Debezium/Maxwell/Canal/Mongo) consume,
+    so an envelope drop-dir tails end-to-end without Kafka.
 
     A single-file path is staged into a one-symlink directory (the file
     source requires a directory basePath). Nanos parquet timestamps get
@@ -84,6 +87,8 @@ def read_event_stream(
             schema = spark.read.parquet(events_path).schema
         elif source_format == "orc":
             schema = spark.read.orc(events_path).schema
+        elif source_format == "text":
+            schema = T.StructType([T.StructField("value", T.StringType())])
         else:
             raise ValueError(f"{source_format} event stream needs an explicit schema")
     reader = spark.readStream.schema(schema).format(source_format)
@@ -98,12 +103,6 @@ def read_event_stream(
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
-
-
-def _empty_index(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [], "pk long, ts timestamp, value double, k long"
-    )
 
 
 def _start_and_await(
@@ -146,6 +145,8 @@ def run_cdc_pipeline(
     num_buckets: int | None = None,
     source_format: str = "parquet",
     source_schema=None,
+    normalizer: Callable[[DataFrame], DataFrame] | None = None,
+    payload_cols: list[str] | None = None,
 ):
     """Run the CDC pipeline until caught up (``available_now``) or until
     ``timeout_sec``. Returns the StreamingQuery (stopped if awaited).
@@ -155,11 +156,21 @@ def run_cdc_pipeline(
     buckets it touches — O(batch) writes instead of O(index), the form
     that survives a 100-TB index. The default full-rewrite form is kept
     for single-file indexes and as the oracle-checked baseline.
+
+    ``normalizer`` maps the raw stream onto the engine's normalized
+    event contract ``(seq, op, pk, <payload cols>)`` — defaults to
+    :func:`normalize_events` for the fixture's event-table shape; pass
+    a connector normalizer (e.g. ``normalize_maxwell`` + a payload
+    flatten) with ``source_format="text"`` to tail a raw envelope
+    drop-dir end-to-end. ``payload_cols`` names the normalized payload
+    columns the index carries (default: the fixture's
+    ``PAYLOAD_COLS``).
     """
     events = read_event_stream(
         spark, events_path, max_files_per_trigger, source_format, source_schema
     )
-    normalized = normalize_events(events)
+    normalized = (normalizer or normalize_events)(events)
+    payload_cols = PAYLOAD_COLS if payload_cols is None else payload_cols
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if pre_batch is not None:  # U1 plugin chain, vectorized
@@ -169,17 +180,19 @@ def run_cdc_pipeline(
 
             apply_changes_bucketed(
                 spark, index_path, batch_df,
-                pk="pk", payload_cols=PAYLOAD_COLS, num_buckets=num_buckets,
+                pk="pk", payload_cols=payload_cols, num_buckets=num_buckets,
             )
         else:
             if os.path.exists(index_path):
                 base = spark.read.parquet(index_path)
             else:
-                base = _empty_index(spark)
-            new_state = apply_changes(base, batch_df, pk="pk", payload_cols=PAYLOAD_COLS)
+                base = spark.createDataFrame(
+                    [], normalized.select("pk", *payload_cols).schema
+                )
+            new_state = apply_changes(base, batch_df, pk="pk", payload_cols=payload_cols)
             # shadow-write + atomic swap so concurrent readers never see a
             # half-written index (S13 semantics per micro-batch)
-            refresh_data(new_state.select("pk", *PAYLOAD_COLS), index_path)
+            refresh_data(new_state.select("pk", *payload_cols), index_path)
         if post_batch is not None:  # U2 post-write hook
             post_batch(batch_df)
 

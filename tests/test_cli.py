@@ -178,3 +178,51 @@ def test_init_ops_tolerates_missing_sentry(spark, capsys):
     err = capsys.readouterr().err
     assert "sentry" in err and "debug" in err
     spark.sparkContext.setLogLevel("WARN")
+
+
+def test_cli_start_maxwell_envelope_drop_dir(tmp_path):
+    """`start --source-format text --envelope maxwell` tails a raw
+    Maxwell drop directory into an index — the CLI face of the
+    envelope-normalizer streaming path."""
+    import json
+
+    from meilisync_spark.cli import main
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+
+    def mxw(i, typ, pk, v):
+        return json.dumps(
+            {"database": "app", "table": "users", "type": typ,
+             "ts": 1700000000 + i, "position": f"master.000001:{i}",
+             "data": {"id": pk, "v": v}})
+
+    (drop / "f1.jsonl").write_text("\n".join([
+        mxw(1, "insert", 1, 1.0),
+        mxw(2, "insert", 2, 2.0),
+        mxw(3, "update", 1, 1.5),
+        mxw(4, "delete", 2, 2.0),
+    ]) + "\n")
+    index = str(tmp_path / "index")
+    rc = main([
+        "start", "--events", str(drop), "--index", index,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--source-format", "text", "--envelope", "maxwell",
+        "--payload-schema", "id long, v double",
+    ])
+    assert rc == 0
+    from meilisync_spark.session import get_spark
+
+    spark = get_spark("t")
+    assert {(r.pk, r.v) for r in spark.read.parquet(index).collect()} == {(1, 1.5)}
+
+
+def test_cli_start_envelope_requires_schema(tmp_path):
+    from meilisync_spark.cli import main
+
+    rc = main([
+        "start", "--events", str(tmp_path), "--index", str(tmp_path / "i"),
+        "--checkpoint", str(tmp_path / "c"),
+        "--source-format", "text", "--envelope", "maxwell",
+    ])
+    assert rc == 2

@@ -197,3 +197,56 @@ def test_orc_event_stream_equals_parquet(spark, workdir):
     got_o = {r.pk: (r.value, r.k, r.ts) for r in spark.read.parquet(o_index).collect()}
     got_p = {r.pk: (r.value, r.k, r.ts) for r in spark.read.parquet(p_index).collect()}
     assert got_o == got_p
+
+
+def test_maxwell_drop_dir_tails_end_to_end(spark, tmp_path):
+    """The reference tails mysql's binlog socket (source/mysql.py:81-126);
+    the closest fully-runnable Spark analogue is a raw-envelope drop
+    directory: Maxwell JSON lines stream in via the text source, a
+    connector normalizer replaces normalize_events, and the same
+    compact->MERGE shell lands the same final state — multi-batch, with
+    checkpoint-resumed tailing across a second drop."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from meilisync_spark.sources.cdc_connectors import normalize_maxwell
+
+    payload_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def mxw(i, typ, pk, v):
+        return json.dumps(
+            {"database": "app", "table": "users", "type": typ,
+             "ts": 1700000000 + i, "position": f"master.000001:{i}",
+             "data": {"id": pk, "v": v}})
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "f1.jsonl").write_text("\n".join([
+        mxw(1, "insert", 1, 1.0),
+        mxw(2, "insert", 2, 2.0),
+        mxw(3, "update", 1, 1.5),
+    ]) + "\n")
+
+    def norm(df):
+        ev = normalize_maxwell(df, payload_schema, pk="id")
+        return ev.select("seq", "ts", "table", "op", "pk",
+                         F.col("payload.v").alias("v"))
+
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(source_format="text", normalizer=norm, payload_cols=["v"],
+              available_now=True, max_files_per_trigger=1)
+    run_cdc_pipeline(spark, str(drop), index, ckpt, **kw)
+    assert {(r.pk, r.v) for r in spark.read.parquet(index).collect()} == {
+        (1, 1.5), (2, 2.0)}
+
+    # second drop: delete 2, update 1 — the checkpoint resumes past f1
+    (drop / "f2.jsonl").write_text("\n".join([
+        mxw(4, "delete", 2, 2.0),
+        mxw(5, "update", 1, 9.0),
+    ]) + "\n")
+    run_cdc_pipeline(spark, str(drop), index, ckpt, **kw)
+    assert {(r.pk, r.v) for r in spark.read.parquet(index).collect()} == {(1, 9.0)}
