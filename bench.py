@@ -98,6 +98,7 @@ HEADLINE = [
     "dedup_clusters_verified",
     "corpus_pipeline",
     # round 3 additions
+    "fingerprint_source_overlap",
     "maxwell_roundtrip",
     "canal_roundtrip",
     "span_removal",

@@ -150,6 +150,109 @@ def source_overlap_oracle_sql() -> str:
     """
 
 
+def exact_source_overlap(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_shared_hashes, n_pairs) — EXACT-duplicate
+    provenance matrix computed from per-(content_hash, source) group
+    sizes, never from document pairs: one corpus-sized hash groupBy
+    (map-side combined), then a self-join of the tiny histogram on the
+    near-unique hash key, then a |sources|² aggregate. ``n_pairs``
+    counts duplicate doc pairs (``na·nb`` across sources, ``C(n,2)``
+    within one), ``n_shared_hashes`` the distinct contents involved.
+    This is the cheap exact complement of :func:`source_overlap`, which
+    answers the NEAR-duplicate form of the same question from the LSH
+    candidate set — at 100 TB this one costs a single shuffle of
+    32-byte hashes regardless of duplicate density, while the LSH form
+    is bounded by its candidate count."""
+    h = spread(docs).select(
+        F.sha2(normalize_text(F.col("text")), 256).alias("key"), "source"
+    )
+    return _histogram_overlap(h)
+
+
+def _histogram_overlap(keyed: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_shared_hashes, n_pairs) from a
+    ``(key, source)`` frame: per-(key, source) histogram → self-join on
+    the key → |sources|² aggregate. No row pairs materialize; cost is
+    one histogram shuffle plus a join bounded by key-collision volume."""
+    g = keyed.groupBy("key", "source").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select("key", F.col("source").alias("sa"), F.col("n").alias("an"))
+    b = g.select("key", F.col("source").alias("sb"), F.col("n").alias("bn"))
+    joined = (
+        a.join(b, "key")
+        .where(F.col("sa") <= F.col("sb"))
+        # a same-source histogram row needs ≥2 docs to form a pair;
+        # every surviving row contributes ≥1 pair, so count(*) below
+        # IS the shared-key count
+        .where(~((F.col("sa") == F.col("sb")) & (F.col("an") < 2)))
+    )
+    pair_count = F.when(
+        F.col("sa") == F.col("sb"), F.expr("an * (an - 1) div 2")
+    ).otherwise(F.col("an") * F.col("bn"))
+    return (
+        joined.groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_hashes"),
+            F.sum(pair_count).alias("n_pairs"),
+        )
+    )
+
+
+_HISTOGRAM_OVERLAP_SQL = """
+    g AS (SELECT key, source, count(*) AS n FROM keyed GROUP BY 1, 2)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_hashes,
+           CAST(sum(CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+                         ELSE a.n * b.n END) AS BIGINT) AS n_pairs
+    FROM g a JOIN g b ON a.key = b.key AND a.source <= b.source
+    WHERE NOT (a.source = b.source AND a.n < 2)
+    GROUP BY 1, 2
+"""
+
+
+def fingerprint_source_overlap(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_shared_hashes, n_pairs) — cross-source
+    CONTENT-REUSE matrix keyed by winnowing fingerprints
+    (operators/text.winnow_fingerprints, the MOSS scheme): two sources
+    overlap wherever any selected 5-gram fingerprint appears in both.
+    Same pair-free histogram math as :func:`exact_source_overlap` but
+    with a key that detects partial reuse (shared passages), not just
+    whole-document equality — the matrix a crawl-mix audit actually
+    wants. Cost: the winnow scan plus one fingerprint-histogram
+    shuffle; the self-join is bounded by fingerprint collision volume,
+    and a doc pair sharing k fingerprints is counted k times (reuse
+    *mass*, not deduped pair existence — the cheap form; dedup the pair
+    list via span_dedup/minhash when identity matters)."""
+    from meilisync_spark.operators.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(docs).select(F.col("fp").alias("key"), "doc_id")
+    src = spread(docs).select("doc_id", "source")
+    return _histogram_overlap(fp.join(src, "doc_id").select("key", "source"))
+
+
+def exact_source_overlap_oracle_sql() -> str:
+    return rf"""
+    WITH keyed AS (
+        SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS key,
+               source
+        FROM documents
+    ),
+    {_HISTOGRAM_OVERLAP_SQL}
+    """
+
+
+def fingerprint_source_overlap_oracle_sql() -> str:
+    from meilisync_spark.operators.text import winnow_fingerprints_oracle_sql
+
+    return f"""
+    WITH keyed AS (
+        SELECT w.fp AS key, d.source AS source
+        FROM ({winnow_fingerprints_oracle_sql()}) w
+        JOIN documents d ON d.doc_id = w.doc_id
+    ),
+    {_HISTOGRAM_OVERLAP_SQL}
+    """
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------

@@ -1484,6 +1484,27 @@ def q_source_overlap(spark, sf_dir):
     return _dedup.source_overlap(_t(spark, sf_dir, "documents"))
 
 
+@register("exact_source_overlap", _dedup.exact_source_overlap_oracle_sql(),
+          doc="Exact-duplicate provenance matrix from per-(hash, source) "
+              "group sizes — no document pairs materialize; one 32-byte-"
+              "hash shuffle regardless of duplicate density (the cheap "
+              "exact complement of source_overlap's LSH near-dup form). "
+              "Honestly EMPTY on this fixture (no exact cross-doc dups); "
+              "non-trivial behavior pinned by a local test with planted "
+              "duplicates.")
+def q_exact_source_overlap(spark, sf_dir):
+    return _dedup.exact_source_overlap(_t(spark, sf_dir, "documents"))
+
+
+@register("fingerprint_source_overlap", _dedup.fingerprint_source_overlap_oracle_sql(),
+          doc="Cross-source content-REUSE matrix keyed by winnowing "
+              "fingerprints (MOSS scheme): detects shared passages, not "
+              "just whole-document equality; pair-free histogram math — "
+              "one fingerprint shuffle + collision-bounded self-join.")
+def q_fingerprint_source_overlap(spark, sf_dir):
+    return _dedup.fingerprint_source_overlap(_t(spark, sf_dir, "documents"))
+
+
 @register("minhash_lsh_pairs", _dedup.minhash_lsh_pairs_oracle_sql(),
           doc="MinHash(16) + LSH(8 bands) candidate pairs with estimated "
               "Jaccard; signatures are per-row array ops, one band-join shuffle.")

@@ -152,3 +152,50 @@ def test_vocab_encode_min_count_cutoff(spark):
     cut = {r.doc_id: (r.n_tokens, list(r.ids))
            for r in vocab_encode(df, min_count=2).collect()}
     assert cut[1] == (2, [1, 1]) and cut[2] == (2, [1, 2]) and cut[3] == (2, [2, 2])
+
+
+def test_exact_source_overlap_counts_planted_duplicates(spark):
+    """The histogram-overlap math on planted content: src A has 'x' twice
+    and 'y'; src B has 'x' once and 'y'; src C is unique. Expected pairs:
+    A-A: C(2,1... 'x' twice -> 1 pair; A-B: x 2*1 + y 1*1 = 3; B-B none;
+    C appears nowhere."""
+    from meilisync_spark.operators.dedup import exact_source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x", "A"), (2, "x x x", "A"), (3, "y y", "A"),
+            (4, "X  x\tx", "B"),  # normalizes equal to 'x x x'
+            (5, "y y", "B"),
+            (6, "unique content", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.source_a, r.source_b): (r.n_shared_hashes, r.n_pairs)
+           for r in exact_source_overlap(docs).collect()}
+    assert got == {("A", "A"): (1, 1), ("A", "B"): (2, 3)}
+
+
+def test_fingerprint_source_overlap_detects_partial_reuse(spark):
+    """Fingerprint overlap must fire on a shared PASSAGE inside
+    otherwise-different documents (what the exact-hash matrix cannot
+    see), and stay silent for unrelated content."""
+    from meilisync_spark.operators.dedup import (
+        exact_source_overlap,
+        fingerprint_source_overlap,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro alpha beta {shared} closing words one", "A"),
+            (2, f"completely different opening {shared} and another ending", "B"),
+            (3, "nothing in common with anything else at all here", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    fp = {(r.source_a, r.source_b): r.n_pairs
+          for r in fingerprint_source_overlap(docs).collect()}
+    assert fp.get(("A", "B"), 0) > 0
+    assert all(("C" not in k) for k in fp)
+    # exact-hash matrix is blind to the same reuse
+    assert exact_source_overlap(docs).count() == 0
