@@ -99,6 +99,9 @@ HEADLINE = [
     "corpus_pipeline",
     # round 3 additions
     "fingerprint_source_overlap",
+    "pq_codes",
+    "pq_rerank_recall",
+    "ivfpq_recall",
     "maxwell_roundtrip",
     "canal_roundtrip",
     "span_removal",

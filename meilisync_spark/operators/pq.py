@@ -1,0 +1,282 @@
+"""Product quantization (Jégou et al. 2011) — the compression layer
+every billion-scale ANN index sits on, beside the int8 scalar quantizer
+(operators/similarity.embedding_quantize) and the IVF cell probe.
+
+A vector is split into ``m`` subspaces of ``dim/m`` components; each
+subspace gets its own ``ksub``-centroid codebook (per-subspace k-means),
+and a vector is stored as ``m`` code bytes — 8 bytes here vs 256 bytes
+of float32, a 32× compression. Queries never decompress the corpus:
+asymmetric distance (ADC) precomputes, per query, the ``m × ksub``
+table of exact squared distances from the query's sub-vectors to every
+sub-centroid, and a corpus row's distance is ``m`` table lookups summed.
+
+Spark shapes (all corpus passes stream; nothing corpus-sized ever sits
+on the driver):
+
+- **training** (:func:`pq_codebooks`): one ``mapInPandas`` pass per
+  Lloyd iteration emitting per-batch partial sums keyed by
+  (subspace, code) — ``m·ksub`` tiny rows per Arrow batch cross the
+  shuffle, never vectors; the codebooks (m·ksub·dsub ints) ride in the
+  closure, the broadcast pattern. Same exact fixed-point int64 design
+  as operators/kmeans.py: floor(x·2^20) once, integer distances, ties
+  break to the lowest code — deterministic across runs, partitionings
+  and batch heights.
+- **encode** (:func:`pq_encode`): one streaming pass, per-batch numpy
+  argmin over the broadcast codebooks; output is (vec_id, codes) with
+  ``m`` small ints per row — the shape you persist (partitioned by IVF
+  cell at 100 TB so probes stay partition-pruned).
+- **ADC top-k** (:func:`pq_topk`): the |Q| query table stack is tiny
+  (|Q|·m·ksub ints) and broadcast in the closure; scoring is a numpy
+  gather+sum per batch, zero corpus shuffle, one |Q|-keyed top-k
+  window at the end — identical skeleton to cosine_topk_blas.
+
+Iterative training ⇒ non-SQL-expressible ⇒ rows-only driver checks
+(the documented weaker gate); correctness is pinned by numpy
+replication and a recall measurement on the clustered twin corpus
+(tests/test_pq.py). No reference analogue (north-star extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PQ_QUANT = 1 << 20  # fixed-point quantum, shared with operators/kmeans.py
+PQ_M = 8            # subspaces (64-dim fixture → 8 components each)
+PQ_KSUB = 16        # centroids per subspace → 4-bit codes, m bytes/vector
+PQ_ITERS = 2
+N_QUERIES = 8       # vec_id < 8 is the benchmark query batch
+
+
+def _quantize(X):
+    import numpy as np
+
+    return np.floor(np.asarray(X, dtype=np.float64) * PQ_QUANT).astype(np.int64)
+
+
+def _split(Xq, m: int):
+    """(n, dim) int64 → (m, n, dsub) views, no copy."""
+    n, dim = Xq.shape
+    dsub = dim // m
+    return Xq.reshape(n, m, dsub).transpose(1, 0, 2)
+
+
+def pq_codebooks(
+    emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS
+):
+    """Train per-subspace codebooks: returns an (m, ksub, dsub) int64
+    array (fixed-point lattice). Seeds are the first ``ksub`` vectors'
+    sub-slices (deterministic); each Lloyd iteration is ONE corpus pass
+    emitting (subspace, code) partial sums; empty codes keep their
+    previous centroid (standard k-means practice)."""
+    import numpy as np
+
+    seed_rows = sorted(
+        emb.where(F.col("vec_id") < ksub).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    books = _split(_quantize([r.embedding for r in seed_rows]), m).transpose(
+        0, 1, 2
+    ).copy()  # (m, ksub, dsub)
+    dsub = books.shape[2]
+
+    for _ in range(iters):
+        def partials(batches, _books=books):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                Xs = _split(_quantize(list(pdf["embedding"])), m)  # (m, n, dsub)
+                rows = []
+                for s in range(m):
+                    # exact int64 squared distances: (n, ksub)
+                    d = ((Xs[s][:, None, :] - _books[s][None, :, :]) ** 2).sum(axis=2)
+                    code = d.argmin(axis=1)  # lowest index on ties
+                    for c in _np.unique(code):
+                        sel = Xs[s][code == c]
+                        rows.append(
+                            (s, int(c), len(sel), [int(v) for v in sel.sum(axis=0)])
+                        )
+                yield _pd.DataFrame(rows, columns=["sub", "code", "n", "sums"])
+
+        agg = (
+            emb.select("embedding")
+            .mapInPandas(partials, schema="sub int, code int, n long, sums array<long>")
+            .select("sub", "code", "n", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new = books.copy()
+        acc: dict[tuple[int, int], tuple] = {}
+        for r in agg:
+            key = (r.sub, r.code)
+            vec, _ = acc.get(key, (np.zeros(dsub, dtype=np.int64), 0))
+            vec[r.pos] = r.s
+            acc[key] = (vec, r.n)
+        for (s, c), (vec, n) in acc.items():
+            new[s, c] = vec // n  # floor keeps the fixed-point lattice
+        books = new
+    return books
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """(vec_id, codes array<int>) — the compressed corpus: m codes per
+    vector, assigned by exact int64 nearest-sub-centroid. One streaming
+    pass, codebooks in the closure."""
+    m = books.shape[0]
+
+    def enc(batches, _books=books):
+        import pandas as _pd
+
+        for pdf in batches:
+            Xs = _split(_quantize(list(pdf["embedding"])), m)
+            codes = []
+            for s in range(m):
+                d = ((Xs[s][:, None, :] - _books[s][None, :, :]) ** 2).sum(axis=2)
+                codes.append(d.argmin(axis=1))
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": [list(map(int, row)) for row in zip(*codes)],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        enc, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_topk(emb: DataFrame, books, k: int = 5) -> DataFrame:
+    """(q_id, neighbor_id, rank, adc_dist) — asymmetric-distance top-k:
+    exact query sub-vectors against the compressed corpus. The per-query
+    distance tables (|Q|, m, ksub) are built driver-side from the tiny
+    query batch and broadcast in the closure; corpus scoring is a numpy
+    gather+sum per Arrow batch over the (vec_id, codes) frame — the
+    compressed corpus is all that streams, which is the entire point of
+    PQ at 100 TB. Distances are exact int64 (fixed-point lattice), so
+    ranking is deterministic; ties break to the lower neighbor id."""
+    import numpy as np
+
+    m = books.shape[0]
+    q_rows = sorted(
+        emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Qs = _split(_quantize([r.embedding for r in q_rows]), m)  # (m, |Q|, dsub)
+    # tables[q, s, c] = ||query_q[s] - centroid_{s,c}||² exactly
+    tables = np.stack(
+        [((Qs[s][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2) for s in range(m)],
+        axis=1,
+    )  # (|Q|, m, ksub)
+
+    def score(batches, _tables=tables, _q_ids=q_ids):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            C = _np.array(list(pdf["codes"]), dtype=_np.int64)  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            n = len(ids)
+            # gather: dist[n, |Q|] = Σ_s tables[q, s, C[n, s]]
+            d = _np.zeros((n, len(_q_ids)), dtype=_np.int64)
+            for s in range(C.shape[1]):
+                d += _tables[:, s, :][:, C[:, s]].T  # (n, |Q|)
+            yield _pd.DataFrame(
+                {
+                    "q_id": _np.repeat(_q_ids[_np.newaxis, :], n, axis=0).ravel(),
+                    "neighbor_id": _np.repeat(ids, len(_q_ids)),
+                    "adc_dist": d.ravel(),
+                }
+            )
+
+    pairs = (
+        pq_encode(emb, books)
+        .mapInPandas(score, schema="q_id long, neighbor_id long, adc_dist long")
+        .where(F.col("neighbor_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def pq_topk_rerank(
+    emb: DataFrame, books, k: int = 5, shortlist: int = 64
+) -> DataFrame:
+    """(q_id, neighbor_id, rank, cosine) — the production PQ probe:
+    ADC over the compressed corpus retrieves a ``shortlist`` of
+    candidates per query (cheap, 32×-compressed scan), then ONLY those
+    |Q|·shortlist rows are joined back to the full vectors for exact
+    cosine re-ranking. This two-stage shape is how PQ is actually
+    deployed (coarse ADC recall + fine re-rank precision): quantization
+    collapses within-cluster detail — same-cell vectors often share
+    every code, making ADC ties arbitrary at small k — and the re-rank
+    restores exact ordering at a cost independent of corpus size. The
+    shortlist side is broadcast into the corpus-keyed join, so the full
+    vectors are touched for |Q|·shortlist ids only."""
+    from meilisync_spark.functions.vectors import cosine
+
+    sl = pq_topk(emb, books, k=shortlist).select("q_id", "neighbor_id")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = sl.join(F.broadcast(q), "q_id")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = c.join(F.broadcast(cand), "neighbor_id").withColumn(
+        "cosine", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def pq_rerank_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
+    """ADC-shortlist + exact-re-rank recall on the clustered twin: the
+    shortlist catches the true cell, the re-rank restores exact order —
+    recall 1.0 measured (threshold-asserted in tests), from a corpus
+    scan that only ever reads 8-byte codes."""
+    from meilisync_spark.operators.similarity import (
+        _recall_against_brute,
+        clustered_embeddings,
+    )
+
+    ce = clustered_embeddings(emb)
+    books = pq_codebooks(ce)
+    return _recall_against_brute(ce, pq_topk_rerank(ce, books, k), k)
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, codes_csv) — driver-facing form of the compressed corpus
+    (train + encode with the default hyperparameters; integer CSV render
+    so the comparator sees scalars)."""
+    books = pq_codebooks(emb)
+    return pq_encode(emb, books).select(
+        "vec_id", F.array_join("codes", ",").alias("codes_csv")
+    )
+
+
+def pq_recall(emb: DataFrame, k: int = 5) -> DataFrame:
+    """(q_id, n_hits, n_brute, recall) — ADC top-k vs exact brute-force
+    cosine ground truth on the SAME corpus. On the clustered twin this
+    measures what 32× compression keeps; on the raw near-orthogonal
+    fixture it honestly shows what it costs (distances between
+    unrelated vectors compress poorly — that is the real trade)."""
+    from meilisync_spark.operators.similarity import _recall_against_brute
+
+    books = pq_codebooks(emb)
+    return _recall_against_brute(emb, pq_topk(emb, books, k), k)
+
+
+def pq_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
+    """pq_recall on the deterministic clustered twin corpus — the
+    positive demonstration (recall ≥ 0.8 asserted in tests)."""
+    from meilisync_spark.operators.similarity import clustered_embeddings
+
+    return pq_recall(clustered_embeddings(emb), k)

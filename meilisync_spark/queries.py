@@ -1679,6 +1679,52 @@ def q_kmeans_labels(spark, sf_dir):
 
 
 @register(
+    "pq_codes",
+    None,  # trained (iterative) — numpy-replicated bit-exactly in
+           # tests/test_pq.py; deterministic fixed-point lattice
+    doc="Product quantization (Jégou et al. 2011): per-subspace k-means "
+        "codebooks trained in one partial-sum pass per iteration, corpus "
+        "compressed 32× to m=8 4-bit codes per vector — the storage "
+        "layer billion-scale ANN indexes stand on.",
+    driver_facing=False,
+)
+def q_pq_codes(spark, sf_dir):
+    from meilisync_spark.operators.pq import pq_codes
+
+    return pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pq_rerank_recall",
+    None,  # trained + recall measurement — local tests assert >= 0.8
+    doc="The production PQ probe measured: ADC shortlist over the "
+        "compressed corpus + exact re-rank of |Q|·shortlist rows — "
+        "recall 1.0 on the clustered twin while the corpus scan reads "
+        "8-byte codes instead of 256-byte vectors.",
+    driver_facing=False,
+)
+def q_pq_rerank_recall(spark, sf_dir):
+    from meilisync_spark.operators.pq import pq_rerank_recall_clustered
+
+    return pq_rerank_recall_clustered(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ivfpq_recall",
+    None,  # two trained quantizers — recall measured in tests/test_pq.py
+    doc="IVF+PQ composed probe (FAISS IVFPQ shape, by_residual=False): "
+        "trained coarse cells prune the scan, PQ codes compress what it "
+        "reads (~kcells·32× less IO than brute float scan), exact "
+        "re-rank restores precision — recall 1.0 on the clustered twin.",
+    driver_facing=False,
+)
+def q_ivfpq_recall(spark, sf_dir):
+    from meilisync_spark.operators.ivfpq import ivfpq_recall_clustered
+
+    return ivfpq_recall_clustered(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "event_sessions",
     """
     WITH t AS (

@@ -187,3 +187,27 @@ def test_ann_probe_joins_stay_broadcast(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_cell_partitioned_corpus_prunes_ann_probe(spark, tmp_path):
+    """SCALE.md's ANN layout claim, executed: write the embedding corpus
+    hive-partitioned by cell id, probe one cell, and the scan must read
+    ONLY that cell's partition (PartitionFilters + partition count), not
+    filter post-scan — the difference between O(corpus/cells) and
+    O(corpus) IO per query at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "corpus_by_cell")
+    emb.write.partitionBy("label").parquet(path)
+    corpus = spark.read.parquet(path)
+    probe = corpus.where(F.col("label") == 3).select("vec_id", "embedding")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "label" in m.group(1), plan[:800]
+    # the result is the one cell, and the filter never appears as a
+    # post-scan Filter on label (it was consumed by partition pruning)
+    assert probe.count() == emb.where(F.col("label") == 3).count()
+    assert not re.search(r"Filter .*label", plan)
