@@ -158,6 +158,8 @@ def cmd_start(args: argparse.Namespace) -> int:
         n = refresh_data(snapshot, index)
         print(f"backfill: loaded {n} documents into {index}")
     # phase 2 — incremental tail (T2-T4 trigger knobs)
+    from meilisync_spark.progress import make_progress
+
     pre = load_plugin(args.plugin) if args.plugin else None
     run_cdc_pipeline(
         spark,
@@ -173,6 +175,7 @@ def cmd_start(args: argparse.Namespace) -> int:
         source_format=args.source_format,
         normalizer=normalizer,
         payload_cols=payload_cols,
+        progress=make_progress(settings.progress),
     )
     print(f"sync complete: index at {index}")
     return 0

@@ -2359,6 +2359,10 @@ DRIVER_ORDER = [
     "split_by_op",
     "cdc_apply",
     "check_counts",
+    # envelope-connector coverage: the Maxwell roundtrip certifies the
+    # construct+parse path of the binlog-JSON normalizers in-window
+    # (canal_roundtrip is its sibling, oracle-checked by driver_sim)
+    "maxwell_roundtrip",
     # relational coverage: joins, aggs, grouping sets, windows, pivot
     "q1_pricing_summary",
     "q3_top_orders",
@@ -2396,9 +2400,10 @@ DRIVER_ORDER = [
     # similarity / embeddings
     "cosine_topk",
     "ann_ivf_label",
-    "cosine_topk_blas",
-    # ann_recall_at_k moved out of the window (still oracle-checked by
-    # driver_sim --all): the clustered twin is the positive recall
+    # cosine_topk_blas moved out (same results as cosine_topk via the
+    # BLAS kernel; still oracle-checked by driver_sim --all) to make
+    # room for the envelope-connector row above. ann_recall_at_k also
+    # moved out: the clustered twin is the positive recall
     # demonstration the ANN story needs in the driver window
     "ann_recall_clustered",
     "embedding_quantize",

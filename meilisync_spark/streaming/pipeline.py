@@ -147,6 +147,7 @@ def run_cdc_pipeline(
     source_schema=None,
     normalizer: Callable[[DataFrame], DataFrame] | None = None,
     payload_cols: list[str] | None = None,
+    progress=None,
 ):
     """Run the CDC pipeline until caught up (``available_now``) or until
     ``timeout_sec``. Returns the StreamingQuery (stopped if awaited).
@@ -193,6 +194,17 @@ def run_cdc_pipeline(
             # shadow-write + atomic swap so concurrent readers never see a
             # half-written index (S13 semantics per micro-batch)
             refresh_data(new_state.select("pk", *payload_cols), index_path)
+        if progress is not None:
+            # ops mirror (meilisync_spark/progress.py): publish the max
+            # applied seq per table AFTER the merge committed — same
+            # apply-then-record order as the reference (main.py:110-120)
+            heads = {
+                r[0]: r[1]
+                for r in batch_df.groupBy("table").agg(F.max("seq")).collect()
+                if r[1] is not None
+            }
+            if heads:
+                progress.set(**heads)
         if post_batch is not None:  # U2 post-write hook
             post_batch(batch_df)
 

@@ -755,3 +755,19 @@ def test_settings_ops_surface_parsing(tmp_path):
     # defaults: all off
     s0 = Settings.from_dict({})
     assert s0.progress is None and s0.debug is False and s0.sentry is None
+
+
+def test_cdc_pipeline_publishes_progress_mirror(spark, tmp_path):
+    """The single-sync shell mirrors applied positions too (same
+    apply-then-record order): after catch-up the store holds the max
+    applied seq for the routed table."""
+    from meilisync_spark.progress import FileProgress
+
+    store = FileProgress(str(tmp_path / "p.json"))
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"), available_now=True, progress=store,
+    )
+    ev = normalize_events(load_table(spark, SF_SMOKE, "events"))
+    exp = ev.agg(F.max("seq")).first()[0]
+    assert store.get() == {"users": exp}
