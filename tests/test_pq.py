@@ -106,3 +106,17 @@ def test_ivfpq_composed_probe_recall(spark):
     assert len(rows) == pq.N_QUERIES
     mean = sum(r.recall for r in rows) / len(rows)
     assert mean >= 0.8, mean
+
+
+def test_residual_encoding_beats_raw_in_cell_probe(spark):
+    """FAISS's by_residual=True, measured: under the SAME
+    cell-restricted ADC probe and byte budget, residual codes must
+    clearly beat raw-vector codes on clustered data (raw codes collapse
+    per cell; residuals spend the budget on within-cell detail).
+    Measured 0.275 vs 0.625 on the twin."""
+    from meilisync_spark.operators.ivfpq import ivfpq_residual_adc_recall
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {r.variant: r.mean_recall for r in ivfpq_residual_adc_recall(emb).collect()}
+    assert set(got) == {"raw", "residual"}
+    assert got["residual"] >= got["raw"] + 0.2, got

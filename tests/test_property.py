@@ -346,3 +346,38 @@ def test_maxwell_canal_normalizers_roundtrip_any_payload(spark, rows):
     for i, exp in expected.items():
         assert eq(got_m[i], exp), (got_m[i], exp)
         assert eq(got_c[i], exp), (got_c[i], exp)
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 2)), min_size=0, max_size=24))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_exact_source_overlap_matches_brute_pair_count(spark, rows):
+    """The pair-free histogram math == brute-force pair enumeration:
+    for every unordered source pair, n_pairs must equal the count of
+    doc pairs with equal normalized content, and n_shared_hashes the
+    distinct contents involved. Tiny domains force hash collisions
+    within and across sources."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from meilisync_spark.operators.dedup import exact_source_overlap
+
+    docs = [(i, f"text {content}", f"s{src}")
+            for i, (content, src) in enumerate(rows)]
+    df = (spark.createDataFrame(docs, "doc_id long, text string, source string")
+          if docs else
+          spark.createDataFrame([], "doc_id long, text string, source string"))
+    got = {(r.source_a, r.source_b): (r.n_shared_hashes, r.n_pairs)
+           for r in exact_source_overlap(df).collect()}
+
+    pairs = defaultdict(int)
+    shared = defaultdict(set)
+    for (i, ti, si), (j, tj, sj) in combinations(docs, 2):
+        if ti == tj:
+            key = tuple(sorted((si, sj)))
+            pairs[key] += 1
+            shared[key].add(ti)
+    exp = {k: (len(shared[k]), pairs[k]) for k in pairs}
+    assert got == exp
