@@ -103,6 +103,7 @@ HEADLINE = [
     "pq_rerank_recall",
     "ivfpq_recall",
     "ivfpq_residual_ablation",
+    "streaming_maxwell_apply",
     "maxwell_roundtrip",
     "canal_roundtrip",
     "span_removal",

@@ -1904,6 +1904,96 @@ def q_streaming_cdc_apply(spark, sf_dir):
     return out
 
 
+_MAXWELL_STREAM_SQL = """
+    WITH f AS (
+        SELECT event_id, ts, user_id, value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CASE event_type WHEN 'signup' THEN 'create'
+                    WHEN 'purchase' THEN 'update' WHEN 'click' THEN 'update'
+                    WHEN 'error' THEN 'delete' END AS op
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'click', 'error')
+    ),
+    last AS (
+        SELECT user_id AS pk,
+               arg_max(struct_pack(op := op, ts := ts, value := value, k := k),
+                       event_id) AS s
+        FROM f GROUP BY 1
+    )
+    SELECT pk,
+           make_timestamp(CAST(floor(epoch(s.ts)) AS BIGINT) * 1000000) AS ts,
+           s.value AS value, s.k AS k
+    FROM last WHERE s.op <> 'delete'
+    """
+
+
+@register("streaming_maxwell_apply", _MAXWELL_STREAM_SQL,
+          doc="The envelope transport driven through the streaming shell "
+              "end-to-end: events rendered as Maxwell JSON lines into a "
+              "drop directory, tailed via the text source, normalized by "
+              "normalize_maxwell inside the pipeline, MERGEd into the "
+              "index — final state vs a last-wins oracle computed "
+              "straight from the source columns.")
+def q_streaming_maxwell_apply(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from meilisync_spark.sources.cdc_connectors import _RT_PAYLOAD, normalize_maxwell
+    from meilisync_spark.streaming.pipeline import run_cdc_pipeline
+
+    # the roundtrip builder's envelope construction, written as raw
+    # JSON lines (distributed write — the drop-dir a Maxwell daemon
+    # would produce)
+    import meilisync_spark.sources.cdc_connectors as _cc
+
+    work = tempfile.mkdtemp(prefix="mls_mxw_")
+    drop, index_path = f"{work}/drop", f"{work}/index"
+    try:
+        src = _cc._rt_source(_t(spark, sf_dir, "events"))
+        op_src = F.lit(None).cast("string")
+        for evt, mop in reversed(list(_cc._RT_OPS.items())):
+            op_src = F.when(F.col("event_type") == evt, F.lit(mop)).otherwise(op_src)
+        env = src.select(
+            F.to_json(
+                F.struct(
+                    F.lit("app").alias("database"),
+                    F.lit("users").alias("table"),
+                    op_src.alias("type"),
+                    F.unix_timestamp("ts").alias("ts"),
+                    F.col("event_id").alias("xid"),
+                    F.format_string(
+                        "master.%06d:%d",
+                        (F.lit(1) + F.floor(
+                            F.col("event_id") / F.lit(_cc.MAXWELL_RT_FILE_ROWS)
+                        )).cast("long"),
+                        F.col("event_id") % _cc.MAXWELL_RT_FILE_ROWS,
+                    ).alias("position"),
+                    F.struct("user_id", "value", "k").alias("data"),
+                )
+            ).alias("value")
+        )
+        env.write.mode("overwrite").text(drop)
+
+        def norm(df):
+            ev = normalize_maxwell(df, _RT_PAYLOAD, pk="user_id")
+            return ev.select(
+                "seq", "ts", "table", "op", "pk",
+                F.col("payload").getField("value").alias("value"),
+                F.col("payload").getField("k").alias("k"),
+            )
+
+        run_cdc_pipeline(
+            spark, drop, index_path, f"{work}/checkpoint",
+            available_now=True, source_format="text",
+            normalizer=norm, payload_cols=["ts", "value", "k"],
+        )
+        out = spark.read.parquet(index_path).select("pk", "ts", "value", "k")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _run_streaming_to_table(spark, sf_dir: str, runner, select_cols: list[str]) -> DataFrame:
     """Run a streaming job into a temp state table and materialize the
     final state (the workdir is removed before returning)."""

@@ -310,3 +310,61 @@ def test_band_index_is_bucketed_and_probe_prunes(spark, tmp_path):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*bb", plan), plan[:800]
+
+
+def test_compact_band_index_then_near_dedup_still_works(spark, tmp_path):
+    """Compacting the bb=-partitioned band index (its docstring's use
+    case — 8 band rows per doc per batch makes it the small-file
+    magnet) must preserve the layout AND the pre-compaction band rows,
+    so a post-compaction batch still drops near-duplicates of
+    pre-compaction docs and the probe still prunes."""
+    from meilisync_spark.operators.refresh import compact_table
+    from meilisync_spark.streaming.corpus_ingest import BAND_BUCKET_COL
+
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    os.makedirs(src)
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy stone bridge near the river "
+        "and a cold wind moves slowly through the tall dry grass"
+    )
+    near = base.replace("cold wind", "warm wind")
+    other = (
+        "completely unrelated content about distributed query engines "
+        "and shuffle partitioning strategies for very large clusters "
+        "with adaptive execution and broadcast join planning decisions"
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(1, base, "en", "src0", len(base))], schema
+    ).coalesce(1).write.parquet(src + "/b0")
+    part = glob.glob(src + "/b0/part-*.parquet")[0]
+    os.rename(part, src + "/batch_0.parquet")
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"),
+        near_dedup=True, max_files_per_trigger=1,
+    )
+    bands_before = spark.read.parquet(idx + "_bands").count()
+    assert bands_before > 0
+
+    compact_table(spark, idx + "_bands", target_file_bytes=1 << 30)
+    real = os.path.realpath(idx + "_bands")
+    dirs = [e for e in os.listdir(real) if e.startswith(f"{BAND_BUCKET_COL}=")]
+    assert dirs, "bb= layout flattened by compact"
+    assert spark.read.parquet(idx + "_bands").count() == bands_before
+
+    # batch 2 after compaction: the near-twin must still be dropped
+    spark.createDataFrame(
+        [(2, near, "en", "src0", len(near)), (3, other, "en", "src1", len(other))],
+        schema,
+    ).coalesce(1).write.parquet(src + "/b1")
+    part = glob.glob(src + "/b1/part-*.parquet")[0]
+    os.rename(part, src + "/batch_1.parquet")
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"),
+        near_dedup=True, max_files_per_trigger=1,
+    )
+    assert sorted(r.doc_id for r in spark.read.parquet(idx).collect()) == [1, 3]
+    bands = spark.read.parquet(idx + "_bands")
+    assert sorted(r.doc_id for r in bands.select("doc_id").distinct().collect()) == [1, 3]
