@@ -238,7 +238,7 @@ def _recall_against_brute(emb: DataFrame, ann: DataFrame, k: int) -> DataFrame:
         F.col("q_id").alias("iq_id"), F.col("neighbor_id").alias("i_neighbor")
     )
     joined = brute.join(
-        ann,
+        F.broadcast(ann),
         (brute.q_id == ann.iq_id) & (brute.neighbor_id == ann.i_neighbor),
         "left",
     )
