@@ -187,6 +187,9 @@ def test_ann_probe_joins_stay_broadcast(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+        # the |Q|*k scoring join must broadcast too — no sort-merge
+        # anywhere in a recall row's plan
+        assert "SortMergeJoin" not in plan, name
 
 
 def test_cell_partitioned_corpus_prunes_ann_probe(spark, tmp_path):
