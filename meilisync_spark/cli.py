@@ -85,6 +85,17 @@ def cmd_start(args: argparse.Namespace) -> int:
         else args.interval
     )
     if settings.syncs:
+        if getattr(args, "envelope", None) or args.source_format != "parquet":
+            # the settings-driven branch reads the drop dir as fixture
+            # events; silently ignoring --envelope/--source-format here
+            # would tail raw envelope lines as if they were parquet
+            print(
+                "error: --envelope/--source-format cannot be combined with "
+                "a settings file that defines syncs; run raw-envelope mode "
+                "without --config, or drop the flags",
+                file=sys.stderr,
+            )
+            return 2
         # config-driven multi-sync mode: route every event through its
         # sync rule (table filter, fields map, pk, plugin chains) into
         # one index per sync — the reference's full start loop

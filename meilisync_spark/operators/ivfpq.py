@@ -93,10 +93,12 @@ def ivfpq_topk(
             C = _np.array(list(pdf["codes"]), dtype=_np.int64)
             qs = pdf["q_id"].to_numpy()
             ids = pdf["vec_id"].to_numpy()
+            # per-row gather index against each row's own query table,
+            # computed once per batch (not once per subspace)
+            qidx = _np.array([qpos[int(q)] for q in qs], dtype=_np.int64)
             d = _np.zeros(len(ids), dtype=_np.int64)
             for s in range(C.shape[1]):
-                # per-row gather against that row's own query table
-                d += _tables[[qpos[int(q)] for q in qs], s, C[:, s]]
+                d += _tables[qidx, s, C[:, s]]
             yield _pd.DataFrame(
                 {"q_id": qs, "neighbor_id": ids, "adc_dist": d}
             )
@@ -177,9 +179,10 @@ def _cell_adc_topk(frame: DataFrame, cells: DataFrame, books, k: int) -> DataFra
             C = _np.array(list(pdf["codes"]), dtype=_np.int64)
             qs = pdf["q_id"].to_numpy()
             ids = pdf["vec_id"].to_numpy()
+            qidx = _np.array([qpos[int(q)] for q in qs], dtype=_np.int64)
             d = _np.zeros(len(ids), dtype=_np.int64)
             for s in range(C.shape[1]):
-                d += _tables[[qpos[int(q)] for q in qs], s, C[:, s]]
+                d += _tables[qidx, s, C[:, s]]
             yield _pd.DataFrame({"q_id": qs, "neighbor_id": ids, "adc_dist": d})
 
     scored = probed.mapInPandas(

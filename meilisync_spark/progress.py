@@ -25,6 +25,7 @@ null).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -49,25 +50,49 @@ class FileProgress(ProgressStore):
     into the existing mapping instead of replacing it, so independent
     syncs publishing at different batch cadences don't erase each
     other's positions.
+
+    ``os.replace`` protects *readers*; concurrent *writers* sharing one
+    path would still interleave the read-merge-replace and drop each
+    other's keys, so ``set`` takes an advisory ``flock`` on a sidecar
+    lock file for the whole merge (a no-op cost when there is only one
+    writer, which is the expected deployment: one pipeline per progress
+    path). On filesystems without flock (some NFS mounts) the lock
+    degrades to best-effort — keep one writer per path there.
     """
 
     def __init__(self, path: str = "progress.json"):
         self.path = path
 
+    @contextlib.contextmanager
+    def _locked(self, d: str):
+        try:
+            import fcntl
+        except ImportError:  # pragma: no cover - non-posix
+            yield
+            return
+        lock_path = os.path.join(d, ".progress.lock")
+        with open(lock_path, "w") as lk:
+            try:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+            except OSError:  # pragma: no cover - flock-less filesystem
+                pass
+            yield
+
     def set(self, **positions) -> None:
-        merged = self.get()
-        merged.update(positions)
         d = os.path.dirname(os.path.abspath(self.path))
         os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(prefix=".progress-", dir=d)
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(merged, fh)
-            os.replace(tmp, self.path)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        with self._locked(d):
+            merged = self.get()
+            merged.update(positions)
+            fd, tmp = tempfile.mkstemp(prefix=".progress-", dir=d)
+            try:
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(merged, fh)
+                os.replace(tmp, self.path)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
 
     def get(self) -> dict:
         try:

@@ -211,7 +211,12 @@ MAXWELL_OP_MAP: dict[str, str] = {
     "delete": "delete",
 }
 
-MAXWELL_POS_FILE_SHIFT = 1 << 32  # binlog offsets are < 4 GiB by protocol
+# Binlog offsets are normally < max_binlog_size (capped at 1 GiB), but a
+# single transaction larger than the cap is written whole, so one file
+# can exceed 4 GiB and a 2^32 shift would collide its tail into the next
+# file's seq range. 2^40 (1 TiB per file) leaves 2^23 file numbers of
+# headroom in int64 — far past mysql's 6-digit binlog numbering.
+MAXWELL_POS_FILE_SHIFT = 1 << 40
 
 
 def maxwell_value_schema(payload_schema: T.StructType) -> T.StructType:
@@ -260,12 +265,21 @@ def normalize_maxwell(
       full deleted row there (only the pk is consumed downstream,
       meilisync/meili.py:136-137).
     - ``seq`` (last-wins total order, A5): the binlog coordinate parsed
-      from ``position`` — ``file_number·2^32 + offset`` (offsets are
-      bounded by the 4 GiB binlog file size, so the pack is
-      collision-free and totally ordered across file rolls); falling
-      back to ``xid``, then the Kafka partition offset, then ``ts``.
-      ts alone is second-granular — never sufficient for same-pk
-      ordering, same reasoning as normalize_debezium's ts_ms fallback.
+      from ``position`` — ``file_number·2^40 + offset`` (the shift
+      clears even an oversized single-transaction binlog file, so the
+      pack is collision-free and totally ordered across file rolls);
+      falling back to the Kafka partition offset, then ``xid``, then
+      ``ts``. The Kafka offset outranks xid because a topic where only
+      SOME messages carry ``position`` (e.g. bootstrap-insert rows)
+      must keep its fallback rows in ONE monotone domain — the offset
+      is monotone for every message on the partition, while xid
+      interleaves a different counter. Note the positioned/unpositioned
+      domains themselves still differ: a deployment should be
+      homogeneous (either all rows carry ``position`` — normal Maxwell
+      — or none do); mixed streams order coherently only within each
+      domain. ts alone is second-granular — never sufficient for
+      same-pk ordering, same reasoning as normalize_debezium's ts_ms
+      fallback.
     """
     v = F.from_json(F.col(value_col).cast("string"), maxwell_value_schema(payload_schema))
     op_src = v.getField("type")
@@ -279,10 +293,10 @@ def normalize_maxwell(
         (file_num != "") & (offset != ""),
         file_num.cast("long") * F.lit(MAXWELL_POS_FILE_SHIFT) + offset.cast("long"),
     )
-    seq_candidates = [pos_seq, v.getField("xid")]
+    seq_candidates = [pos_seq]
     if "offset" in df.columns:  # kafka frame
         seq_candidates.append(F.col("offset"))
-    seq_candidates.append(v.getField("ts"))
+    seq_candidates.extend([v.getField("xid"), v.getField("ts")])
     out = df.select(
         F.coalesce(*seq_candidates).alias("seq"),
         F.timestamp_seconds(v.getField("ts")).alias("ts"),
@@ -444,7 +458,7 @@ def maxwell_roundtrip(events: DataFrame) -> DataFrame:
     envelopes (type map, epoch-second ts, a synthetic binlog coordinate
     ``master.%06d:offset`` rolling every 1M events) and normalized back
     via :func:`normalize_maxwell`. The parsed seq must reconstruct the
-    file·2^32+offset coordinate and the doubles must round-trip through
+    file·2^40+offset coordinate and the doubles must round-trip through
     JSON bit-exactly (Jackson shortest-repr)."""
     src = _rt_source(events)
     op_src: Column = F.lit(None).cast("string")

@@ -265,8 +265,10 @@ def test_normalize_maxwell_envelope(spark):
 
 
 def test_normalize_maxwell_seq_prefers_binlog_position(spark):
-    """seq: binlog coordinate (file·2^32 + offset, ordering across file
-    rolls) beats xid beats the kafka offset beats second-granular ts."""
+    """seq: binlog coordinate (file·2^40 + offset, ordering across file
+    rolls) beats the kafka offset beats xid beats second-granular ts —
+    the offset outranks xid so a partially-positioned stream keeps its
+    fallback rows in one monotone domain."""
     from meilisync_spark.sources.cdc_connectors import (
         MAXWELL_POS_FILE_SHIFT,
         normalize_maxwell,
@@ -292,6 +294,25 @@ def test_normalize_maxwell_seq_prefers_binlog_position(spark):
     )
     assert [r.seq for r in
             normalize_maxwell(kafka, payload_schema, pk="id").collect()] == [41]
+
+    # offset beats xid when both coexist (one monotone fallback domain)
+    kafka_xid = spark.createDataFrame(
+        [(_mxw("update", {"id": 3}, xid=9001), 42)], "value string, offset long"
+    )
+    assert [r.seq for r in
+            normalize_maxwell(kafka_xid, payload_schema, pk="id").collect()] == [42]
+
+    # an offset past 4 GiB (oversized single-transaction binlog file)
+    # must stay inside its own file's seq range
+    big = spark.createDataFrame(
+        [(_mxw("update", {"id": 1}, position=f"master.000006:{5 * 2**30}"),),
+         (_mxw("update", {"id": 1}, position="master.000007:0"),)],
+        "value string",
+    )
+    seqs = sorted(r.seq for r in
+                  normalize_maxwell(big, payload_schema, pk="id").collect())
+    assert seqs == [6 * MAXWELL_POS_FILE_SHIFT + 5 * 2**30,
+                    7 * MAXWELL_POS_FILE_SHIFT]
 
 
 def _cnl(typ, data, *, table="users", mid=1, es=1700000000000, is_ddl=False):

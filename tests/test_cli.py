@@ -226,3 +226,26 @@ def test_cli_start_envelope_requires_schema(tmp_path):
         "--source-format", "text", "--envelope", "maxwell",
     ])
     assert rc == 2
+
+
+def test_cli_start_envelope_conflicts_with_syncs_config(tmp_path, capsys):
+    """--envelope with a syncs-bearing settings file must error loudly
+    (rc 2), not silently read the drop dir as fixture events."""
+    from meilisync_spark.cli import main
+
+    cfg = tmp_path / "config.yml"
+    cfg.write_text("\n".join([
+        "sink:",
+        f"  index_path: {tmp_path / 'indexes'}",
+        "sync:",
+        "  - table: users",
+        "    pk: id",
+    ]))
+    rc = main([
+        "start", "--events", str(tmp_path), "--checkpoint", str(tmp_path / "c"),
+        "--config", str(cfg),
+        "--source-format", "text", "--envelope", "maxwell",
+        "--payload-schema", "id long, v double",
+    ])
+    assert rc == 2
+    assert "cannot be combined" in capsys.readouterr().err

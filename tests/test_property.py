@@ -300,6 +300,7 @@ def test_maxwell_canal_normalizers_roundtrip_any_payload(spark, rows):
 
     from meilisync_spark.sources.cdc_connectors import (
         CANAL_BATCH_SHIFT,
+        MAXWELL_POS_FILE_SHIFT,
         normalize_canal,
         normalize_maxwell,
     )
@@ -323,7 +324,7 @@ def test_maxwell_canal_normalizers_roundtrip_any_payload(spark, rows):
     mxw = normalize_maxwell(
         spark.createDataFrame(mxw_rows, "value string"), schema, pk="id"
     ).collect()
-    got_m = {r.seq - 4294967296: (r.payload.id, r.payload.v, r.payload.s)
+    got_m = {r.seq - MAXWELL_POS_FILE_SHIFT: (r.payload.id, r.payload.v, r.payload.s)
              for r in mxw}
     cnl = normalize_canal(
         spark.createDataFrame([(_json.dumps(

@@ -771,3 +771,26 @@ def test_cdc_pipeline_publishes_progress_mirror(spark, tmp_path):
     ev = normalize_events(load_table(spark, SF_SMOKE, "events"))
     exp = ev.agg(F.max("seq")).first()[0]
     assert store.get() == {"users": exp}
+
+
+def test_file_progress_concurrent_writers_keep_both_keys(tmp_path):
+    """Two stores on one path interleaving set() must not drop each
+    other's keys — the flock around read-merge-replace serializes them.
+    (Thread-level check: flock is advisory cross-process too, but the
+    merge-under-lock is what this pins.)"""
+    import threading
+
+    from meilisync_spark.progress import FileProgress
+
+    p = str(tmp_path / "progress.json")
+
+    def writer(prefix):
+        store = FileProgress(p)
+        for i in range(25):
+            store.set(**{f"{prefix}{i}": i})
+
+    ts = [threading.Thread(target=writer, args=(pfx,)) for pfx in ("a", "b")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    got = FileProgress(p).get()
+    assert len(got) == 50

@@ -18,10 +18,10 @@ query at the driver's correctness SF (sf0.01):
 - canon: columns sorted by name, rows sorted by every column's string
   rendering, then a sha256 over the full string matrix.
 
-Usage: ``python tools/driver_sim.py [sf_dir] [--all]`` — prints one
-line per query, exits non-zero if any hash mismatches. ``--all``
-checks every oracle-backed registry entry, not just the 50-entry
-driver window.
+Usage: ``python tools/driver_sim.py [sf_dir] [--all] [--only a,b,c]``
+— prints one line per query, exits non-zero if any hash mismatches.
+``--all`` checks every oracle-backed registry entry, not just the
+50-entry driver window; ``--only`` restricts to named queries.
 """
 
 from __future__ import annotations
@@ -55,6 +55,11 @@ def canon_hash(pdf) -> tuple[str, int]:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--all"]
     check_all = "--all" in sys.argv
+    only: list[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_spark(app_name="driver-sim")
     con = duckdb.connect()
@@ -65,6 +70,8 @@ def main() -> int:
 
     sqls = Q.oracle_sql()
     names = list(sqls) if check_all else Q.DRIVER_ORDER
+    if only:
+        names = [n for n in names if n in only] or only
     bad = []
     for name in names:
         fn = Q.REGISTRY[name].fn
