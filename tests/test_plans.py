@@ -225,3 +225,19 @@ def test_envelope_roundtrips_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_corpus_pipeline_full_scan_budget(spark):
+    """The composed curation chain consumes each stage's output, not a
+    re-derivation: the quality gate filters the scan directly, the
+    canonical pick is a window over that same scan, and the survivor
+    frame is pinned (localCheckpoint) before fanning out to the LSH /
+    anti-join / packer consumers. The final plan may touch the
+    documents parquet at most 3 times (quality+dedup chain once,
+    decontaminate's corpus and eval sides) — guards the 20-scan
+    composition regression the round-3 audit found."""
+    df = Q.REGISTRY["corpus_pipeline_full"].fn(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 3
+    assert plan.count("Scan ExistingRDD") >= 1  # the pinned survivor frame
