@@ -739,26 +739,32 @@ def span_dedup(docs: DataFrame, k: int = SPAN_LEN) -> DataFrame:
     Plan shape: spans are distinct per doc (``array_distinct``) so a
     count over the span partition equals the distinct-document count —
     ONE shuffle on the span key (window count, no join against a
-    separate duplicate set), then one groupBy doc_id. At 100 TB the
-    span strings would be replaced by ``xxhash64(span)`` as the
-    partition key (8-byte keys, same plan; collisions only merge
-    counts) — the string key is kept here so the DuckDB oracle can
-    group on the identical value. No reference analogue (the reference
-    has no text operators at all)."""
+    separate duplicate set), then one groupBy doc_id. The shuffle key
+    is the 60-bit ``portable_hash64(span)`` — 8-byte longs cross the
+    exchange, never k-word strings (the Lee et al. practice; a hash
+    collision merely merges two spans' counts, odds ~n²/2^61) — and the
+    oracle groups on the identical ``duck_hash64`` value, so the
+    hashed key is itself oracle-checked. Plan contract:
+    tests/test_plans.py::test_span_shuffle_keys_are_hashed. No
+    reference analogue (the reference has no text operators at all)."""
     from pyspark.sql import Window
 
     docs = spread(docs)
     w = words_col(F.col("text"))
     sp = docs.select(
         "doc_id",
-        F.explode_outer(F.array_distinct(shingles_col(w, k))).alias("span"),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(shingles_col(w, k), lambda s: portable_hash64(s))
+            )
+        ).alias("span_h"),
     )
-    n_docs_for_span = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    n_docs_for_span = F.count(F.lit(1)).over(Window.partitionBy("span_h"))
     marked = sp.select(
-        "doc_id", "span", (n_docs_for_span >= 2).cast("int").alias("is_dup")
+        "doc_id", "span_h", (n_docs_for_span >= 2).cast("int").alias("is_dup")
     )
-    n_spans = F.count("span")  # non-null only: empty docs keep 0
-    n_dup = F.sum(F.when(F.col("span").isNotNull(), F.col("is_dup")).otherwise(0))
+    n_spans = F.count("span_h")  # non-null only: empty docs keep 0
+    n_dup = F.sum(F.when(F.col("span_h").isNotNull(), F.col("is_dup")).otherwise(0))
     return (
         marked.groupBy("doc_id")
         .agg(n_spans.alias("n_spans"), n_dup.alias("n_dup_spans"))
@@ -777,7 +783,10 @@ def span_dedup(docs: DataFrame, k: int = SPAN_LEN) -> DataFrame:
 
 
 def span_dedup_oracle_sql() -> str:
-    spans = f"list_distinct({duck_shingles(duck_words(), SPAN_LEN)})"
+    spans = (
+        f"list_distinct(list_transform({duck_shingles(duck_words(), SPAN_LEN)}, "
+        f"s -> {duck_hash64('s')}))"
+    )
     return f"""
     WITH sp AS (
         SELECT doc_id, unnest({spans}) AS span FROM documents
@@ -817,21 +826,29 @@ def span_removal(docs: DataFrame, k: int = SPAN_LEN) -> DataFrame:
     granularity keeps the reconstruction exactly reproducible in the
     SQL oracle (suffix-array byte ranges would not be).
 
-    Plan shape: ONE shuffle partitions span occurrences by span value
-    (the same key as span_dedup — xxhash64(span) is the 100-TB key
-    swap); excised occurrences explode to ≤ k·|occurrences| (doc_id,
-    pos) rows which aggregate per doc into a removal-position set; the
-    rebuild is then a per-row array filter — document text is never
-    exploded word-by-word or shuffled."""
+    Plan shape: ONE shuffle partitions span occurrences by the 60-bit
+    ``portable_hash64(span)`` — 8-byte longs cross the exchange, never
+    k-word strings (same hashed key as span_dedup; a collision merges
+    two spans' occurrence lists, excising a first occurrence it should
+    have kept — odds ~n²/2^61, the accepted Lee-et-al trade) — and the
+    oracle ranks over the identical ``duck_hash64`` value, so the
+    hashed key is itself oracle-checked. Excised occurrences explode
+    to ≤ k·|occurrences| (doc_id, pos) rows which aggregate per doc
+    into a removal-position set; the rebuild is then a per-row array
+    filter — document text is never exploded word-by-word or
+    shuffled."""
     from pyspark.sql import Window
 
     docs = spread(docs)
     w = words_col(F.col("text"))
     occ = docs.select(
-        "doc_id", F.posexplode(shingles_col(w, k)).alias("p", "span")
+        "doc_id",
+        F.posexplode(
+            F.transform(shingles_col(w, k), lambda s: portable_hash64(s))
+        ).alias("p", "span_h"),
     )
     rn = F.row_number().over(
-        Window.partitionBy("span").orderBy("doc_id", "p")
+        Window.partitionBy("span_h").orderBy("doc_id", "p")
     )
     excised = occ.withColumn("rn", rn).where(F.col("rn") > 1)
     cover = excised.select(
@@ -856,16 +873,17 @@ def span_removal(docs: DataFrame, k: int = SPAN_LEN) -> DataFrame:
 
 def span_removal_oracle_sql(k: int = SPAN_LEN, source: str = "documents") -> str:
     spans = duck_shingles(duck_words(), k)
+    h = duck_hash64("s")
     return f"""
     WITH occ AS (
-        SELECT doc_id, o.p, o.span
+        SELECT doc_id, o.p, o.span_h
         FROM (SELECT doc_id, unnest(list_transform({spans},
-                  (s, i) -> struct_pack(p := i - 1, span := s))) AS o
+                  (s, i) -> struct_pack(p := i - 1, span_h := {h}))) AS o
               FROM {source})
     ),
     ranked AS (
         SELECT doc_id, p,
-               row_number() OVER (PARTITION BY span ORDER BY doc_id, p) AS rn
+               row_number() OVER (PARTITION BY span_h ORDER BY doc_id, p) AS rn
         FROM occ
     ),
     cover AS (

@@ -162,6 +162,8 @@ from meilisync_spark.sources.cdc_connectors import (
     canal_roundtrip_oracle_sql as _canal_rt_sql,
     maxwell_roundtrip as _maxwell_rt,
     maxwell_roundtrip_oracle_sql as _maxwell_rt_sql,
+    wal2json_roundtrip as _wal2json_rt,
+    wal2json_roundtrip_oracle_sql as _wal2json_rt_sql,
 )
 
 
@@ -188,6 +190,20 @@ def q_maxwell_roundtrip(spark, sf_dir):
 )
 def q_canal_roundtrip(spark, sf_dir):
     return _canal_rt(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "wal2json_roundtrip",
+    _wal2json_rt_sql(),
+    doc="wal2json envelope roundtrip — the reference's OWN Postgres "
+        "transport (meilisync/source/postgres.py:100-121): events "
+        "rendered as real transaction messages (typed columnvalues, "
+        "hex HI/LO nextlsn, microsecond timestamps, oldkeys-only "
+        "deletes), parsed back via normalize_wal2json; oracle computed "
+        "straight from the source columns.",
+)
+def q_wal2json_roundtrip(spark, sf_dir):
+    return _wal2json_rt(_t(spark, sf_dir, "events"))
 
 
 @register(
@@ -2465,10 +2481,12 @@ DRIVER_ORDER = [
     "split_by_op",
     "cdc_apply",
     "check_counts",
-    # envelope-connector coverage: the Maxwell roundtrip certifies the
-    # construct+parse path of the binlog-JSON normalizers in-window
-    # (canal_roundtrip is its sibling, oracle-checked by driver_sim)
-    "maxwell_roundtrip",
+    # envelope-connector coverage: the wal2json roundtrip certifies the
+    # construct+parse path of the CDC envelope normalizers in-window —
+    # wal2json because it is the REFERENCE's own Postgres transport
+    # (maxwell_roundtrip held this slot in round 3 and went green;
+    # it and canal_roundtrip stay oracle-checked by driver_sim --all)
+    "wal2json_roundtrip",
     # relational coverage: joins, aggs, grouping sets, windows, pivot
     "q1_pricing_summary",
     "q3_top_orders",

@@ -416,10 +416,174 @@ def normalize_canal(
     return out
 
 
+# wal2json change kind → EventType: exactly the three kinds the
+# reference's _consumer admits (meilisync/source/postgres.py:104-119);
+# other kinds ("message" logical decodings, "truncate") are dropped.
+WAL2JSON_OP_MAP: dict[str, str] = {
+    "insert": "create",
+    "update": "update",
+    "delete": "delete",
+}
+
+# Intra-transaction ordering: one wal2json message carries a whole
+# transaction's change array and one nextlsn, so the change's array
+# position joins the LSN in the total order. 2^12 positions leaves
+# 2^51 bytes (~2 PiB) of WAL-lifetime headroom in int64; transactions
+# longer than 4096 changes clamp their tail positions (wal2json's
+# write-in-chunks / format-version-2 splitting keeps real messages far
+# below that).
+WAL2JSON_CHANGE_SHIFT = 1 << 12
+_LSN_LO_MOD = 1 << 32  # lsn = hi·2^32 + lo, both hex in "HI/LO"
+
+
+def wal2json_value_schema() -> T.StructType:
+    """Schema of a wal2json (format version 1) message — the payload
+    the reference's replication consumer receives
+    (meilisync/source/postgres.py:89-121): one JSON object per
+    transaction with a ``change`` array; each change carries parallel
+    ``columnnames``/``columntypes``/``columnvalues`` arrays, deletes
+    carry ``oldkeys`` instead (REPLICA IDENTITY pk columns), and
+    ``nextlsn``/``timestamp`` appear under the ``include-lsn`` /
+    ``include-timestamp`` plugin options the reference turns on.
+
+    ``columnvalues`` are heterogeneous typed JSON (numbers unquoted) —
+    decoded as ``array<string>`` (Spark renders each scalar token as
+    its string form; doubles round-trip bit-exactly through the later
+    cast) and re-typed against the caller's payload schema, the same
+    stringly-value pattern as :func:`normalize_canal`."""
+    keys = T.StructType(
+        [
+            T.StructField("keynames", T.ArrayType(T.StringType())),
+            T.StructField("keytypes", T.ArrayType(T.StringType())),
+            T.StructField("keyvalues", T.ArrayType(T.StringType())),
+        ]
+    )
+    change = T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("columnnames", T.ArrayType(T.StringType())),
+            T.StructField("columntypes", T.ArrayType(T.StringType())),
+            T.StructField("columnvalues", T.ArrayType(T.StringType())),
+            T.StructField("oldkeys", keys),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("change", T.ArrayType(change)),
+            T.StructField("nextlsn", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+        ]
+    )
+
+
+def normalize_wal2json(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    *,
+    pk: str = "id",
+    value_col: str = "value",
+    tables: list[str] | None = None,
+) -> DataFrame:
+    """Raw wal2json envelope → the engine's normalized event schema
+    ``(seq, ts, table, op, pk, payload struct)`` — the direct parser
+    for the reference's own Postgres transport
+    (meilisync/source/postgres.py:100-121), for users tailing a
+    wal2json drop-dir/topic without Debezium in between. Same contract
+    as the other normalizers, so everything downstream (routing P3,
+    compaction A5, MERGE apply S9-S11) is transport-agnostic.
+
+    Reference parity, and the deliberate divergences:
+
+    - op classification (P4): insert/update/delete → create/update/
+      delete; other kinds (``truncate``, logical ``message``) dropped
+      (P5). The reference ``return``s out of the whole message when it
+      meets an unconfigured table, silently discarding the REST of that
+      transaction's changes (quirk Q2, postgres.py:95-96); here routing
+      filters per-change and continues — deliberately not replicated.
+    - payload: ``columnnames``/``columnvalues`` zipped into a map and
+      re-typed against ``payload_schema`` with per-field Catalyst casts
+      (no UDF). Deletes fall back to ``oldkeys`` when columnvalues are
+      absent — the reference keeps only the FIRST oldkey
+      (postgres.py:108-112); here every oldkey column is mapped (a
+      strict superset; downstream consumes only the pk either way,
+      meilisync/meili.py:136-137).
+    - ``json``-typed columns: the reference ``json.loads``es them into
+      dicts (postgres.py:101-103); here they stay JSON strings in a
+      string-typed payload field (the engine's payload contract is
+      typed scalars — parse downstream with ``from_json`` when the
+      structure matters).
+    - ``seq`` (last-wins total order, A5): ``nextlsn`` parsed from its
+      ``HI/LO`` hex form into ``hi·2^32 + lo`` — the same position the
+      reference stores as resume progress (``start_lsn``,
+      postgres.py:117) — then packed with the change's position in the
+      transaction (``lsn·2^12 + pos``); falls back to the Kafka
+      partition offset, then epoch-micros of ``timestamp``.
+    - ``ts``: the commit ``timestamp`` string (include-timestamp), cast
+      with full microsecond + zone-offset fidelity.
+    """
+    v = F.from_json(F.col(value_col).cast("string"), wal2json_value_schema())
+    lsn = v.getField("nextlsn")
+    hi = F.regexp_extract(lsn, r"^([0-9A-Fa-f]+)/", 1)
+    lo = F.regexp_extract(lsn, r"/([0-9A-Fa-f]+)$", 1)
+    lsn_seq = F.when(
+        (hi != "") & (lo != ""),
+        F.conv(hi, 16, 10).cast("long") * F.lit(_LSN_LO_MOD)
+        + F.conv(lo, 16, 10).cast("long"),
+    )
+    ts = v.getField("timestamp").cast("timestamp")
+    base_candidates = [lsn_seq]
+    if "offset" in df.columns:  # kafka frame
+        base_candidates.append(F.col("offset"))
+    base_candidates.append(F.unix_micros(ts))
+    exploded = df.select(
+        F.coalesce(*base_candidates).alias("_msg_seq"),
+        ts.alias("ts"),
+        F.posexplode(v.getField("change")).alias("_pos", "_c"),
+    )
+    c = F.col("_c")
+    op_src = c.getField("kind")
+    op: Column = F.lit(None).cast("string")
+    for src, dst in reversed(list(WAL2JSON_OP_MAP.items())):
+        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
+    ok = c.getField("oldkeys")
+    row_map = F.when(
+        F.size(c.getField("columnvalues")) > 0,
+        F.map_from_arrays(c.getField("columnnames"), c.getField("columnvalues")),
+    ).otherwise(
+        F.map_from_arrays(ok.getField("keynames"), ok.getField("keyvalues"))
+    )
+    typed = F.struct(
+        *[
+            F.element_at(row_map, f.name).cast(f.dataType).alias(f.name)
+            for f in payload_schema.fields
+        ]
+    )
+    seq = (
+        F.col("_msg_seq") * F.lit(WAL2JSON_CHANGE_SHIFT)
+        + F.least(F.col("_pos"), F.lit(WAL2JSON_CHANGE_SHIFT - 1))
+    )
+    out = (
+        exploded.where(op.isNotNull())
+        .select(
+            seq.alias("seq"),
+            "ts",
+            c.getField("table").alias("table"),
+            op.alias("op"),
+            typed.getField(pk).alias("pk"),
+            typed.alias("payload"),
+        )
+    )
+    if tables:
+        out = out.where(F.col("table").isin(*tables))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-checkable envelope roundtrips: the fixture's events table is
-# rendered into REAL Maxwell / Canal JSON envelopes in-engine, pushed
-# through the normalizers, and the oracle computes the expected
+# rendered into REAL Maxwell / Canal / wal2json envelopes in-engine,
+# pushed through the normalizers, and the oracle computes the expected
 # normalized rows directly from the source columns — so the JSON
 # construction+parse path (the part a unit test could fake) is what the
 # cross-engine hash actually certifies.
@@ -596,6 +760,121 @@ def canal_roundtrip_oracle_sql() -> str:
            user_id AS pk,
            value,
            k
+    FROM w
+    """
+
+
+WAL2JSON_RT_BATCH = 4  # events per synthetic transaction message
+
+
+def wal2json_roundtrip(events: DataFrame) -> DataFrame:
+    """(seq, ts, table, op, pk, value, k) — events grouped into
+    wal2json transaction messages (rows of one kind batched
+    ``WAL2JSON_RT_BATCH`` at a time into the ``change`` array, typed
+    JSON columnvalues built verbatim — numbers unquoted, exactly what
+    the plugin emits — ``nextlsn`` rendered in its ``HI/LO`` hex form
+    from the batch's min event_id, ``timestamp`` with full microsecond
+    precision) and normalized back via :func:`normalize_wal2json`.
+    Deletes carry ONLY ``oldkeys`` (the REPLICA IDENTITY pk, the shape
+    the reference's delete branch handles, postgres.py:108-112), so
+    their non-pk payload fields come back NULL. Exercises the hex LSN
+    parse + lsn·2^12+pos seq pack, the typed-value re-typing, the
+    oldkeys fallback, and the microsecond timestamp cast — end to end
+    against an oracle computed straight from the source columns."""
+    src = _rt_source(events)
+    kind: Column = F.lit(None).cast("string")
+    for evt, w2j_kind in reversed(
+        [("signup", "insert"), ("purchase", "update"), ("click", "update"),
+         ("error", "delete")]
+    ):
+        kind = F.when(F.col("event_type") == evt, F.lit(w2j_kind)).otherwise(kind)
+    grouped = (
+        src.withColumn("_batch", (F.col("event_id") / WAL2JSON_RT_BATCH).cast("long"))
+        # batch key is the RAW source op (one statement = one kind),
+        # same reasoning as canal_roundtrip
+        .groupBy("event_type", "_batch")
+        .agg(
+            F.min("event_id").alias("_mid"),
+            F.min_by("ts", "event_id").alias("_ts0"),
+            F.array_sort(
+                F.collect_list(F.struct("event_id", "user_id", "value", "k"))
+            ).alias("_rows"),
+        )
+        .withColumn("_kind", kind)
+    )
+
+    def _num(c: Column) -> Column:
+        # typed JSON values: numbers render unquoted; SQL NULL → null
+        return F.coalesce(c.cast("string"), F.lit("null"))
+
+    def _change(r: Column) -> Column:
+        row_change = F.format_string(
+            '{"kind":"%s","schema":"public","table":"users",'
+            '"columnnames":["user_id","value","k"],'
+            '"columntypes":["bigint","double precision","bigint"],'
+            '"columnvalues":[%s,%s,%s]}',
+            F.col("_kind"),
+            _num(r.getField("user_id")),
+            _num(r.getField("value")),
+            _num(r.getField("k")),
+        )
+        del_change = F.format_string(
+            '{"kind":"delete","schema":"public","table":"users",'
+            '"oldkeys":{"keynames":["user_id"],"keytypes":["bigint"],'
+            '"keyvalues":[%s]}}',
+            _num(r.getField("user_id")),
+        )
+        return F.when(F.col("_kind") == "delete", del_change).otherwise(row_change)
+
+    env = grouped.select(
+        F.concat(
+            F.lit('{"change":['),
+            F.array_join(F.transform("_rows", _change), ","),
+            F.lit('],"nextlsn":"'),
+            F.format_string(
+                "%X/%X",
+                F.floor(F.col("_mid") / F.lit(_LSN_LO_MOD)).cast("long"),
+                F.col("_mid") % F.lit(_LSN_LO_MOD),
+            ),
+            F.lit('","timestamp":"'),
+            F.date_format("_ts0", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit('+00"}'),
+        ).alias("value")
+    )
+    out = normalize_wal2json(env, _RT_PAYLOAD, pk="user_id")
+    return out.select(
+        "seq", "ts", "table", "op", "pk",
+        F.col("payload").getField("value").alias("value"),
+        F.col("payload").getField("k").alias("k"),
+    )
+
+
+def wal2json_roundtrip_oracle_sql() -> str:
+    return f"""
+    WITH f AS (
+        SELECT event_id, ts, user_id, value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               event_type
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'click', 'error')
+    ),
+    w AS (
+        SELECT *,
+               min(event_id) OVER win AS mid,
+               row_number() OVER (PARTITION BY event_type,
+                                  event_id // {WAL2JSON_RT_BATCH}
+                                  ORDER BY event_id) - 1 AS pos,
+               arg_min(ts, event_id) OVER win AS ts0
+        FROM f
+        WINDOW win AS (PARTITION BY event_type, event_id // {WAL2JSON_RT_BATCH})
+    )
+    SELECT mid * {WAL2JSON_CHANGE_SHIFT} + pos AS seq,
+           make_timestamp(epoch_us(ts0)) AS ts,
+           'users' AS "table",
+           {_RT_SQL_OP} AS op,
+           user_id AS pk,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+           CASE WHEN event_type = 'error' THEN NULL ELSE k END AS k
     FROM w
     """
 

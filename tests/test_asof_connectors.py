@@ -386,3 +386,117 @@ def test_maxwell_and_canal_feed_compact_and_apply(spark):
             base, compact_last_wins(flat, ["pk"], "seq"), pk="pk", payload_cols=["v"]
         )
         assert {(r.pk, r.v) for r in state.collect()} == {(1, 1.5)}
+
+
+def _w2j(changes, *, nextlsn="16/B374D848", timestamp="2023-11-14 22:13:20.123456+00"):
+    return json.dumps({"change": changes, "nextlsn": nextlsn,
+                       "timestamp": timestamp})
+
+
+def _w2j_row(kind, names, values, *, table="users", types=None):
+    return {"kind": kind, "schema": "public", "table": table,
+            "columnnames": names,
+            "columntypes": types or ["bigint"] * len(names),
+            "columnvalues": values}
+
+
+def test_normalize_wal2json_envelope(spark):
+    """wal2json transaction messages: the change array explodes to one
+    event per row with seq = (hi·2^32+lo)·2^12 + pos; typed JSON
+    columnvalues re-typed against the payload schema; deletes without
+    columnvalues fall back to oldkeys (pk only); truncate/message kinds
+    dropped; per-change table routing CONTINUES past unconfigured
+    tables (reference quirk Q2 deliberately not replicated —
+    postgres.py:95-96 returns out of the whole message)."""
+    from meilisync_spark.sources.cdc_connectors import (
+        WAL2JSON_CHANGE_SHIFT,
+        normalize_wal2json,
+    )
+
+    payload_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    rows = [
+        (_w2j([
+            _w2j_row("insert", ["id", "v"], [1, 1.5]),
+            _w2j_row("insert", ["id", "v"], [2, 2.5], table="other"),  # routed out, NOT aborting
+            _w2j_row("update", ["id", "v"], [1, 9.25]),
+            {"kind": "delete", "schema": "public", "table": "users",
+             "oldkeys": {"keynames": ["id"], "keytypes": ["bigint"],
+                         "keyvalues": [1]}},
+            {"kind": "truncate", "schema": "public", "table": "users"},
+        ], nextlsn="1/A"),),
+        (_w2j([_w2j_row("insert", ["id", "v"], [3, 0.125])], nextlsn="0/10"),),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = normalize_wal2json(df, payload_schema, pk="id", tables=["users"]).collect()
+    assert sorted((r.op, r.pk) for r in out) == [
+        ("create", 1), ("create", 3), ("delete", 1), ("update", 1)]
+    lsn1 = (1 << 32) + 10  # "1/A"
+    by_seq = {r.seq: r for r in out}
+    assert by_seq[lsn1 * WAL2JSON_CHANGE_SHIFT + 0].payload.v == 1.5
+    # the routed-out change still occupies position 1 — later changes
+    # in the same transaction keep their true positions
+    assert by_seq[lsn1 * WAL2JSON_CHANGE_SHIFT + 2].payload.v == 9.25
+    d = by_seq[lsn1 * WAL2JSON_CHANGE_SHIFT + 3]
+    assert d.op == "delete" and d.pk == 1 and d.payload.v is None  # oldkeys pk only
+    assert by_seq[16 * WAL2JSON_CHANGE_SHIFT + 0].payload.v == 0.125  # "0/10" = 16
+    assert all(str(r.ts) == "2023-11-14 22:13:20.123456" for r in out)
+
+
+def test_normalize_wal2json_seq_fallbacks(spark):
+    """No nextlsn → the kafka offset; no offset either → epoch-micros
+    of the commit timestamp. Every fallback is scaled by the change
+    shift so intra-transaction positions keep ordering."""
+    from meilisync_spark.sources.cdc_connectors import (
+        WAL2JSON_CHANGE_SHIFT,
+        normalize_wal2json,
+    )
+
+    payload_schema = T.StructType([T.StructField("id", T.LongType())])
+    msg = json.dumps({
+        "change": [_w2j_row("insert", ["id"], [1]),
+                   _w2j_row("insert", ["id"], [2])],
+        "timestamp": "2023-11-14 22:13:20.000001+00",
+    })
+    kafka = spark.createDataFrame([(msg, 41)], "value string, offset long")
+    seqs = sorted(r.seq for r in
+                  normalize_wal2json(kafka, payload_schema, pk="id").collect())
+    assert seqs == [41 * WAL2JSON_CHANGE_SHIFT, 41 * WAL2JSON_CHANGE_SHIFT + 1]
+
+    plain = spark.createDataFrame([(msg,)], "value string")
+    out = normalize_wal2json(plain, payload_schema, pk="id").collect()
+    epoch_us = out[0].seq // WAL2JSON_CHANGE_SHIFT
+    assert epoch_us == 1700000000000001
+
+
+def test_wal2json_feeds_compact_and_apply(spark):
+    """Transport-agnostic contract for the reference's own envelope:
+    normalize_wal2json output drives the same compact→MERGE chain as
+    the native event path (delete arriving with oldkeys only)."""
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.operators.apply import apply_changes
+    from meilisync_spark.operators.compaction import compact_last_wins
+    from meilisync_spark.sources.cdc_connectors import normalize_wal2json
+
+    payload_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    rows = [
+        (_w2j([_w2j_row("insert", ["id", "v"], [1, 1.0]),
+               _w2j_row("insert", ["id", "v"], [2, 2.0])], nextlsn="0/1"),),
+        (_w2j([_w2j_row("update", ["id", "v"], [1, 1.5])], nextlsn="0/2"),),
+        (_w2j([{"kind": "delete", "schema": "public", "table": "users",
+                "oldkeys": {"keynames": ["id"], "keytypes": ["bigint"],
+                            "keyvalues": [2]}}], nextlsn="0/3"),),
+    ]
+    ev = normalize_wal2json(
+        spark.createDataFrame(rows, "value string"), payload_schema, pk="id"
+    )
+    flat = ev.select("seq", "op", "pk", F.col("payload.v").alias("v"))
+    base = spark.createDataFrame([], "pk long, v double")
+    state = apply_changes(
+        base, compact_last_wins(flat, ["pk"], "seq"), pk="pk", payload_cols=["v"]
+    )
+    assert {(r.pk, r.v) for r in state.collect()} == {(1, 1.5)}

@@ -220,7 +220,7 @@ def test_envelope_roundtrips_stay_jvm_side(spark):
     """The envelope construct+parse path is to_json/from_json — JVM
     expressions inside codegen, no Python anywhere; canal's one shuffle
     is the statement batching groupBy."""
-    for name in ["maxwell_roundtrip", "canal_roundtrip"]:
+    for name in ["maxwell_roundtrip", "canal_roundtrip", "wal2json_roundtrip"]:
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
@@ -241,3 +241,15 @@ def test_corpus_pipeline_full_scan_budget(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 3
     assert plan.count("Scan ExistingRDD") >= 1  # the pinned survivor frame
+
+
+def test_span_shuffle_keys_are_hashed(spark):
+    """span_dedup / span_removal shuffle 8-byte span hashes, never the
+    raw k-word span strings: the exchange / window partition key must
+    be the long-typed span_h column (the 100-TB key contract both
+    docstrings promise; the hash value itself is oracle-checked)."""
+    for name in ["span_dedup", "span_removal"]:
+        plan = _plan(spark, name)
+        assert re.search(r"hashpartitioning\(span_h#\d+L", plan), name
+        # the string span never appears as a shuffle key
+        assert not re.search(r"hashpartitioning\(span#\d+[,)]", plan), name

@@ -382,3 +382,68 @@ def test_exact_source_overlap_matches_brute_pair_count(spark, rows):
             shared[key].add(ti)
     exp = {k: (len(shared[k]), pairs[k]) for k in pairs}
     assert got == exp
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), _env_doubles, _env_strings), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_wal2json_normalizer_roundtrip_any_payload(spark, rows):
+    """Adversarial wal2json payloads — unicode / JSON-escape-worthy
+    strings, subnormal/huge/negative-zero doubles, typed JSON values
+    rendered by a real JSON encoder — must come back with strings
+    byte-equal and doubles bit-equal through normalize_wal2json's
+    array<string> decode + per-field cast. Multi-change messages keep
+    per-change positions; deletes recover the pk from oldkeys alone."""
+    import json as _json
+    import math
+
+    from pyspark.sql import types as T
+
+    from meilisync_spark.sources.cdc_connectors import (
+        WAL2JSON_CHANGE_SHIFT,
+        normalize_wal2json,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+    ])
+    expected = {}
+    changes = []
+    for i, (pk, v, s) in enumerate(rows):
+        expected[i] = (pk, v, s)
+        changes.append({
+            "kind": "insert", "schema": "public", "table": "users",
+            "columnnames": ["id", "v", "s"],
+            "columntypes": ["bigint", "double precision", "text"],
+            "columnvalues": [pk, v, s],
+        })
+    changes.append({
+        "kind": "delete", "schema": "public", "table": "users",
+        "oldkeys": {"keynames": ["id"], "keytypes": ["bigint"],
+                    "keyvalues": [777]},
+    })
+    msg = _json.dumps({"change": changes, "nextlsn": "2/4F0",
+                       "timestamp": "2023-11-14 22:13:20.000123+00"})
+    out = normalize_wal2json(
+        spark.createDataFrame([(msg,)], "value string"), schema, pk="id"
+    ).collect()
+    lsn = (2 << 32) + 0x4F0
+    got = {r.seq - lsn * WAL2JSON_CHANGE_SHIFT:
+           (r.payload.id, r.payload.v, r.payload.s) for r in out if r.op != "delete"}
+
+    def eq(a, b):
+        return all(
+            (x == y and (not isinstance(x, float)
+                         or math.copysign(1, x) == math.copysign(1, y)))
+            for x, y in zip(a, b))
+
+    assert set(got) == set(expected)
+    for i, exp in expected.items():
+        assert eq(got[i], exp), (got[i], exp)
+    deletes = [r for r in out if r.op == "delete"]
+    assert len(deletes) == 1 and deletes[0].pk == 777
+    assert deletes[0].seq == lsn * WAL2JSON_CHANGE_SHIFT + len(rows)
