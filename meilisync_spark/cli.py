@@ -138,6 +138,7 @@ def cmd_start(args: argparse.Namespace) -> int:
             "canal": _cc.normalize_canal,
             "debezium": _cc.normalize_debezium,
             "mongo": _cc.normalize_mongo_change_stream,
+            "wal2json": _cc.normalize_wal2json,
         }[args.envelope]
         if not args.payload_schema:
             print("--envelope needs --payload-schema (DDL, e.g. 'id long, v double')")
@@ -154,9 +155,18 @@ def cmd_start(args: argparse.Namespace) -> int:
                 *[_F.col(f"payload.{c}").alias(c) for c in _cols],
             )
 
-    # phase 1 — backfill when the index is absent (T5, main.py:86-101);
-    # bucketed and envelope modes bootstrap on the first micro-batch
-    if not os.path.exists(index) and not args.buckets and not getattr(args, "envelope", None):
+    # phase 1 — backfill when the index is absent (T5, main.py:86-101).
+    # A fresh index defaults to the BUCKETED layout (resolve_num_buckets:
+    # O(batch)-per-micro-batch writes, the 100-TB form) and bootstraps on
+    # the first micro-batch, as do envelope modes; the flat backfill runs
+    # only when flat is forced (--buckets 0) or the index already exists
+    # flat.
+    from meilisync_spark.operators.bucketed import resolve_num_buckets
+
+    resolved_buckets = resolve_num_buckets(index, args.buckets)
+    if not os.path.exists(index) and resolved_buckets:
+        print(f"bootstrap: bucketed index ({resolved_buckets} buckets) at {index}")
+    if not os.path.exists(index) and not resolved_buckets and not getattr(args, "envelope", None):
         # load_path (not a raw spark.read) so nanos timestamps get the
         # same canonical conversion the streaming path applies — the
         # index schema must be identical across both writers
@@ -229,6 +239,33 @@ def cmd_check(args: argparse.Namespace) -> int:
     for r in rows:
         status = "consistent" if r.consistent else "INCONSISTENT"
         print(f"{r.table}: source={r.source_count} index={r.index_count} {status}")
+    # position lag (the ops-mirror consumer): when the settings define a
+    # progress store and an event log is given, report how far each
+    # sync's APPLIED position trails the log head — the "is the sync
+    # keeping up" number the reference's progress store exists to answer
+    # (meilisync/progress/*; positions published per committed batch by
+    # the streaming pipelines)
+    if settings.progress is not None and getattr(args, "events", None):
+        from meilisync_spark.progress import make_progress
+
+        positions = make_progress(settings.progress).get()
+        ev = load_path(spark, args.events)
+        tc = getattr(args, "table_col", None)
+        if tc and tc in ev.columns:
+            heads = {
+                r[0]: r[1] for r in ev.groupBy(tc).agg(F.max("event_id")).collect()
+            }
+        else:
+            head = ev.agg(F.max("event_id")).first()[0]
+            heads = {t: head for t in pairs}
+        for t in pairs:
+            applied, head = positions.get(t), heads.get(t)
+            if applied is None or head is None:
+                print(f"{t}: position unknown (no progress published)")
+            else:
+                # redis hashes are stringly typed; normalize both sides
+                print(f"{t}: applied={int(applied)} head={int(head)} "
+                      f"lag={int(head) - int(applied)}")
     return 0 if ok else 1
 
 
@@ -303,11 +340,15 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--table-col", help="raw column carrying the source table name "
                                         "(multi-sync routing)")
     st.add_argument("--buckets", type=int,
-                    help="pk-bucket the index; each batch rewrites only touched buckets")
+                    help="pk-bucket count for the index (each batch rewrites only "
+                         "touched buckets). Default: fresh indexes are bucketed at "
+                         "64, existing layouts keep their recorded form; 0 forces "
+                         "the flat full-rewrite layout")
     st.add_argument("--source-format", dest="source_format", default="parquet",
                     choices=["parquet", "orc", "json", "csv", "text"],
                     help="event-log format; 'text' = raw envelope lines")
-    st.add_argument("--envelope", choices=["maxwell", "canal", "debezium", "mongo"],
+    st.add_argument("--envelope",
+                    choices=["maxwell", "canal", "debezium", "mongo", "wal2json"],
                     help="normalize raw CDC envelopes instead of fixture events "
                          "(use with --source-format text)")
     st.add_argument("--payload-schema", dest="payload_schema",
@@ -329,6 +370,12 @@ def build_parser() -> argparse.ArgumentParser:
     ck.add_argument("--config", help="YAML config: audit every sync rule")
     ck.add_argument("--sources", help="directory of per-table source parquet "
                                       "(config mode)")
+    ck.add_argument("--events", help="event-log path: with a configured "
+                                     "progress store, also report applied-"
+                                     "position-vs-head lag per sync")
+    ck.add_argument("--table-col", dest="table_col",
+                    help="raw column carrying the source table name (per-"
+                         "table heads for the lag report)")
     ck.set_defaults(fn=cmd_check)
 
     ig = sub.add_parser(

@@ -55,6 +55,32 @@ DEFAULT_NUM_BUCKETS = 64
 META_FILE = "_meta.json"
 
 
+def resolve_num_buckets(index_path: str, requested: int | None) -> int:
+    """The streaming pipelines' layout decision, in one place.
+
+    ``requested`` set → honored verbatim (``0`` or negative forces the
+    flat full-rewrite layout — the explicit opt-out). ``None`` → auto:
+
+    - an existing bucketed index keeps ITS recorded count (from
+      ``_meta.json`` — a restart must never need ``--buckets`` to keep
+      writing the layout it finds);
+    - a pre-existing FLAT index stays flat (back-compat: never silently
+      convert a layout in place — ``rebucket_index`` is the explicit
+      conversion);
+    - a fresh index defaults to :data:`DEFAULT_NUM_BUCKETS` — the
+      O(batch)-per-micro-batch layout is the only one that survives a
+      100-TB index, so new indexes get it without opt-in.
+    """
+    if requested is not None:
+        return max(requested, 0)
+    meta = read_meta(index_path)
+    if meta:
+        return int(meta["num_buckets"])
+    if os.path.isdir(index_path):
+        return 0  # pre-existing flat index
+    return DEFAULT_NUM_BUCKETS
+
+
 def bucket_expr(pk: str, num_buckets: int) -> Column:
     """Deterministic, type-agnostic bucket id: crc32 of the stringified
     pk mod N. Independent of Spark's internal hash so the layout is

@@ -34,6 +34,7 @@ with file pruning; the parquet fallback swaps via the shadow path
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 from collections.abc import Callable
@@ -72,13 +73,22 @@ def read_event_stream(
     so an envelope drop-dir tails end-to-end without Kafka.
 
     A single-file path is staged into a one-symlink directory (the file
-    source requires a directory basePath). Nanos parquet timestamps get
-    the same floor-to-micros conversion the batch loader applies.
+    source requires a directory basePath). The staging dir is
+    DETERMINISTIC in the source path — ``mls_src_<sha1(abspath)>`` —
+    because the checkpoint records committed files under that basePath:
+    a random per-run dir would poison every restart with
+    "Wrong basePath" the moment the query resumes from its checkpoint.
+    Nanos parquet timestamps get the same floor-to-micros conversion
+    the batch loader applies.
     """
     nanos = _nanos_timestamp_cols(events_path) if source_format == "parquet" else []
     if os.path.isfile(events_path):
-        staging = tempfile.mkdtemp(prefix="mls_src_")
-        os.symlink(events_path, os.path.join(staging, os.path.basename(events_path)))
+        tag = hashlib.sha1(os.path.abspath(events_path).encode()).hexdigest()[:16]
+        staging = os.path.join(tempfile.gettempdir(), f"mls_src_{tag}")
+        os.makedirs(staging, exist_ok=True)
+        link = os.path.join(staging, os.path.basename(events_path))
+        if not os.path.islink(link):
+            os.symlink(events_path, link)
         src_dir = staging
     else:
         src_dir = events_path
@@ -152,11 +162,15 @@ def run_cdc_pipeline(
     """Run the CDC pipeline until caught up (``available_now``) or until
     ``timeout_sec``. Returns the StreamingQuery (stopped if awaited).
 
-    ``num_buckets`` switches the index to the hive-bucketed layout
-    (operators/bucketed.py): each micro-batch rewrites only the pk
-    buckets it touches — O(batch) writes instead of O(index), the form
-    that survives a 100-TB index. The default full-rewrite form is kept
-    for single-file indexes and as the oracle-checked baseline.
+    ``num_buckets`` picks the index layout via
+    :func:`~meilisync_spark.operators.bucketed.resolve_num_buckets`:
+    a FRESH index defaults to the hive-bucketed layout
+    (operators/bucketed.py — each micro-batch rewrites only the pk
+    buckets it touches, O(batch) writes instead of O(index), the form
+    that survives a 100-TB index), an existing bucketed index keeps its
+    recorded count with no flag needed, a pre-existing flat index stays
+    flat, and ``num_buckets=0`` forces the flat full-rewrite form (the
+    oracle-checked baseline, still right for tiny single-file indexes).
 
     ``normalizer`` maps the raw stream onto the engine's normalized
     event contract ``(seq, op, pk, <payload cols>)`` — defaults to
@@ -167,6 +181,9 @@ def run_cdc_pipeline(
     columns the index carries (default: the fixture's
     ``PAYLOAD_COLS``).
     """
+    from meilisync_spark.operators.bucketed import resolve_num_buckets
+
+    num_buckets = resolve_num_buckets(index_path, num_buckets)
     events = read_event_stream(
         spark, events_path, max_files_per_trigger, source_format, source_schema
     )
@@ -249,7 +266,9 @@ def run_settings_pipeline(
        (the CLI ``--plugin`` flag) last;
     5. MERGE into ``{sink.index_path}/{sync.index_name}`` (routing
        target defaulting to the table name, settings.py:58-60) —
-       bucketed when ``num_buckets`` is set.
+       layout per ``resolve_num_buckets(Sync.buckets or num_buckets)``:
+       fresh indexes bucketed by default, existing layouts kept, ``0``
+       forcing flat.
 
     Routing first means each sync's work is a pruned slice of the batch
     (the table filter pushes into the batch scan); the per-sync MERGEs
@@ -331,7 +350,11 @@ def run_settings_pipeline(
             # a fields-map edit across restarts (the config-level ALTER
             # TABLE) widens the index with typed NULLs or keeps base-only
             # columns, instead of silently dropping them
-            nb = sync.buckets if sync.buckets is not None else num_buckets
+            from meilisync_spark.operators.bucketed import resolve_num_buckets
+
+            nb = resolve_num_buckets(
+                index_path, sync.buckets if sync.buckets is not None else num_buckets
+            )
             if nb:
                 from meilisync_spark.operators.bucketed import apply_changes_bucketed
 

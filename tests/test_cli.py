@@ -20,7 +20,12 @@ def test_cli_start_check_refresh(spark, tmp_path, capsys):
     ])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "backfill: loaded" in out and "sync complete" in out
+    # fresh indexes default to the bucketed layout (bootstrap on the
+    # first micro-batch); the flat backfill is the --buckets 0 path
+    assert "bootstrap: bucketed index" in out and "sync complete" in out
+    from meilisync_spark.operators.bucketed import read_meta
+
+    assert read_meta(index) is not None
 
     rc = main(["check", "--source", index, "--index", index, "--table", "users"])
     assert rc == 0
@@ -249,3 +254,125 @@ def test_cli_start_envelope_conflicts_with_syncs_config(tmp_path, capsys):
     ])
     assert rc == 2
     assert "cannot be combined" in capsys.readouterr().err
+
+
+def test_cli_start_wal2json_envelope_drop_dir(tmp_path):
+    """`start --source-format text --envelope wal2json` tails a raw
+    wal2json drop directory (the reference's own Postgres transport,
+    one JSON object per transaction) through the streaming shell into
+    an index — multi-change messages, an oldkeys-only delete, and the
+    lsn·2^12+pos seq pack end to end."""
+    import json
+
+    from meilisync_spark.cli import main
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+
+    def row(kind, pk, v):
+        return {"kind": kind, "schema": "public", "table": "users",
+                "columnnames": ["id", "v"],
+                "columntypes": ["bigint", "double precision"],
+                "columnvalues": [pk, v]}
+
+    msgs = [
+        {"change": [row("insert", 1, 1.0), row("insert", 2, 2.0)],
+         "nextlsn": "0/10", "timestamp": "2023-11-14 22:13:20.000001+00"},
+        {"change": [row("update", 1, 1.5)],
+         "nextlsn": "0/20", "timestamp": "2023-11-14 22:13:21+00"},
+        {"change": [{"kind": "delete", "schema": "public", "table": "users",
+                     "oldkeys": {"keynames": ["id"], "keytypes": ["bigint"],
+                                 "keyvalues": [2]}}],
+         "nextlsn": "0/30", "timestamp": "2023-11-14 22:13:22+00"},
+    ]
+    (drop / "wal.jsonl").write_text("\n".join(json.dumps(m) for m in msgs) + "\n")
+    index = str(tmp_path / "index")
+    rc = main([
+        "start", "--events", str(drop), "--index", index,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--source-format", "text", "--envelope", "wal2json",
+        "--payload-schema", "id long, v double",
+    ])
+    assert rc == 0
+    from meilisync_spark.session import get_spark
+
+    spark = get_spark("t")
+    assert {(r.pk, r.v) for r in spark.read.parquet(index).collect()} == {(1, 1.5)}
+
+
+def test_cli_start_flat_backfill_when_forced(spark, tmp_path, capsys):
+    """--buckets 0 keeps the classic flat path: phase-1 backfill then
+    tail, no bucket layout written."""
+    from meilisync_spark.operators.bucketed import read_meta
+
+    index = str(tmp_path / "flat")
+    rc = main([
+        "start",
+        "--events", f"{SF_SMOKE}/events.parquet",
+        "--index", index,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--buckets", "0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "backfill: loaded" in out and "sync complete" in out
+    assert read_meta(index) is None
+
+
+def test_cli_check_reports_progress_lag(spark, tmp_path, capsys):
+    """check --config with a configured progress store and --events
+    reports applied-position-vs-head lag per sync (the ops-mirror
+    consumer): after a caught-up start, lag is 0; a table with no
+    published position reports unknown."""
+    import duckdb
+
+    sink_root = str(tmp_path / "indexes")
+    progress_path = str(tmp_path / "progress.json")
+    cfg = tmp_path / "config.yml"
+    cfg.write_text("\n".join([
+        "sink:",
+        f"  index_path: {sink_root}",
+        "progress:",
+        "  type: file",
+        f"  path: {progress_path}",
+        "sync:",
+        "  - table: users",
+        "    pk: user_id",
+        "    full: true",
+    ]))
+    rc = main([
+        "start",
+        "--events", f"{SF_SMOKE}/events.parquet",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--config", str(cfg),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    # sources dir for the count audit: the index itself (counts match)
+    sources = str(tmp_path / "sources")
+    os.makedirs(sources)
+    con = duckdb.connect()
+    con.sql(f"COPY (SELECT * FROM '{sink_root}/users/**/*.parquet') "
+            f"TO '{sources}/users.parquet' (FORMAT PARQUET)")
+    con.sql(f"COPY (SELECT * FROM '{sink_root}/users/**/*.parquet') "
+            f"TO '{sink_root}/users_flat.parquet' (FORMAT PARQUET)")
+    cfg2 = tmp_path / "config2.yml"
+    cfg2.write_text("\n".join([
+        "sink:",
+        f"  index_path: {sink_root}",
+        "progress:",
+        "  type: file",
+        f"  path: {progress_path}",
+        "sync:",
+        "  - table: users",
+        "    index: users_flat.parquet",
+        "    pk: user_id",
+    ]))
+    rc = main([
+        "check", "--config", str(cfg2), "--sources", sources,
+        "--events", f"{SF_SMOKE}/events.parquet",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "users: applied=" in out and "lag=0" in out

@@ -99,11 +99,13 @@ def test_bucketed_apply_touches_only_batch_buckets(spark, tmp_path):
 
 def test_bucketed_stream_equals_full_rewrite(spark, tmp_path):
     """run_cdc_pipeline(num_buckets=N) lands on exactly the same final
-    state as the full-rewrite form (the oracle-checked baseline)."""
+    state as the full-rewrite form (the oracle-checked baseline,
+    forced with num_buckets=0 now that fresh indexes bucket by
+    default)."""
     flat_index = str(tmp_path / "flat")
     run_cdc_pipeline(
         spark, f"{SF_SMOKE}/events.parquet", flat_index,
-        str(tmp_path / "ckpt_flat"), available_now=True,
+        str(tmp_path / "ckpt_flat"), available_now=True, num_buckets=0,
     )
     flat = {r.pk: (r.value, r.k) for r in spark.read.parquet(flat_index).collect()}
 
@@ -113,6 +115,52 @@ def test_bucketed_stream_equals_full_rewrite(spark, tmp_path):
         str(tmp_path / "ckpt_b"), available_now=True, num_buckets=N_BUCKETS,
     )
     assert _state(spark, b_index) == flat
+
+
+def test_fresh_index_buckets_by_default(spark, tmp_path):
+    """Layout defaults (resolve_num_buckets): a FRESH index comes up
+    bucketed with no flag; a restart keeps the recorded layout without
+    re-passing --buckets; a pre-existing flat index stays flat; 0
+    forces flat."""
+    from meilisync_spark.operators.bucketed import (
+        DEFAULT_NUM_BUCKETS,
+        read_meta,
+        resolve_num_buckets,
+    )
+
+    index = str(tmp_path / "auto")
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", index,
+        str(tmp_path / "ckpt_a"), available_now=True,
+    )
+    meta = read_meta(index)
+    assert meta and meta["num_buckets"] == DEFAULT_NUM_BUCKETS
+
+    # same final state as the forced-flat baseline
+    flat_index = str(tmp_path / "flat0")
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", flat_index,
+        str(tmp_path / "ckpt_f"), available_now=True, num_buckets=0,
+    )
+    flat = {r.pk: (r.value, r.k) for r in spark.read.parquet(flat_index).collect()}
+    assert _state(spark, index) == flat
+    assert read_meta(flat_index) is None  # forced flat: no bucket layout
+
+    # restart with no flag keeps the recorded layout (meta intact)
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", index,
+        str(tmp_path / "ckpt_a"), available_now=True,
+    )
+    assert read_meta(index)["num_buckets"] == DEFAULT_NUM_BUCKETS
+    assert _state(spark, index) == flat
+
+    # a pre-existing flat index never silently converts
+    assert resolve_num_buckets(flat_index, None) == 0
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", flat_index,
+        str(tmp_path / "ckpt_f"), available_now=True,
+    )
+    assert read_meta(flat_index) is None
 
 
 def _multi_table_events(spark, tmp_path) -> str:
@@ -513,7 +561,8 @@ def test_settings_pipeline_fields_drift_across_restarts(spark, tmp_path):
     )
     run_settings_pipeline(spark, stream_dir, narrow, ckpt, available_now=True)
     idx = os.path.join(sink_root, "users")
-    assert sorted(spark.read.parquet(idx).columns) == ["pk", "ts", "value"]
+    data_cols = [c for c in spark.read.parquet(idx).columns if c != "bucket"]
+    assert sorted(data_cols) == ["pk", "ts", "value"]
 
     # widen: second chunk replayed through the full payload (adds k)
     con.sql(
@@ -525,7 +574,7 @@ def test_settings_pipeline_fields_drift_across_restarts(spark, tmp_path):
         syncs=[Sync(full=True, table="users", pk="user_id")],  # full payload: ts, value, k
     )
     run_settings_pipeline(spark, stream_dir, wide, ckpt, available_now=True)
-    out = spark.read.parquet(idx)
+    out = spark.read.parquet(idx).drop("bucket")
     assert sorted(out.columns) == ["k", "pk", "ts", "value"]
     rows = {r.pk: r for r in out.collect()}
 
@@ -682,9 +731,10 @@ def test_file_progress_store_roundtrip(tmp_path):
     store.set(accounts=7)       # merge, not replace
     store.set(users=12)         # monotone update
     assert FileProgress(p).get() == {"users": 12, "accounts": 7}
-    # no stray tmp files left behind by the atomic write
+    # no stray tmp files left behind by the atomic write (the
+    # .progress.lock sidecar is the writer flock, not a leftover)
     assert [f for f in os.listdir(tmp_path / "ops")
-            if f != "progress.json"] == []
+            if f not in ("progress.json", ".progress.lock")] == []
 
     from meilisync_spark.config import ProgressSettings
     assert isinstance(make_progress(ProgressSettings(type="file", path=p)),
