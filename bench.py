@@ -108,6 +108,7 @@ HEADLINE = [
     "canal_roundtrip",
     # round 4 additions
     "wal2json_roundtrip",
+    "ivfpq_persisted_recall",
     "span_removal",
     "corpus_pipeline_full",
     "ann_recall_clustered",

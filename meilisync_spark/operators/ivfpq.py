@@ -35,6 +35,33 @@ from meilisync_spark.operators.pq import (
 IVFPQ_SHORTLIST = 64
 
 
+def _adc_scored(probed: DataFrame, tables, q_ids) -> DataFrame:
+    """ADC-score a ``(q_id, vec_id, codes)`` frame against per-query
+    distance tables (numpy, broadcast in the closure): one Arrow batch
+    pass, the per-batch query-gather index hoisted out of the
+    per-subspace loop."""
+    import numpy as np  # noqa: F401 — tables is a numpy array in the closure
+
+    def score(batches, _tables=tables, _q_ids=q_ids):
+        import numpy as _np
+        import pandas as _pd
+
+        qpos = {int(q): i for i, q in enumerate(_q_ids)}
+        for pdf in batches:
+            C = _np.array(list(pdf["codes"]), dtype=_np.int64)
+            qs = pdf["q_id"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            qidx = _np.array([qpos[int(q)] for q in qs], dtype=_np.int64)
+            d = _np.zeros(len(ids), dtype=_np.int64)
+            for s in range(C.shape[1]):
+                d += _tables[qidx, s, C[:, s]]
+            yield _pd.DataFrame({"q_id": qs, "neighbor_id": ids, "adc_dist": d})
+
+    return probed.mapInPandas(
+        score, schema="q_id long, neighbor_id long, adc_dist long"
+    ).where(F.col("neighbor_id") != F.col("q_id"))
+
+
 def ivfpq_index(emb: DataFrame):
     """Train both quantizers and build the compressed index frame
     ``(vec_id, cluster, codes)`` — the thing you'd write out
@@ -83,29 +110,7 @@ def ivfpq_topk(
     probed = idx.join(
         F.broadcast(q_cells), idx.cluster == q_cells.q_cluster
     ).select("q_id", "vec_id", "codes")
-
-    def score(batches, _tables=tables, _q_ids=q_ids):
-        import numpy as _np
-        import pandas as _pd
-
-        qpos = {int(q): i for i, q in enumerate(_q_ids)}
-        for pdf in batches:
-            C = _np.array(list(pdf["codes"]), dtype=_np.int64)
-            qs = pdf["q_id"].to_numpy()
-            ids = pdf["vec_id"].to_numpy()
-            # per-row gather index against each row's own query table,
-            # computed once per batch (not once per subspace)
-            qidx = _np.array([qpos[int(q)] for q in qs], dtype=_np.int64)
-            d = _np.zeros(len(ids), dtype=_np.int64)
-            for s in range(C.shape[1]):
-                d += _tables[qidx, s, C[:, s]]
-            yield _pd.DataFrame(
-                {"q_id": qs, "neighbor_id": ids, "adc_dist": d}
-            )
-
-    scored = probed.mapInPandas(
-        score, schema="q_id long, neighbor_id long, adc_dist long"
-    ).where(F.col("neighbor_id") != F.col("q_id"))
+    scored = _adc_scored(probed, tables, q_ids)
     wsl = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     sl = (
         scored.withColumn("r", F.row_number().over(wsl))
@@ -169,25 +174,7 @@ def _cell_adc_topk(frame: DataFrame, cells: DataFrame, books, k: int) -> DataFra
     probed = idx.join(F.broadcast(q_cells), idx.cluster == q_cells.q_cluster).select(
         "q_id", "vec_id", "codes"
     )
-
-    def score(batches, _tables=tables, _q_ids=q_ids):
-        import numpy as _np
-        import pandas as _pd
-
-        qpos = {int(q): i for i, q in enumerate(_q_ids)}
-        for pdf in batches:
-            C = _np.array(list(pdf["codes"]), dtype=_np.int64)
-            qs = pdf["q_id"].to_numpy()
-            ids = pdf["vec_id"].to_numpy()
-            qidx = _np.array([qpos[int(q)] for q in qs], dtype=_np.int64)
-            d = _np.zeros(len(ids), dtype=_np.int64)
-            for s in range(C.shape[1]):
-                d += _tables[qidx, s, C[:, s]]
-            yield _pd.DataFrame({"q_id": qs, "neighbor_id": ids, "adc_dist": d})
-
-    scored = probed.mapInPandas(
-        score, schema="q_id long, neighbor_id long, adc_dist long"
-    ).where(F.col("neighbor_id") != F.col("q_id"))
+    scored = _adc_scored(probed, tables, q_ids)
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -270,3 +257,124 @@ def ivfpq_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
 
     ce = clustered_embeddings(emb)
     return _recall_against_brute(ce, ivfpq_topk(ce, k), k)
+
+
+# ---------------------------------------------------------------------------
+# The index AT REST: cluster-partitioned parquet, probed with static
+# partition pruning — the layout a 100-TB deployment actually serves
+# queries from (the in-plan ivfpq_topk trains+probes in one lineage;
+# this is the write → read-back → prune → probe → re-rank lifecycle).
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_persist_index(emb: DataFrame, index_path: str):
+    """Train both quantizers and write the ``(vec_id, codes)`` frame
+    hive-partitioned by ``cluster`` — the at-rest layout whose probe is
+    a partition-pruned scan of code columns only. Returns the PQ
+    codebooks (the query-side half of the index; at scale these few KB
+    ship alongside the table as metadata)."""
+    idx, books = ivfpq_index(emb)
+    idx.write.mode("overwrite").partitionBy("cluster").parquet(index_path)
+    return books
+
+
+def _pruned_probe(idx: DataFrame, q_cells: list) -> DataFrame:
+    """(q_id, vec_id, codes) — restrict the persisted index scan to the
+    probed cells with a STATIC ``cluster IN (...)`` predicate (consumed
+    by partition pruning — PartitionFilters in the plan, zero IO for
+    every other cell), then attach each query id to its cell's rows via
+    a broadcast join. ``q_cells`` is the collected (q_id, cluster) list
+    — |Q| rows, already driver-side because the query vectors are."""
+    spark = idx.sparkSession
+    clusters = sorted({int(c) for _, c in q_cells})
+    cells_df = spark.createDataFrame(q_cells, "q_id long, q_cluster int")
+    return (
+        idx.where(F.col("cluster").isin(clusters))
+        .join(F.broadcast(cells_df), F.col("cluster") == F.col("q_cluster"))
+        .select("q_id", "vec_id", "codes")
+    )
+
+
+def ivfpq_persisted_topk(
+    spark, emb: DataFrame, index_path: str, k: int = 5,
+    shortlist: int = IVFPQ_SHORTLIST,
+) -> DataFrame:
+    """(q_id, neighbor_id, rank, cosine) — the full at-rest lifecycle:
+    :func:`ivfpq_persist_index` writes the cluster-partitioned index,
+    the probe reads it back pruned to the queries' cells
+    (:func:`_pruned_probe`), ADC-scores the 8-byte codes, keeps a
+    ``shortlist``, and exact-re-ranks those ids against the full
+    vectors. Identical math to :func:`ivfpq_topk`; what changes is
+    that the probe's input is the persisted layout, so the plan carries
+    the PartitionFilters a serving cluster depends on
+    (tests/test_plans.py::test_ivfpq_persisted_probe_prunes_partitions)."""
+    import numpy as np
+
+    from meilisync_spark.functions.vectors import cosine
+
+    books = ivfpq_persist_index(emb, index_path)
+    m = books.shape[0]
+    idx = spark.read.parquet(index_path)
+
+    q_rows = sorted(
+        emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Qs = _split(_quantize([r.embedding for r in q_rows]), m)
+    tables = np.stack(
+        [((Qs[s][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2) for s in range(m)],
+        axis=1,
+    )
+    # the queries' cell assignments, read from the persisted index
+    # itself (vec_id pushes down as a scan filter; |Q| rows collect)
+    q_cells = [
+        (int(r.vec_id), int(r.cluster))
+        for r in idx.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "cluster").collect()
+    ]
+    scored = _adc_scored(_pruned_probe(idx, q_cells), tables, q_ids)
+    wsl = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    sl = (
+        scored.withColumn("r", F.row_number().over(wsl))
+        .where(F.col("r") <= shortlist)
+        .select("q_id", "neighbor_id")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = sl.join(F.broadcast(q), "q_id")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    rer = c.join(F.broadcast(cand), "neighbor_id").withColumn(
+        "cosine", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivfpq_persisted_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
+    """(q_id, n_hits, n_brute, recall) — the persisted-index probe
+    measured against brute force on the clustered twin (recall 1.0,
+    threshold-asserted in tests/test_pq.py). The index lives in a temp
+    dir for the harness; materialized before the dir is removed."""
+    import shutil
+    import tempfile
+
+    from meilisync_spark.operators.similarity import (
+        _recall_against_brute,
+        clustered_embeddings,
+    )
+
+    ce = clustered_embeddings(emb)
+    work = tempfile.mkdtemp(prefix="mls_ivfpq_")
+    try:
+        topk = ivfpq_persisted_topk(spark, ce, f"{work}/index", k)
+        out = _recall_against_brute(ce, topk, k)
+        out = spark.createDataFrame(out.collect(), out.schema)  # pin
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

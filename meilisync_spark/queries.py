@@ -1741,6 +1741,23 @@ def q_ivfpq_recall(spark, sf_dir):
 
 
 @register(
+    "ivfpq_persisted_recall",
+    None,  # trained + temp-dir index — recall asserted in tests/test_pq.py
+    doc="The IVF+PQ index AT REST: written hive-partitioned by cluster, "
+        "read back with the probe pruned to the queries' cells (static "
+        "PartitionFilters — zero IO for every other cell), ADC-scored, "
+        "exact-re-ranked; recall 1.0 vs brute force on the clustered "
+        "twin. The write -> read-back -> prune -> probe lifecycle a "
+        "serving deployment runs, not just the in-plan training probe.",
+    driver_facing=False,
+)
+def q_ivfpq_persisted_recall(spark, sf_dir):
+    from meilisync_spark.operators.ivfpq import ivfpq_persisted_recall
+
+    return ivfpq_persisted_recall(spark, _t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "ivfpq_residual_ablation",
     None,  # trained measurement row — ordering asserted in tests/test_pq.py
     doc="Residual-encoding ablation (FAISS by_residual), measured under "

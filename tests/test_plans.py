@@ -253,3 +253,47 @@ def test_span_shuffle_keys_are_hashed(spark):
         assert re.search(r"hashpartitioning\(span_h#\d+L", plan), name
         # the string span never appears as a shuffle key
         assert not re.search(r"hashpartitioning\(span#\d+[,)]", plan), name
+
+
+def test_ivfpq_persisted_probe_prunes_partitions(spark, tmp_path):
+    """The at-rest IVF+PQ probe must read ONLY the probed cells'
+    partitions of the persisted cluster-partitioned index: static
+    PartitionFilters on `cluster`, no post-scan Filter on it, and the
+    scan schema carries only the code columns (vec_id, codes) — the
+    O(probed cells) IO contract serving depends on."""
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.operators.ivfpq import (
+        _pruned_probe,
+        ivfpq_persist_index,
+    )
+    from meilisync_spark.operators.similarity import clustered_embeddings
+    from meilisync_spark.sources.parquet import load_table
+
+    ce = clustered_embeddings(load_table(spark, SF_SMOKE, "embeddings"))
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_persist_index(ce, path)
+    idx = spark.read.parquet(path)
+    q_cells = [
+        (int(r.vec_id), int(r.cluster))
+        for r in idx.where(F.col("vec_id") < 8).select("vec_id", "cluster").collect()
+    ]
+    probed = _pruned_probe(idx, q_cells)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:800]
+    # the index-side cluster predicate is consumed by partition pruning:
+    # no post-scan Filter on the scan's cluster column (the broadcast
+    # side's q_cluster filter is the tiny cells frame — allowed)
+    for line in plan.splitlines():
+        if line.lstrip(" :+-*(0-9)").startswith("Filter"):
+            assert "cluster#" not in line.replace("q_cluster#", ""), line
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and "vec_id" in rs.group(1) and "embedding" not in rs.group(1)
+    # and the probe actually restricts to the queries' cells, one row
+    # per (query, same-cell vector)
+    on_disk = spark.read.parquet(path)
+    want = sum(
+        on_disk.where(F.col("cluster") == c).count() for _, c in q_cells
+    )
+    assert probed.count() == want

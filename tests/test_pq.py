@@ -120,3 +120,16 @@ def test_residual_encoding_beats_raw_in_cell_probe(spark):
     got = {r.variant: r.mean_recall for r in ivfpq_residual_adc_recall(emb).collect()}
     assert set(got) == {"raw", "residual"}
     assert got["residual"] >= got["raw"] + 0.2, got
+
+
+def test_ivfpq_persisted_index_probe_recall(spark):
+    """The at-rest lifecycle (write cluster-partitioned -> read back ->
+    pruned probe -> ADC -> exact re-rank) must match the in-plan probe's
+    quality: recall 1.0-ish on the clustered twin, one row per query."""
+    from meilisync_spark.operators.ivfpq import ivfpq_persisted_recall
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = ivfpq_persisted_recall(spark, emb).collect()
+    assert len(rows) == pq.N_QUERIES
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.8, mean

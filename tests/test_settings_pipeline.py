@@ -844,3 +844,60 @@ def test_file_progress_concurrent_writers_keep_both_keys(tmp_path):
     [t.join() for t in ts]
     got = FileProgress(p).get()
     assert len(got) == 50
+
+
+def test_delta_sink_import_gate_is_actionable():
+    """Without delta-spark the sink must fail at once with install +
+    session-config instructions, not on first merge mid-pipeline."""
+    import pytest
+
+    from meilisync_spark.operators import table_format
+
+    try:
+        import delta  # noqa: F401
+        pytest.skip("delta-spark installed; the gate test is for its absence")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        table_format._delta_table()
+
+
+def test_delta_apply_matches_flat_apply(spark, tmp_path):
+    """MERGE INTO on Delta == apply_changes + rewrite, fold-for-fold:
+    random create/update/delete micro-batches (None values exercising
+    the partial-update coalesce) land on identical final state.
+    Skips where delta-spark is absent (this container); the flat side
+    is the oracle-checked semantics either way."""
+    import pytest
+
+    pytest.importorskip("delta")
+    from meilisync_spark.operators.apply import apply_changes
+    from meilisync_spark.operators.table_format import apply_changes_delta
+
+    table = str(tmp_path / "delta_idx")
+    batches = [
+        [(1, "create", 1.0, 10), (2, "create", 2.0, 20), (3, "create", 3.0, 30)],
+        [(1, "update", 1.5, None), (2, "delete", None, None),
+         (4, "create", 4.0, 40)],
+        [(4, "update", None, 44), (1, "create", 9.0, 90), (5, "delete", None, None)],
+    ]
+    seq = 0
+    flat = spark.createDataFrame([], "pk long, value double, k long")
+    for batch in batches:
+        data = []
+        for pk, op, v, k in batch:
+            data.append((pk, seq, op, v, k))
+            seq += 1
+        df = spark.createDataFrame(
+            data, "pk long, seq long, op string, value double, k long"
+        )
+        apply_changes_delta(
+            spark, table, df, pk="pk", payload_cols=["value", "k"]
+        )
+        nxt = apply_changes(flat, df, pk="pk", payload_cols=["value", "k"])
+        flat = spark.createDataFrame(nxt.collect(), nxt.schema)  # pin
+    got = {
+        (r.pk, r.value, r.k)
+        for r in spark.read.format("delta").load(table).collect()
+    }
+    assert got == {(r.pk, r.value, r.k) for r in flat.collect()}
