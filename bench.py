@@ -141,6 +141,12 @@ def main() -> None:
             registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # operators persist intermediate frames (band tables, pinned
+        # stages) per invocation; 85 queries x 2 runs of accumulation
+        # turns the storage pool into eviction churn that taxes LATER
+        # queries — clear between queries so each is measured cold-cache
+        # but clean-slate
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     payload = json.dumps(

@@ -205,7 +205,10 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
         clustered_embeddings,
     )
 
-    ce = clustered_embeddings(emb)
+    # pin the twin: every Lloyd pass of both quantizer trainings (and
+    # the brute-force recall denominator) re-reads this frame — without
+    # the pin each of those jobs replays the scan+map lineage
+    ce = clustered_embeddings(emb).localCheckpoint(False)
     cells = kmeans_labels(ce)
 
     # cell centroids on the k-means fixed-point lattice, exact means
@@ -229,10 +232,14 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
 
     spark = emb.sparkSession
     rows = []
-    for variant, frame in (
-        ("raw", ce),
-        ("residual", _residual_frame(ce, cells, cents).select("vec_id", "embedding")),
-    ):
+    # pin the residual frame too: its lineage carries the cell join,
+    # replayed by every PQ training pass otherwise
+    residual = (
+        _residual_frame(ce, cells, cents)
+        .select("vec_id", "embedding")
+        .localCheckpoint(False)
+    )
+    for variant, frame in (("raw", ce), ("residual", residual)):
         # m=16 (4-dim subspaces): double the code budget to 16 bytes so
         # the comparison isolates WHAT is encoded from quantizer
         # resolution — raw codes still collapse per cell at any budget
@@ -255,7 +262,10 @@ def ivfpq_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
         clustered_embeddings,
     )
 
-    ce = clustered_embeddings(emb)
+    # pin the twin: every Lloyd pass of both quantizer trainings (and
+    # the brute-force recall denominator) re-reads this frame — without
+    # the pin each of those jobs replays the scan+map lineage
+    ce = clustered_embeddings(emb).localCheckpoint(False)
     return _recall_against_brute(ce, ivfpq_topk(ce, k), k)
 
 
@@ -369,7 +379,10 @@ def ivfpq_persisted_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
         clustered_embeddings,
     )
 
-    ce = clustered_embeddings(emb)
+    # pin the twin: every Lloyd pass of both quantizer trainings (and
+    # the brute-force recall denominator) re-reads this frame — without
+    # the pin each of those jobs replays the scan+map lineage
+    ce = clustered_embeddings(emb).localCheckpoint(False)
     work = tempfile.mkdtemp(prefix="mls_ivfpq_")
     try:
         topk = ivfpq_persisted_topk(spark, ce, f"{work}/index", k)

@@ -247,7 +247,10 @@ def pq_rerank_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
         clustered_embeddings,
     )
 
-    ce = clustered_embeddings(emb)
+    # pin the twin: every Lloyd pass of both quantizer trainings (and
+    # the brute-force recall denominator) re-reads this frame — without
+    # the pin each of those jobs replays the scan+map lineage
+    ce = clustered_embeddings(emb).localCheckpoint(False)
     books = pq_codebooks(ce)
     return _recall_against_brute(ce, pq_topk_rerank(ce, books, k), k)
 

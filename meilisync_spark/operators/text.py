@@ -365,18 +365,24 @@ def vocab_encode(docs: DataFrame, min_count: int = 1) -> DataFrame:
     frequency desc, then word asc — id 1 is the most frequent word) and
     re-emit every document as its token-id sequence.
 
-    The vocab rank is a global window but runs over *distinct words*
-    (vocab-sized, not corpus-sized) so the single-partition sort is a
-    few MB on natural-language corpora; the encode join broadcasts that
-    vocab, and the id arrays are re-assembled with one shuffle on
-    doc_id (array_sort over (pos, id) structs restores token order
-    without a per-group sort pass). At true web scale the distinct-word
-    set itself explodes (typos, ids, code) — that is what ``min_count``
-    is for: the frequency cutoff runs BEFORE the rank window, so the
-    single-partition sort covers only the kept vocabulary, never the
-    long tail. Out-of-vocabulary tokens drop out of ``ids`` (and out of
-    ``n_tokens``) — the standard OOV-drop encode; docs of only OOV
-    tokens drop entirely."""
+    The vocab rank is a GLOBAL order (frequency desc, word asc) but is
+    computed without a single-partition sort: the vocab is
+    range-partitioned on the rank key (a parallel sort — skewed
+    frequency ties like the cnt=1 tail split across partitions by word
+    range), each partition ranks its own rows, and the global id is
+    that local rank plus the preceding partitions' row counts — the
+    offsets frame is one row per partition, bounded by cluster config,
+    not by data. Contiguous ranges make offset+local-rank equal the
+    global row_number exactly, independent of where the (sampled) range
+    boundaries land, because (cnt, word) is a total order. The encode
+    join broadcasts the vocab, and the id arrays are re-assembled with
+    one shuffle on doc_id (array_sort over (pos, id) structs restores
+    token order without a per-group sort pass). At true web scale the
+    distinct-word set itself explodes (typos, ids, code) — that is what
+    ``min_count`` is for: the frequency cutoff runs BEFORE the rank, so
+    ranking covers only the kept vocabulary. Out-of-vocabulary tokens
+    drop out of ``ids`` (and out of ``n_tokens``) — the standard
+    OOV-drop encode; docs of only OOV tokens drop entirely."""
     from pyspark.sql import Window
 
     docs = spread(docs)
@@ -386,8 +392,21 @@ def vocab_encode(docs: DataFrame, min_count: int = 1) -> DataFrame:
     vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
         vocab = vocab.where(F.col("cnt") >= min_count)
-    rk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word")))
-    vocab_ids = vocab.select("word", rk.alias("id"))
+    ranged = vocab.repartitionByRange(F.desc("cnt"), F.asc("word")).withColumn(
+        "_p", F.spark_partition_id()
+    )
+    sizes = ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_p", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    local_rk = F.row_number().over(
+        Window.partitionBy("_p").orderBy(F.desc("cnt"), F.asc("word"))
+    )
+    vocab_ids = (
+        ranged.join(F.broadcast(offsets), "_p")
+        .select("word", (F.col("_off") + local_rk).cast("int").alias("id"))
+    )
     return (
         tok.join(F.broadcast(vocab_ids), "word")
         .groupBy("doc_id")

@@ -606,8 +606,13 @@ MAXWELL_RT_FILE_ROWS = 1_000_000  # events per synthetic binlog file
 
 def _rt_source(events: DataFrame) -> DataFrame:
     from meilisync_spark.sources.events import PROPS_SCHEMA
+    from meilisync_spark.sources.parquet import spread
 
-    return events.where(F.col("event_type").isin(*_RT_OPS)).select(
+    # spread: the render+parse pipeline is CPU-dense row-local work
+    # (two JSON codecs per row) and maxwell's path has NO shuffle of its
+    # own — without this a one-row-group fixture file runs the whole
+    # roundtrip on a single core
+    return spread(events).where(F.col("event_type").isin(*_RT_OPS)).select(
         "event_id",
         "ts",
         "user_id",
@@ -703,6 +708,13 @@ def canal_roundtrip(events: DataFrame) -> DataFrame:
                 F.collect_list(F.struct("event_id", "user_id", "value", "k"))
             ).alias("_rows"),
         )
+    )
+    # AQE coalesces the small batching shuffle to a few partitions by
+    # BYTES, but the stage after it runs two JSON codecs per row —
+    # CPU-dense work byte-sizing can't see. Fan the grouped frame back
+    # out so render+parse use the full core count.
+    grouped = grouped.repartition(
+        grouped.sparkSession.sparkContext.defaultParallelism
     )
     env = grouped.withColumn("_ctype", op_src).select(
         F.to_json(
@@ -801,6 +813,13 @@ def wal2json_roundtrip(events: DataFrame) -> DataFrame:
             ).alias("_rows"),
         )
         .withColumn("_kind", kind)
+    )
+
+    # same CPU-density fan-out as canal_roundtrip: the render below is
+    # string building per row, the parse two JSON codecs — AQE's
+    # byte-based coalesce would run both on a handful of cores
+    grouped = grouped.repartition(
+        grouped.sparkSession.sparkContext.defaultParallelism
     )
 
     def _num(c: Column) -> Column:
