@@ -163,10 +163,12 @@ def cmd_start(args: argparse.Namespace) -> int:
     # flat.
     from meilisync_spark.operators.bucketed import resolve_num_buckets
 
-    resolved_buckets = resolve_num_buckets(index, args.buckets)
+    sink_format = getattr(args, "sink_format", "parquet")
+    resolved_buckets = 0 if sink_format == "delta" else resolve_num_buckets(index, args.buckets)
     if not os.path.exists(index) and resolved_buckets:
         print(f"bootstrap: bucketed index ({resolved_buckets} buckets) at {index}")
-    if not os.path.exists(index) and not resolved_buckets and not getattr(args, "envelope", None):
+    if (not os.path.exists(index) and not resolved_buckets
+            and sink_format == "parquet" and not getattr(args, "envelope", None)):
         # load_path (not a raw spark.read) so nanos timestamps get the
         # same canonical conversion the streaming path applies — the
         # index schema must be identical across both writers
@@ -191,12 +193,13 @@ def cmd_start(args: argparse.Namespace) -> int:
         processing_interval=interval,
         max_files_per_trigger=settings.sink.insert_size or args.max_files,
         pre_batch=pre,
-        num_buckets=args.buckets,
+        num_buckets=0 if sink_format == "delta" else args.buckets,
         timeout_sec=args.timeout,
         source_format=args.source_format,
         normalizer=normalizer,
         payload_cols=payload_cols,
         progress=make_progress(settings.progress),
+        sink_format=sink_format,
     )
     print(f"sync complete: index at {index}")
     return 0
@@ -320,6 +323,47 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_build(args: argparse.Namespace) -> int:
+    """Engine-specific extension: train and persist the servable
+    IVF+PQ index (operators/ivfpq.save_index) — cluster-partitioned
+    code lists + query-side quantizer metadata in one directory."""
+    from meilisync_spark.operators.ivfpq import save_index
+
+    spark = get_spark("meilisync-spark-ann-build")
+    emb = spark.read.parquet(args.embeddings).select("vec_id", "embedding")
+    save_index(emb, args.index)
+    n = spark.read.parquet(args.index).count()
+    print(f"ann index {args.index}: {n} vectors")
+    return 0
+
+
+def cmd_ann_query(args: argparse.Namespace) -> int:
+    """Serve a query batch against an `ann-build` index: route each
+    query to its --nprobe nearest cells (stored centroids), partition-
+    pruned ADC probe, optional exact re-rank against --corpus. Prints
+    one JSON line per (query, neighbor)."""
+    from meilisync_spark.operators.ivfpq import query_index
+
+    spark = get_spark("meilisync-spark-ann-query")
+    corpus = spark.read.parquet(args.corpus).select("vec_id", "embedding")
+    ids = [int(x) for x in args.query_ids.split(",")]
+    qs = [
+        (r.vec_id, list(r.embedding))
+        for r in corpus.where(F.col("vec_id").isin(ids)).collect()
+    ]
+    missing = set(ids) - {q for q, _ in qs}
+    if missing:
+        print(f"error: query ids not in corpus: {sorted(missing)}", file=sys.stderr)
+        return 1
+    out = query_index(
+        spark, args.index, qs, k=args.k, nprobe=args.nprobe,
+        refine=corpus if args.refine else None,
+    )
+    for r in out.orderBy("q_id", "rank").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_version(_: argparse.Namespace) -> int:
     print(json.dumps({"meilisync_spark": __version__}))
     return 0
@@ -347,6 +391,11 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--source-format", dest="source_format", default="parquet",
                     choices=["parquet", "orc", "json", "csv", "text"],
                     help="event-log format; 'text' = raw envelope lines")
+    st.add_argument("--sink-format", dest="sink_format", default="parquet",
+                    choices=["parquet", "delta"],
+                    help="index layout: parquet (bucketed/flat per --buckets) "
+                         "or delta (transactional MERGE INTO per batch; needs "
+                         "delta-spark on the session)")
     st.add_argument("--envelope",
                     choices=["maxwell", "canal", "debezium", "mongo", "wal2json"],
                     help="normalize raw CDC envelopes instead of fixture events "
@@ -410,6 +459,30 @@ def build_parser() -> argparse.ArgumentParser:
         help="target bytes per output file (default 128 MiB)",
     )
     cp.set_defaults(fn=cmd_compact)
+
+    ab = sub.add_parser(
+        "ann-build", help="train + persist the servable IVF+PQ vector index"
+    )
+    ab.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id, embedding) columns")
+    ab.add_argument("--index", required=True, help="index output directory")
+    ab.set_defaults(fn=cmd_ann_build)
+
+    aq = sub.add_parser(
+        "ann-query", help="probe an ann-build index for nearest neighbors"
+    )
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--corpus", required=True,
+                    help="raw (vec_id, embedding) parquet: query vectors come "
+                         "from here, and --refine re-ranks against it")
+    aq.add_argument("--query-ids", dest="query_ids", required=True,
+                    help="comma-separated vec_ids to use as the query batch")
+    aq.add_argument("-k", type=int, default=5)
+    aq.add_argument("--nprobe", type=int, default=1,
+                    help="coarse cells probed per query (IO/recall knob)")
+    aq.add_argument("--refine", action="store_true",
+                    help="exact-re-rank the ADC shortlist (exact cosine out)")
+    aq.set_defaults(fn=cmd_ann_query)
 
     v = sub.add_parser("version")
     v.set_defaults(fn=cmd_version)

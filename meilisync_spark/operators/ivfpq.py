@@ -391,3 +391,130 @@ def ivfpq_persisted_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Servable index: codes + query-side metadata persisted together, so a
+# separate process (the `ann-build` / `ann-query` CLI) can build once
+# and serve queries — including vectors the trainer never saw — against
+# the at-rest layout.
+# ---------------------------------------------------------------------------
+
+ANN_META_FILE = "_ann_meta.json"
+
+
+def save_index(emb: DataFrame, index_path: str) -> None:
+    """Train both quantizers and persist a SELF-CONTAINED servable
+    index: the ``(vec_id, codes)`` frame hive-partitioned by
+    ``cluster`` plus ``_ann_meta.json`` carrying the query-side halves
+    — the PQ codebooks (ADC tables are built from them per query) and
+    the coarse centroids (nearest-centroid assignment routes foreign
+    query vectors to their probe cells, the same fixed-point math as
+    training's assignment pass). Both are a few KB — the FAISS split
+    between the inverted lists (big, on disk, partition-pruned) and the
+    quantizer objects (tiny, in memory)."""
+    import json
+    import os
+
+    from meilisync_spark.operators.kmeans import assign_cells, kmeans_centroids
+
+    books = pq_codebooks(emb)
+    centq = kmeans_centroids(emb)
+    idx = pq_encode(emb, books).join(assign_cells(emb, centq), "vec_id")
+    idx.write.mode("overwrite").partitionBy("cluster").parquet(index_path)
+    meta = {
+        "books": books.tolist(),
+        "centroids": centq.tolist(),
+    }
+    with open(os.path.join(index_path, ANN_META_FILE), "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_index_meta(index_path: str):
+    """(books, centroids) as int64 numpy arrays from ``_ann_meta.json``."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_path, ANN_META_FILE)) as fh:
+        meta = json.load(fh)
+    return (
+        np.array(meta["books"], dtype=np.int64),
+        np.array(meta["centroids"], dtype=np.int64),
+    )
+
+
+def query_index(
+    spark,
+    index_path: str,
+    queries,
+    *,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = IVFPQ_SHORTLIST,
+    refine: DataFrame | None = None,
+) -> DataFrame:
+    """(q_id, neighbor_id, rank, adc_dist) — serve a query batch
+    against a :func:`save_index` layout.
+
+    ``queries`` is a list of ``(q_id, vector)`` pairs (a query batch is
+    driver-sized by definition). Each query routes to its ``nprobe``
+    nearest coarse cells via the stored centroids; the scan is pruned
+    to exactly those partitions (static ``cluster IN``,
+    PartitionFilters — same contract as
+    test_ivfpq_persisted_probe_prunes_partitions), ADC-scored against
+    per-query tables built from the stored codebooks, and ranked.
+
+    ``refine``: optionally pass the raw corpus ``(vec_id, embedding)``
+    frame to exact-re-rank the ADC shortlist (FAISS's IndexRefineFlat
+    split: raw vectors live beside, not inside, the code index); the
+    output then carries exact ``cosine`` instead of ``adc_dist``.
+    ``nprobe`` trades IO for recall exactly like FAISS's knob — at 1
+    the probe reads 1/kcells of the codes."""
+    import numpy as np
+
+    books, centq = load_index_meta(index_path)
+    m = books.shape[0]
+    q_ids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+    Q = _quantize([v for _, v in queries])
+    # route to cells: exact int64 distances on the training lattice
+    d = ((Q[:, None, :] - centq[None, :, :]) ** 2).sum(axis=2)
+    probe_cells = np.argsort(d, axis=1)[:, :nprobe]
+    q_cells = [
+        (int(q), int(c)) for q, row in zip(q_ids, probe_cells) for c in row
+    ]
+    Qs = _split(Q, m)
+    tables = np.stack(
+        [((Qs[s][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2) for s in range(m)],
+        axis=1,
+    )
+    idx = spark.read.parquet(index_path)
+    scored = _adc_scored(_pruned_probe(idx, q_cells), tables, q_ids)
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (shortlist if refine is not None else k))
+    )
+    if refine is None:
+        return ranked.select("q_id", "neighbor_id", "rank", "adc_dist")
+
+    from meilisync_spark.functions.vectors import cosine
+
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "q_id long, q_emb array<double>",
+    )
+    cand = ranked.select("q_id", "neighbor_id").join(F.broadcast(qdf), "q_id")
+    c = refine.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    rer = c.join(F.broadcast(cand), "neighbor_id").withColumn(
+        "cosine", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine")
+    )

@@ -73,11 +73,13 @@ def _assign_fn(centq, emit_partials: bool):
     return run
 
 
-def kmeans_labels(
+def kmeans_centroids(
     emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
-) -> DataFrame:
-    """(vec_id, cluster) after ``iters`` exact Lloyd iterations seeded
-    from the first ``k`` vectors."""
+):
+    """Train and return the centroid matrix on the fixed-point lattice
+    (``(k, dim)`` int64) — the coarse-quantizer half an index persists
+    so FOREIGN query vectors can be assigned to cells at serve time
+    (operators/ivfpq.save_index stores it as index metadata)."""
     import numpy as np
 
     centq = _seed_centroids(emb, k)
@@ -106,6 +108,21 @@ def kmeans_labels(
             # floor-divide keeps centroids on the fixed-point lattice
             new[c] = vec // counts[c]
         centq = new
-    return corpus.mapInPandas(
+    return centq
+
+
+def assign_cells(emb: DataFrame, centq) -> DataFrame:
+    """(vec_id, cluster) — nearest-centroid assignment against a
+    trained (or loaded) centroid matrix; the labeler's final pass,
+    reusable at serve time for vectors the trainer never saw."""
+    return emb.select("vec_id", "embedding").mapInPandas(
         _assign_fn(centq, emit_partials=False), schema="vec_id long, cluster int"
     )
+
+
+def kmeans_labels(
+    emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
+) -> DataFrame:
+    """(vec_id, cluster) after ``iters`` exact Lloyd iterations seeded
+    from the first ``k`` vectors."""
+    return assign_cells(emb, kmeans_centroids(emb, k, iters))

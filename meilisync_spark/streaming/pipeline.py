@@ -158,6 +158,7 @@ def run_cdc_pipeline(
     normalizer: Callable[[DataFrame], DataFrame] | None = None,
     payload_cols: list[str] | None = None,
     progress=None,
+    sink_format: str = "parquet",
 ):
     """Run the CDC pipeline until caught up (``available_now``) or until
     ``timeout_sec``. Returns the StreamingQuery (stopped if awaited).
@@ -172,6 +173,13 @@ def run_cdc_pipeline(
     flat, and ``num_buckets=0`` forces the flat full-rewrite form (the
     oracle-checked baseline, still right for tiny single-file indexes).
 
+    ``sink_format="delta"`` replaces the whole parquet layout story
+    (bucketed or flat) with one transactional ``MERGE INTO`` per batch
+    (operators/table_format.py — snapshot isolation, file-pruned
+    merges; needs delta-spark on the session, loud RuntimeError
+    otherwise). Bucketing knobs are ignored there: the table format
+    does its own file pruning.
+
     ``normalizer`` maps the raw stream onto the engine's normalized
     event contract ``(seq, op, pk, <payload cols>)`` — defaults to
     :func:`normalize_events` for the fixture's event-table shape; pass
@@ -183,6 +191,10 @@ def run_cdc_pipeline(
     """
     from meilisync_spark.operators.bucketed import resolve_num_buckets
 
+    if sink_format == "delta":
+        from meilisync_spark.operators.table_format import _delta_table
+
+        _delta_table()  # fail fast with install instructions, not mid-stream
     num_buckets = resolve_num_buckets(index_path, num_buckets)
     events = read_event_stream(
         spark, events_path, max_files_per_trigger, source_format, source_schema
@@ -193,7 +205,13 @@ def run_cdc_pipeline(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if pre_batch is not None:  # U1 plugin chain, vectorized
             batch_df = pre_batch(batch_df)
-        if num_buckets:
+        if sink_format == "delta":
+            from meilisync_spark.operators.table_format import apply_changes_delta
+
+            apply_changes_delta(
+                spark, index_path, batch_df, pk="pk", payload_cols=payload_cols
+            )
+        elif num_buckets:
             from meilisync_spark.operators.bucketed import apply_changes_bucketed
 
             apply_changes_bucketed(

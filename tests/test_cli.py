@@ -376,3 +376,45 @@ def test_cli_check_reports_progress_lag(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "users: applied=" in out and "lag=0" in out
+
+
+def test_cli_ann_build_and_query(spark, tmp_path, capsys):
+    """ann-build persists the servable IVF+PQ index (codes partitioned
+    by cluster + quantizer metadata); ann-query routes a query batch
+    through the stored centroids, probes pruned partitions, and with
+    --refine returns exact-cosine top-k as JSON lines."""
+    index = str(tmp_path / "ann")
+    rc = main([
+        "ann-build",
+        "--embeddings", f"{SF_SMOKE}/embeddings.parquet",
+        "--index", index,
+    ])
+    assert rc == 0
+    assert "vectors" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(index, "_ann_meta.json"))
+
+    rc = main([
+        "ann-query", "--index", index,
+        "--corpus", f"{SF_SMOKE}/embeddings.parquet",
+        "--query-ids", "3,7", "-k", "3", "--nprobe", "2", "--refine",
+    ])
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert {r["q_id"] for r in rows} == {3, 7}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        # refined output carries exact cosine, descending
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+    # unknown query id errors loudly
+    rc = main([
+        "ann-query", "--index", index,
+        "--corpus", f"{SF_SMOKE}/embeddings.parquet",
+        "--query-ids", "999999",
+    ])
+    assert rc == 1

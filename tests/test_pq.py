@@ -133,3 +133,36 @@ def test_ivfpq_persisted_index_probe_recall(spark):
     assert len(rows) == pq.N_QUERIES
     mean = sum(r.recall for r in rows) / len(rows)
     assert mean >= 0.8, mean
+
+
+def test_served_index_query_matches_brute_with_refine(spark, tmp_path):
+    """save_index + query_index (the ann-build/ann-query path): foreign-
+    style routing via stored centroids + pruned probe + exact refine
+    recovers the brute-force top-k on the clustered twin (recall 1.0
+    expectations as the in-plan probe); nprobe widens the candidate
+    pool monotonically."""
+    from meilisync_spark.operators.ivfpq import query_index, save_index
+    from meilisync_spark.operators.similarity import (
+        _recall_against_brute,
+        clustered_embeddings,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ce = clustered_embeddings(emb).localCheckpoint(False)
+    index = str(tmp_path / "ann")
+    save_index(ce, index)
+    qs = [
+        (r.vec_id, list(r.embedding))
+        for r in ce.where(f"vec_id < {pq.N_QUERIES}").collect()
+    ]
+    refined = query_index(
+        spark, index, qs, k=5, nprobe=1,
+        refine=ce.select("vec_id", "embedding"),
+    ).select("q_id", "neighbor_id", "rank")
+    rec = _recall_against_brute(ce, refined, 5)
+    mean = sum(r.recall for r in rec.collect()) / pq.N_QUERIES
+    assert mean >= 0.8, mean
+
+    adc1 = query_index(spark, index, qs, k=5, nprobe=1).count()
+    adc2 = query_index(spark, index, qs, k=5, nprobe=2).count()
+    assert adc2 >= adc1

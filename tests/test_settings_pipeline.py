@@ -901,3 +901,45 @@ def test_delta_apply_matches_flat_apply(spark, tmp_path):
         for r in spark.read.format("delta").load(table).collect()
     }
     assert got == {(r.pk, r.value, r.k) for r in flat.collect()}
+
+
+def test_delta_sink_pipeline_fails_fast_without_package(spark, tmp_path):
+    """run_cdc_pipeline(sink_format='delta') without delta-spark must
+    raise the actionable install error at pipeline START, not as an
+    opaque StreamingQueryException mid-batch. (With delta-spark
+    present the streaming path runs the MERGE INTO twin verified by
+    test_delta_apply_matches_flat_apply.)"""
+    import pytest
+
+    try:
+        import delta  # noqa: F401
+        pytest.skip("delta-spark installed")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        run_cdc_pipeline(
+            spark, f"{SF_SMOKE}/events.parquet", str(tmp_path / "idx"),
+            str(tmp_path / "ckpt"), available_now=True, sink_format="delta",
+        )
+
+
+def test_delta_stream_equals_full_rewrite(spark, tmp_path):
+    """sink_format='delta' through the streaming shell lands on the same
+    final state as the flat-parquet form. Skips without delta-spark."""
+    import pytest
+
+    pytest.importorskip("delta")
+    flat_index = str(tmp_path / "flat")
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", flat_index,
+        str(tmp_path / "ckpt_flat"), available_now=True, num_buckets=0,
+    )
+    flat = {r.pk: (r.value, r.k) for r in spark.read.parquet(flat_index).collect()}
+    d_index = str(tmp_path / "delta")
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", d_index,
+        str(tmp_path / "ckpt_d"), available_now=True, sink_format="delta",
+    )
+    got = {r.pk: (r.value, r.k)
+           for r in spark.read.format("delta").load(d_index).collect()}
+    assert got == flat
