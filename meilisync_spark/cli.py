@@ -85,14 +85,16 @@ def cmd_start(args: argparse.Namespace) -> int:
         else args.interval
     )
     if settings.syncs:
-        if getattr(args, "envelope", None) or args.source_format != "parquet":
+        if (getattr(args, "envelope", None) or args.source_format != "parquet"
+                or getattr(args, "sink_format", "parquet") != "parquet"):
             # the settings-driven branch reads the drop dir as fixture
-            # events; silently ignoring --envelope/--source-format here
-            # would tail raw envelope lines as if they were parquet
+            # events and writes per-sync parquet indexes; silently
+            # ignoring --envelope/--source-format/--sink-format here
+            # would do something other than what the flag asked
             print(
-                "error: --envelope/--source-format cannot be combined with "
-                "a settings file that defines syncs; run raw-envelope mode "
-                "without --config, or drop the flags",
+                "error: --envelope/--source-format/--sink-format cannot be "
+                "combined with a settings file that defines syncs; run "
+                "single-index mode without --config, or drop the flags",
                 file=sys.stderr,
             )
             return 2
@@ -258,6 +260,17 @@ def cmd_check(args: argparse.Namespace) -> int:
             heads = {
                 r[0]: r[1] for r in ev.groupBy(tc).agg(F.max("event_id")).collect()
             }
+        elif len(pairs) > 1:
+            # a multi-sync log without --table-col has no per-table
+            # head; the global max would report spurious lag for every
+            # low-traffic-but-caught-up sync — say so instead
+            print(
+                "position lag: multiple syncs but no --table-col — "
+                "cannot attribute the log head per table; pass "
+                "--table-col for per-sync lag",
+                file=sys.stderr,
+            )
+            heads = {}
         else:
             head = ev.agg(F.max("event_id")).first()[0]
             heads = {t: head for t in pairs}
@@ -331,8 +344,10 @@ def cmd_ann_build(args: argparse.Namespace) -> int:
 
     spark = get_spark("meilisync-spark-ann-build")
     emb = spark.read.parquet(args.embeddings).select("vec_id", "embedding")
+    # count off the (column-pruned) source, not a full read-back of the
+    # codes that were just written
+    n = emb.count()
     save_index(emb, args.index)
-    n = spark.read.parquet(args.index).count()
     print(f"ann index {args.index}: {n} vectors")
     return 0
 

@@ -76,8 +76,12 @@ def resolve_num_buckets(index_path: str, requested: int | None) -> int:
     meta = read_meta(index_path)
     if meta:
         return int(meta["num_buckets"])
-    if os.path.isdir(index_path):
-        return 0  # pre-existing flat index
+    if os.path.exists(index_path):
+        # pre-existing flat index — a DIRECTORY of parquet or a single
+        # parquet FILE (duckdb COPY output, a .parquet index_name):
+        # both must keep the flat path; treating a file as "fresh"
+        # would bucket-convert it and crash renaming under a non-dir
+        return 0
     return DEFAULT_NUM_BUCKETS
 
 

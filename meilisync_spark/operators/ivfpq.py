@@ -35,11 +35,19 @@ from meilisync_spark.operators.pq import (
 IVFPQ_SHORTLIST = 64
 
 
-def _adc_scored(probed: DataFrame, tables, q_ids) -> DataFrame:
+def _adc_scored(
+    probed: DataFrame, tables, q_ids, *, exclude_self: bool = True
+) -> DataFrame:
     """ADC-score a ``(q_id, vec_id, codes)`` frame against per-query
     distance tables (numpy, broadcast in the closure): one Arrow batch
     pass, the per-batch query-gather index hoisted out of the
-    per-subspace loop."""
+    per-subspace loop.
+
+    ``exclude_self`` drops rows where ``neighbor_id == q_id`` — correct
+    only when the query ids ARE corpus vec_ids (the benchmark rows);
+    the serving path disables it for foreign query batches whose
+    caller-chosen ids would otherwise silently mask the corpus vector
+    sharing the number."""
     import numpy as np  # noqa: F401 — tables is a numpy array in the closure
 
     def score(batches, _tables=tables, _q_ids=q_ids):
@@ -57,21 +65,26 @@ def _adc_scored(probed: DataFrame, tables, q_ids) -> DataFrame:
                 d += _tables[qidx, s, C[:, s]]
             yield _pd.DataFrame({"q_id": qs, "neighbor_id": ids, "adc_dist": d})
 
-    return probed.mapInPandas(
+    out = probed.mapInPandas(
         score, schema="q_id long, neighbor_id long, adc_dist long"
-    ).where(F.col("neighbor_id") != F.col("q_id"))
+    )
+    return out.where(F.col("neighbor_id") != F.col("q_id")) if exclude_self else out
 
 
-def ivfpq_index(emb: DataFrame):
+def ivfpq_index(emb: DataFrame, *, with_centroids: bool = False):
     """Train both quantizers and build the compressed index frame
     ``(vec_id, cluster, codes)`` — the thing you'd write out
-    partitioned by ``cluster``. Returns (index_df, books)."""
-    from meilisync_spark.operators.kmeans import kmeans_labels
+    partitioned by ``cluster``. Returns (index_df, books), plus the
+    coarse centroid matrix when ``with_centroids`` (the query-side
+    half :func:`save_index` persists). ``emb`` is pinned first: both
+    trainings iterate corpus passes over it."""
+    from meilisync_spark.operators.kmeans import assign_cells, kmeans_centroids
 
+    emb = emb.localCheckpoint(False)
     books = pq_codebooks(emb)
-    cells = kmeans_labels(emb)
-    idx = pq_encode(emb, books).join(cells, "vec_id")
-    return idx, books
+    centq = kmeans_centroids(emb)
+    idx = pq_encode(emb, books).join(assign_cells(emb, centq), "vec_id")
+    return (idx, books, centq) if with_centroids else (idx, books)
 
 
 def ivfpq_topk(
@@ -416,11 +429,7 @@ def save_index(emb: DataFrame, index_path: str) -> None:
     import json
     import os
 
-    from meilisync_spark.operators.kmeans import assign_cells, kmeans_centroids
-
-    books = pq_codebooks(emb)
-    centq = kmeans_centroids(emb)
-    idx = pq_encode(emb, books).join(assign_cells(emb, centq), "vec_id")
+    idx, books, centq = ivfpq_index(emb, with_centroids=True)
     idx.write.mode("overwrite").partitionBy("cluster").parquet(index_path)
     meta = {
         "books": books.tolist(),
@@ -454,6 +463,7 @@ def query_index(
     nprobe: int = 1,
     shortlist: int = IVFPQ_SHORTLIST,
     refine: DataFrame | None = None,
+    queries_are_corpus_ids: bool = True,
 ) -> DataFrame:
     """(q_id, neighbor_id, rank, adc_dist) — serve a query batch
     against a :func:`save_index` layout.
@@ -471,7 +481,13 @@ def query_index(
     split: raw vectors live beside, not inside, the code index); the
     output then carries exact ``cosine`` instead of ``adc_dist``.
     ``nprobe`` trades IO for recall exactly like FAISS's knob — at 1
-    the probe reads 1/kcells of the codes."""
+    the probe reads 1/kcells of the codes.
+
+    ``queries_are_corpus_ids``: when True (default — the ann-query CLI
+    picks queries BY corpus vec_id), the query's own corpus row is
+    excluded from its results; set False for foreign query vectors
+    with caller-chosen ids, where an id coincidence must not mask the
+    corpus vector sharing the number."""
     import numpy as np
 
     books, centq = load_index_meta(index_path)
@@ -490,7 +506,10 @@ def query_index(
         axis=1,
     )
     idx = spark.read.parquet(index_path)
-    scored = _adc_scored(_pruned_probe(idx, q_cells), tables, q_ids)
+    scored = _adc_scored(
+        _pruned_probe(idx, q_cells), tables, q_ids,
+        exclude_self=queries_are_corpus_ids,
+    )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     ranked = (
         scored.withColumn("rank", F.row_number().over(w))

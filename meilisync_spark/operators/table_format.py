@@ -87,8 +87,22 @@ def apply_changes_delta(
     empty base via the SAME :func:`apply_changes` fold, so first-batch
     semantics cannot drift from the oracle-checked path.
     """
+    import os
+
     DeltaTable = _delta_table()
     if not DeltaTable.isDeltaTable(spark, table_path):
+        if os.path.exists(table_path):
+            # an existing NON-Delta path (e.g. a parquet index from the
+            # default sink) must never be treated as a missing table:
+            # the bootstrap overwrite would commit a _delta_log that
+            # references only this batch's files, silently vanishing
+            # every previously-synced document from the served view
+            raise ValueError(
+                f"{table_path} exists but is not a Delta table — refusing "
+                "to bootstrap over it; migrate the parquet index first "
+                "(e.g. spark.read.parquet(...).write.format('delta') to a "
+                "new path) or point --sink-format delta at a fresh path"
+            )
         empty = spark.createDataFrame(
             [], changes.select(pk, *payload_cols).schema
         )

@@ -83,12 +83,26 @@ def read_event_stream(
     """
     nanos = _nanos_timestamp_cols(events_path) if source_format == "parquet" else []
     if os.path.isfile(events_path):
+        # keyed by uid so users on a shared host can't collide with (or
+        # pre-plant symlinks in) each other's staging dirs; mode 0700
+        # for the same reason
         tag = hashlib.sha1(os.path.abspath(events_path).encode()).hexdigest()[:16]
-        staging = os.path.join(tempfile.gettempdir(), f"mls_src_{tag}")
-        os.makedirs(staging, exist_ok=True)
+        staging = os.path.join(
+            tempfile.gettempdir(), f"mls_src_{os.getuid()}_{tag}"
+        )
+        os.makedirs(staging, mode=0o700, exist_ok=True)
         link = os.path.join(staging, os.path.basename(events_path))
-        if not os.path.islink(link):
+        try:
             os.symlink(events_path, link)
+        except FileExistsError:
+            # concurrent starter won the race, or a prior run left the
+            # link: both point at the same target by construction (the
+            # dir name is a hash of the target path) — verify and reuse
+            if os.path.realpath(link) != os.path.realpath(events_path):
+                raise RuntimeError(
+                    f"staging link {link} points at "
+                    f"{os.path.realpath(link)}, not {events_path}"
+                )
         src_dir = staging
     else:
         src_dir = events_path

@@ -166,3 +166,26 @@ def test_served_index_query_matches_brute_with_refine(spark, tmp_path):
     adc1 = query_index(spark, index, qs, k=5, nprobe=1).count()
     adc2 = query_index(spark, index, qs, k=5, nprobe=2).count()
     assert adc2 >= adc1
+
+
+def test_query_index_foreign_ids_not_self_excluded(spark, tmp_path):
+    """queries_are_corpus_ids=False: a caller-chosen foreign query id
+    that collides with a corpus vec_id must NOT mask that corpus
+    vector — it can appear in the results."""
+    from meilisync_spark.operators.ivfpq import query_index, save_index
+    from meilisync_spark.operators.similarity import clustered_embeddings
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ce = clustered_embeddings(emb).localCheckpoint(False)
+    index = str(tmp_path / "ann")
+    save_index(ce, index)
+    # query VECTOR is corpus row 3's vector, but presented as a foreign
+    # query that happens to reuse id 3
+    v3 = list(ce.where("vec_id = 3").collect()[0].embedding)
+    out = query_index(
+        spark, index, [(3, v3)], k=3, queries_are_corpus_ids=False
+    ).collect()
+    assert 3 in {r.neighbor_id for r in out}  # own row is the top hit
+    # and the corpus-id default still excludes it
+    out2 = query_index(spark, index, [(3, v3)], k=3).collect()
+    assert 3 not in {r.neighbor_id for r in out2}

@@ -902,6 +902,20 @@ def test_delta_apply_matches_flat_apply(spark, tmp_path):
     }
     assert got == {(r.pk, r.value, r.k) for r in flat.collect()}
 
+    # an existing NON-delta path must refuse the bootstrap loudly, not
+    # overwrite it with a delta log referencing only the new batch
+    parquet_idx = str(tmp_path / "plain_parquet")
+    spark.range(3).write.parquet(parquet_idx)
+    with pytest.raises(ValueError, match="not a Delta table"):
+        apply_changes_delta(
+            spark, parquet_idx,
+            spark.createDataFrame(
+                [(1, 0, "create", 1.0, 1)],
+                "pk long, seq long, op string, value double, k long",
+            ),
+            pk="pk", payload_cols=["value", "k"],
+        )
+
 
 def test_delta_sink_pipeline_fails_fast_without_package(spark, tmp_path):
     """run_cdc_pipeline(sink_format='delta') without delta-spark must
@@ -943,3 +957,27 @@ def test_delta_stream_equals_full_rewrite(spark, tmp_path):
     got = {r.pk: (r.value, r.k)
            for r in spark.read.format("delta").load(d_index).collect()}
     assert got == flat
+
+
+def test_single_file_flat_index_stays_flat(spark, tmp_path):
+    """A pre-existing flat index that is a single parquet FILE (duckdb
+    COPY output, a '.parquet' index_name) must resolve to the flat
+    layout — the bucketed default would merge against an empty base and
+    crash renaming under a non-directory."""
+    import duckdb
+
+    from meilisync_spark.operators.bucketed import read_meta, resolve_num_buckets
+
+    idx = str(tmp_path / "users_flat.parquet")
+    duckdb.connect().sql(
+        f"COPY (SELECT CAST(999999 AS BIGINT) AS pk, "
+        f"CAST('2024-01-01' AS TIMESTAMP) AS ts, CAST(1.5 AS DOUBLE) AS value, "
+        f"CAST(1 AS BIGINT) AS k) TO '{idx}' (FORMAT PARQUET)"
+    )
+    assert resolve_num_buckets(idx, None) == 0
+    run_cdc_pipeline(
+        spark, f"{SF_SMOKE}/events.parquet", idx,
+        str(tmp_path / "ckpt"), available_now=True,
+    )
+    assert read_meta(idx) is None  # stayed flat
+    assert spark.read.parquet(idx).count() > 1  # merged, not dropped
