@@ -361,18 +361,34 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
 
     spark = get_spark("meilisync-spark-ann-query")
     corpus = spark.read.parquet(args.corpus).select("vec_id", "embedding")
-    ids = [int(x) for x in args.query_ids.split(",")]
-    qs = [
-        (r.vec_id, list(r.embedding))
-        for r in corpus.where(F.col("vec_id").isin(ids)).collect()
-    ]
-    missing = set(ids) - {q for q, _ in qs}
-    if missing:
-        print(f"error: query ids not in corpus: {sorted(missing)}", file=sys.stderr)
-        return 1
+    if args.vectors_file:
+        # foreign query vectors: JSON [{"q_id": .., "vector": [..]}, ..]
+        # — ids are the caller's labels, so the corpus row sharing a
+        # number must stay eligible as a neighbor
+        with open(args.vectors_file) as fh:
+            batch = json.load(fh)
+        qs = [(int(q["q_id"]), [float(x) for x in q["vector"]]) for q in batch]
+        corpus_ids = False
+    elif args.query_ids:
+        ids = [int(x) for x in args.query_ids.split(",")]
+        qs = [
+            (r.vec_id, list(r.embedding))
+            for r in corpus.where(F.col("vec_id").isin(ids)).collect()
+        ]
+        missing = set(ids) - {q for q, _ in qs}
+        if missing:
+            print(f"error: query ids not in corpus: {sorted(missing)}",
+                  file=sys.stderr)
+            return 1
+        corpus_ids = True
+    else:
+        print("error: ann-query needs --query-ids or --vectors-file",
+              file=sys.stderr)
+        return 2
     out = query_index(
         spark, args.index, qs, k=args.k, nprobe=args.nprobe,
         refine=corpus if args.refine else None,
+        queries_are_corpus_ids=corpus_ids,
     )
     for r in out.orderBy("q_id", "rank").collect():
         print(json.dumps(r.asDict()))
@@ -490,8 +506,13 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--corpus", required=True,
                     help="raw (vec_id, embedding) parquet: query vectors come "
                          "from here, and --refine re-ranks against it")
-    aq.add_argument("--query-ids", dest="query_ids", required=True,
-                    help="comma-separated vec_ids to use as the query batch")
+    aq.add_argument("--query-ids", dest="query_ids",
+                    help="comma-separated corpus vec_ids to use as the "
+                         "query batch (self-matches excluded)")
+    aq.add_argument("--vectors-file", dest="vectors_file",
+                    help="JSON file of foreign query vectors "
+                         '([{"q_id": .., "vector": [..]}, ..]); '
+                         "id coincidences with corpus rows stay eligible")
     aq.add_argument("-k", type=int, default=5)
     aq.add_argument("--nprobe", type=int, default=1,
                     help="coarse cells probed per query (IO/recall knob)")

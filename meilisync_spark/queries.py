@@ -1928,6 +1928,11 @@ def q_streaming_cdc_apply(spark, sf_dir):
             index_path,
             f"{work}/checkpoint",
             available_now=True,
+            # the bucket count is a per-table sizing knob: the fixture
+            # index holds ~10^2 pks, so size it like a user would (the
+            # 64-bucket fresh-index default is for real tables;
+            # test_fresh_index_buckets_by_default covers that path)
+            num_buckets=8,
         )
         # materialize before the workdir is removed
         out = spark.read.parquet(index_path).select("pk", "ts", "value", "k")
@@ -2019,6 +2024,7 @@ def q_streaming_maxwell_apply(spark, sf_dir):
             spark, drop, index_path, f"{work}/checkpoint",
             available_now=True, source_format="text",
             normalizer=norm, payload_cols=["ts", "value", "k"],
+            num_buckets=8,  # sized to the fixture, like the row above
         )
         out = spark.read.parquet(index_path).select("pk", "ts", "value", "k")
         out = spark.createDataFrame(out.collect(), out.schema)

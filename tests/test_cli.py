@@ -418,3 +418,34 @@ def test_cli_ann_build_and_query(spark, tmp_path, capsys):
         "--query-ids", "999999",
     ])
     assert rc == 1
+
+
+def test_cli_ann_query_foreign_vectors_file(spark, tmp_path, capsys):
+    """ann-query --vectors-file serves caller-supplied foreign vectors:
+    routing via the stored centroids, no self-exclusion for the
+    caller's ids (a corpus row sharing the number stays eligible)."""
+    index = str(tmp_path / "ann")
+    main([
+        "ann-build",
+        "--embeddings", f"{SF_SMOKE}/embeddings.parquet",
+        "--index", index,
+    ])
+    capsys.readouterr()
+    # the foreign "query" is corpus row 3's own vector labeled q_id=3 —
+    # with --vectors-file, vec_id 3 itself must be allowed as a hit
+    row = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").where(
+        "vec_id = 3").collect()[0]
+    vf = tmp_path / "queries.json"
+    vf.write_text(json.dumps([{"q_id": 3, "vector": list(row.embedding)}]))
+    rc = main([
+        "ann-query", "--index", index,
+        "--corpus", f"{SF_SMOKE}/embeddings.parquet",
+        "--vectors-file", str(vf), "-k", "3", "--refine",
+    ])
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert rows and rows[0]["neighbor_id"] == 3  # own vector tops the list
+
+    rc = main(["ann-query", "--index", index,
+               "--corpus", f"{SF_SMOKE}/embeddings.parquet"])
+    assert rc == 2  # neither --query-ids nor --vectors-file
