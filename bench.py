@@ -109,6 +109,7 @@ HEADLINE = [
     # round 4 additions
     "wal2json_roundtrip",
     "ivfpq_persisted_recall",
+    "bigram_lm_score",
     "span_removal",
     "corpus_pipeline_full",
     "ann_recall_clustered",

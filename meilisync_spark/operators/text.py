@@ -1029,3 +1029,105 @@ def unigram_freq_score_oracle_sql() -> str:
            CAST(s AS DOUBLE) / n_tokens / total AS avg_token_freq
     FROM d, tot
     """
+
+
+# Fixed-point scale for the bigram conditional: floor(c2·10^9 / c1)
+# stays exact in int64 (c2 ≤ corpus tokens < 9.2e9 before overflow)
+BIGRAM_SCALE = 1_000_000_000
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_bigram_cond) — per-document mean
+    corpus-conditional bigram probability ``P(w_i | w_{i-1}) =
+    c(w_{i-1} w_i) / c(w_{i-1})``, the order-2 fluency signal CCNet-
+    style pipelines (Wenzek et al. 2020) use LM perplexity for, one
+    order up from :func:`unigram_freq_score`: a doc whose word PAIRS
+    never co-occur elsewhere (shuffled text, OCR noise, keyword stuffing
+    — all invisible to unigram frequency) scores near its own
+    self-count floor, while natural prose rides the corpus's common
+    transitions. No smoothing needed: every scored bigram occurs at
+    least once (itself), so the conditional is always positive.
+
+    Determinism (same contract as unigram_freq_score): per-occurrence
+    ``q = floor(c2 · 10^9 / c1)`` is exact int64 in both engines,
+    per-doc sums stay int64, and the single final IEEE division
+    ``sum/n`` is applied identically — no log, no cross-row double
+    accumulation. ``c1`` is the word's TOTAL occurrence count (not
+    prefix-position count) — documented choice, mirrored in the oracle.
+
+    Scale: one tokenize scan emitting bigrams per-row (zip of the
+    word array with its own tail — the pair list never shuffles), one
+    bigram groupBy and one unigram groupBy (both map-side combined,
+    vocab-sized results), two joins back (AQE broadcasts the count
+    tables when they fit — the tfidf/unigram shape), one doc-keyed
+    agg. Docs with <2 tokens emit n_bigrams=0, score 0.0."""
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    n = F.size(w)
+    pair_list = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = docs.select("doc_id", F.explode(pair_list).alias("bg")).withColumn(
+        "w1", F.substring_index(F.col("bg"), " ", 1)
+    )
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    tok = docs.select(F.explode(words_col(F.col("text"))).alias("w1"))
+    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    q = (
+        big.join(c2, "bg")
+        .join(c1, "w1")
+        .select("doc_id", F.expr(f"c2 * {BIGRAM_SCALE} div c1").alias("q"))
+    )
+    agg = q.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("q").alias("sq")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("sq").cast("double")
+                / F.col("n_bigrams")
+                / F.lit(float(BIGRAM_SCALE)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_bigram_cond"),
+        )
+    )
+
+
+def bigram_lm_score_oracle_sql() -> str:
+    w = duck_words()
+    return f"""
+    WITH ws AS (SELECT doc_id, {w} AS ws FROM documents),
+    big AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, ws[i] AS w1
+        FROM ws, UNNEST(range(1, len(ws))) u(i)
+    ),
+    c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS c1
+           FROM (SELECT unnest(ws) AS w1 FROM ws) GROUP BY 1),
+    q AS (
+        SELECT doc_id, (c2.c2 * {BIGRAM_SCALE}) // c1.c1 AS q
+        FROM big JOIN c2 USING (bg) JOIN c1 USING (w1)
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(q) AS BIGINT) AS sq
+        FROM q GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN coalesce(agg.n_bigrams, 0) > 0
+                THEN CAST(agg.sq AS DOUBLE) / agg.n_bigrams
+                     / {BIGRAM_SCALE}.0
+                ELSE 0.0 END AS avg_bigram_cond
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """

@@ -1353,6 +1353,19 @@ def q_unigram_freq_score(spark, sf_dir):
     return _text.unigram_freq_score(_t(spark, sf_dir, "documents"))
 
 
+@register("bigram_lm_score", _text.bigram_lm_score_oracle_sql(),
+          doc="Order-2 fluency signal (CCNet-style, Wenzek et al. "
+              "2020): per-doc mean corpus-conditional bigram "
+              "probability c(w1 w2)/c(w1) — shuffled/gibberish text "
+              "whose word PAIRS never co-occur elsewhere scores near "
+              "its self-count floor, invisible to unigram frequency. "
+              "Fixed-point floor(c2*1e9/c1) keeps the math int64-exact "
+              "until one final division; two vocab-sized aggs + "
+              "broadcastable joins back, the tfidf/unigram shape.")
+def q_bigram_lm_score(spark, sf_dir):
+    return _text.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 @register("quality_filter", _text.quality_filter_oracle_sql(),
           doc="The composed keep/drop decision: C4/Gopher-style rules "
               "(min length, punct mass, distinct-token ratio) in one "

@@ -297,3 +297,13 @@ def test_ivfpq_persisted_probe_prunes_partitions(spark, tmp_path):
         on_disk.where(F.col("cluster") == c).count() for _, c in q_cells
     )
     assert probed.count() == want
+
+
+def test_bigram_lm_score_plan_contract(spark):
+    """Bigram scoring stays the tfidf/unigram shape: hash joins only
+    (broadcast at fixture scale), no cartesian, no Python, and the
+    per-row bigram construction never explodes via a self-join."""
+    plan = _plan(spark, "bigram_lm_score")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan

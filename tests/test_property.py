@@ -447,3 +447,31 @@ def test_wal2json_normalizer_roundtrip_any_payload(spark, rows):
     deletes = [r for r in out if r.op == "delete"]
     assert len(deletes) == 1 and deletes[0].pk == 777
     assert deletes[0].seq == lsn * WAL2JSON_CHANGE_SHIFT + len(rows)
+
+
+@given(docs=st.lists(_docs_words, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_bigram_lm_score_matches_python_model(spark, docs):
+    """avg_bigram_cond == the literal python fold (Counter over corpus
+    bigrams/unigrams + the same fixed-point floor and final division);
+    the tiny alphabet forces heavy transition overlap, and docs with
+    <2 tokens must score (0, 0.0)."""
+    from collections import Counter
+
+    from meilisync_spark.operators.text import BIGRAM_SCALE, bigram_lm_score
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_bigram_cond)
+        for r in bigram_lm_score(df).collect()
+    }
+    c1 = Counter(w for ws in docs for w in ws)
+    c2 = Counter((a, b) for ws in docs for a, b in zip(ws, ws[1:]))
+    for i, ws in enumerate(docs):
+        qs = [c2[(a, b)] * BIGRAM_SCALE // c1[a] for a, b in zip(ws, ws[1:])]
+        if qs:
+            expected = (len(qs), sum(qs) / len(qs) / float(BIGRAM_SCALE))
+        else:
+            expected = (0, 0.0)
+        assert got[i] == expected, (i, got[i], expected)
