@@ -51,7 +51,7 @@ from meilisync_spark.operators.dedup import (
     minhash_signatures,
     normalize_text,
 )
-from meilisync_spark.operators.text import quality_filter
+from meilisync_spark.operators.text import quality_keep
 from meilisync_spark.streaming.pipeline import _start_and_await
 
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -102,8 +102,10 @@ def ingest_batch(
     doc columns), deduped in-batch and against the existing index."""
     b = _with_hash(batch)
     if apply_quality:
-        keep = quality_filter(batch).where("keep").select("doc_id")
-        b = b.join(keep, "doc_id", "left_semi")
+        # single-pass: the keep rule filters the batch scan directly
+        # (text.quality_keep, same composition as corpus_pipeline_full)
+        # instead of a second quality pass joined back
+        b = b.where(quality_keep(F.col("text")))
     # in-batch: canonical copy = min doc_id per hash (exact_dedup rule)
     b = (
         b.groupBy("content_hash")
