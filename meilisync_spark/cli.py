@@ -360,16 +360,22 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
     from meilisync_spark.operators.ivfpq import query_index
 
     spark = get_spark("meilisync-spark-ann-query")
-    corpus = spark.read.parquet(args.corpus).select("vec_id", "embedding")
     if args.vectors_file:
         # foreign query vectors: JSON [{"q_id": .., "vector": [..]}, ..]
         # — ids are the caller's labels, so the corpus row sharing a
         # number must stay eligible as a neighbor
-        with open(args.vectors_file) as fh:
-            batch = json.load(fh)
-        qs = [(int(q["q_id"]), [float(x) for x in q["vector"]]) for q in batch]
+        try:
+            with open(args.vectors_file) as fh:
+                batch = json.load(fh)
+            qs = [(int(q["q_id"]), [float(x) for x in q["vector"]])
+                  for q in batch]
+        except (OSError, ValueError, KeyError, TypeError) as e:
+            print(f"error: bad --vectors-file: {e}", file=sys.stderr)
+            return 1
         corpus_ids = False
-    elif args.query_ids:
+    else:
+        # --corpus is the query source here (and the refine side below)
+        corpus = spark.read.parquet(args.corpus).select("vec_id", "embedding")
         ids = [int(x) for x in args.query_ids.split(",")]
         qs = [
             (r.vec_id, list(r.embedding))
@@ -381,15 +387,18 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
                   file=sys.stderr)
             return 1
         corpus_ids = True
-    else:
-        print("error: ann-query needs --query-ids or --vectors-file",
-              file=sys.stderr)
-        return 2
-    out = query_index(
-        spark, args.index, qs, k=args.k, nprobe=args.nprobe,
-        refine=corpus if args.refine else None,
-        queries_are_corpus_ids=corpus_ids,
+    refine = (
+        spark.read.parquet(args.corpus).select("vec_id", "embedding")
+        if args.refine else None
     )
+    try:
+        out = query_index(
+            spark, args.index, qs, k=args.k, nprobe=args.nprobe,
+            refine=refine, queries_are_corpus_ids=corpus_ids,
+        )
+    except ValueError as e:  # empty batch, duplicate ids, dim mismatch
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     for r in out.orderBy("q_id", "rank").collect():
         print(json.dumps(r.asDict()))
     return 0
@@ -506,13 +515,15 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--corpus", required=True,
                     help="raw (vec_id, embedding) parquet: query vectors come "
                          "from here, and --refine re-ranks against it")
-    aq.add_argument("--query-ids", dest="query_ids",
-                    help="comma-separated corpus vec_ids to use as the "
-                         "query batch (self-matches excluded)")
-    aq.add_argument("--vectors-file", dest="vectors_file",
-                    help="JSON file of foreign query vectors "
-                         '([{"q_id": .., "vector": [..]}, ..]); '
-                         "id coincidences with corpus rows stay eligible")
+    qsrc = aq.add_mutually_exclusive_group(required=True)
+    qsrc.add_argument("--query-ids", dest="query_ids",
+                      help="comma-separated corpus vec_ids to use as the "
+                           "query batch (self-matches excluded)")
+    qsrc.add_argument("--vectors-file", dest="vectors_file",
+                      help="JSON file of foreign query vectors "
+                           '([{"q_id": .., "vector": [..]}, ..]); '
+                           "id coincidences with corpus rows stay eligible; "
+                           "--corpus is then used only by --refine")
     aq.add_argument("-k", type=int, default=5)
     aq.add_argument("--nprobe", type=int, default=1,
                     help="coarse cells probed per query (IO/recall knob)")

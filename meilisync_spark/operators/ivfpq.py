@@ -492,8 +492,19 @@ def query_index(
 
     books, centq = load_index_meta(index_path)
     m = books.shape[0]
+    if not queries:
+        raise ValueError("query_index needs a non-empty query batch")
     q_ids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+    if len(set(q_ids.tolist())) != len(q_ids):
+        # _adc_scored keys distance tables by q_id: a duplicate would
+        # silently score one vector's candidates with the other's table
+        raise ValueError("duplicate q_id values in the query batch")
     Q = _quantize([v for _, v in queries])
+    dim = centq.shape[1]
+    if Q.shape[1] != dim:
+        raise ValueError(
+            f"query vectors have dim {Q.shape[1]}, index expects {dim}"
+        )
     # route to cells: exact int64 distances on the training lattice
     d = ((Q[:, None, :] - centq[None, :, :]) ** 2).sum(axis=2)
     probe_cells = np.argsort(d, axis=1)[:, :nprobe]

@@ -1063,16 +1063,9 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     agg. Docs with <2 tokens emit n_bigrams=0, score 0.0."""
     docs = spread(docs)
     w = words_col(F.col("text"))
-    n = F.size(w)
-    pair_list = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(w, 1, n - 1),
-            F.slice(w, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    big = docs.select("doc_id", F.explode(pair_list).alias("bg")).withColumn(
+    # bigrams ARE 2-shingles — reuse the shared n-gram helper (same
+    # space-join, same short-doc empty-array guard)
+    big = docs.select("doc_id", F.explode(shingles_col(w, 2)).alias("bg")).withColumn(
         "w1", F.substring_index(F.col("bg"), " ", 1)
     )
     c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
@@ -1106,15 +1099,15 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
 
 def bigram_lm_score_oracle_sql() -> str:
     w = duck_words()
+    sh2 = duck_shingles(w, 2)
     return f"""
-    WITH ws AS (SELECT doc_id, {w} AS ws FROM documents),
-    big AS (
-        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, ws[i] AS w1
-        FROM ws, UNNEST(range(1, len(ws))) u(i)
+    WITH big AS (
+        SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+        FROM (SELECT doc_id, unnest({sh2}) AS bg FROM documents)
     ),
     c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY 1),
     c1 AS (SELECT w1, count(*) AS c1
-           FROM (SELECT unnest(ws) AS w1 FROM ws) GROUP BY 1),
+           FROM (SELECT unnest({w}) AS w1 FROM documents) GROUP BY 1),
     q AS (
         SELECT doc_id, (c2.c2 * {BIGRAM_SCALE}) // c1.c1 AS q
         FROM big JOIN c2 USING (bg) JOIN c1 USING (w1)

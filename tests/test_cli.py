@@ -446,6 +446,34 @@ def test_cli_ann_query_foreign_vectors_file(spark, tmp_path, capsys):
     rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
     assert rows and rows[0]["neighbor_id"] == 3  # own vector tops the list
 
+    import pytest
+    with pytest.raises(SystemExit):  # argparse: the query source group
+        main(["ann-query", "--index", index,
+              "--corpus", f"{SF_SMOKE}/embeddings.parquet"])
+    with pytest.raises(SystemExit):  # ... is mutually exclusive too
+        main(["ann-query", "--index", index,
+              "--corpus", f"{SF_SMOKE}/embeddings.parquet",
+              "--query-ids", "1", "--vectors-file", str(vf)])
+
+    # malformed vectors files error cleanly, not with a numpy traceback
+    empty = tmp_path / "empty.json"
+    empty.write_text("[]")
     rc = main(["ann-query", "--index", index,
-               "--corpus", f"{SF_SMOKE}/embeddings.parquet"])
-    assert rc == 2  # neither --query-ids nor --vectors-file
+               "--corpus", f"{SF_SMOKE}/embeddings.parquet",
+               "--vectors-file", str(empty)])
+    assert rc == 1
+    dup = tmp_path / "dup.json"
+    dup.write_text(json.dumps([
+        {"q_id": 1, "vector": list(row.embedding)},
+        {"q_id": 1, "vector": list(row.embedding)},
+    ]))
+    rc = main(["ann-query", "--index", index,
+               "--corpus", f"{SF_SMOKE}/embeddings.parquet",
+               "--vectors-file", str(dup)])
+    assert rc == 1
+    bad_dim = tmp_path / "bad_dim.json"
+    bad_dim.write_text(json.dumps([{"q_id": 1, "vector": [1.0, 2.0]}]))
+    rc = main(["ann-query", "--index", index,
+               "--corpus", f"{SF_SMOKE}/embeddings.parquet",
+               "--vectors-file", str(bad_dim)])
+    assert rc == 1

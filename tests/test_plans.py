@@ -306,4 +306,4 @@ def test_bigram_lm_score_plan_contract(spark):
     plan = _plan(spark, "bigram_lm_score")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
