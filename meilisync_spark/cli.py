@@ -140,7 +140,11 @@ def cmd_start(args: argparse.Namespace) -> int:
             "canal": _cc.normalize_canal,
             "debezium": _cc.normalize_debezium,
             "mongo": _cc.normalize_mongo_change_stream,
-            "wal2json": _cc.normalize_wal2json,
+            # auto-dispatches v1 (change-array) vs v2 (action-per-change)
+            # per row, so a slot upgrade mid-retention keeps parsing
+            "wal2json": _cc.normalize_wal2json_auto,
+            "wal2json_v1": _cc.normalize_wal2json,
+            "wal2json_v2": _cc.normalize_wal2json_v2,
         }[args.envelope]
         if not args.payload_schema:
             print("--envelope needs --payload-schema (DDL, e.g. 'id long, v double')")
@@ -437,9 +441,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "or delta (transactional MERGE INTO per batch; needs "
                          "delta-spark on the session)")
     st.add_argument("--envelope",
-                    choices=["maxwell", "canal", "debezium", "mongo", "wal2json"],
+                    choices=["maxwell", "canal", "debezium", "mongo",
+                             "wal2json", "wal2json_v1", "wal2json_v2"],
                     help="normalize raw CDC envelopes instead of fixture events "
-                         "(use with --source-format text)")
+                         "(use with --source-format text; wal2json "
+                         "auto-detects format v1 vs v2 per row)")
     st.add_argument("--payload-schema", dest="payload_schema",
                     help="DDL row schema for --envelope, e.g. 'id long, v double'")
     st.add_argument("--envelope-pk", dest="envelope_pk", default="id",

@@ -164,6 +164,8 @@ from meilisync_spark.sources.cdc_connectors import (
     maxwell_roundtrip_oracle_sql as _maxwell_rt_sql,
     wal2json_roundtrip as _wal2json_rt,
     wal2json_roundtrip_oracle_sql as _wal2json_rt_sql,
+    wal2json_v2_roundtrip as _wal2json_v2_rt,
+    wal2json_v2_roundtrip_oracle_sql as _wal2json_v2_rt_sql,
 )
 
 
@@ -204,6 +206,20 @@ def q_canal_roundtrip(spark, sf_dir):
 )
 def q_wal2json_roundtrip(spark, sf_dir):
     return _wal2json_rt(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "wal2json_v2_roundtrip",
+    _wal2json_v2_rt_sql(),
+    doc="Mixed wal2json v1+v2 roundtrip through the per-row format "
+        "dispatch (normalize_wal2json_auto): even batches rendered as "
+        "v1 transaction messages, odd as per-change v2 messages "
+        "(action/columns[{name,type,value}]/identity deletes, "
+        "per-change lsn) — certifies the v2 parser, the auto dispatch, "
+        "and the shared lsn*2^12 seq domain in one hash.",
+)
+def q_wal2json_v2_roundtrip(spark, sf_dir):
+    return _wal2json_v2_rt(_t(spark, sf_dir, "events"))
 
 
 @register(
@@ -2519,10 +2535,12 @@ DRIVER_ORDER = [
     "check_counts",
     # envelope-connector coverage: the wal2json roundtrip certifies the
     # construct+parse path of the CDC envelope normalizers in-window —
-    # wal2json because it is the REFERENCE's own Postgres transport
-    # (maxwell_roundtrip held this slot in round 3 and went green;
-    # it and canal_roundtrip stay oracle-checked by driver_sim --all)
-    "wal2json_roundtrip",
+    # wal2json because it is the REFERENCE's own Postgres transport.
+    # Round 5 swaps the pure-v1 row (green in r4) for the MIXED v1+v2
+    # row, which subsumes it and adds the format-v2 parser + per-row
+    # auto dispatch; wal2json_roundtrip, maxwell_roundtrip and
+    # canal_roundtrip stay oracle-checked by driver_sim --all.
+    "wal2json_v2_roundtrip",
     # relational coverage: joins, aggs, grouping sets, windows, pivot
     "q1_pricing_summary",
     "q3_top_orders",

@@ -425,13 +425,16 @@ WAL2JSON_OP_MAP: dict[str, str] = {
     "delete": "delete",
 }
 
-# Intra-transaction ordering: one wal2json message carries a whole
+# Intra-transaction ordering: one wal2json (v1) message carries a whole
 # transaction's change array and one nextlsn, so the change's array
 # position joins the LSN in the total order. 2^12 positions leaves
-# 2^51 bytes (~2 PiB) of WAL-lifetime headroom in int64; transactions
-# longer than 4096 changes clamp their tail positions (wal2json's
-# write-in-chunks / format-version-2 splitting keeps real messages far
-# below that).
+# 2^51 bytes (~2 PiB) of WAL-lifetime headroom in int64. v1 has NO
+# message size cap — a bulk transaction can exceed 4096 changes, and a
+# clamped tail position would silently tie seqs, making last-wins
+# compaction (A5, max_by) pick a nondeterministic winner for a pk
+# touched twice past position 4095. The normalizer therefore FAILS
+# LOUDLY on oversized transactions instead of clamping; v2 (one message
+# per change, its own lsn each) never hits this.
 WAL2JSON_CHANGE_SHIFT = 1 << 12
 _LSN_LO_MOD = 1 << 32  # lsn = hi·2^32 + lo, both hex in "HI/LO"
 
@@ -560,10 +563,24 @@ def normalize_wal2json(
             for f in payload_schema.fields
         ]
     )
-    seq = (
-        F.col("_msg_seq") * F.lit(WAL2JSON_CHANGE_SHIFT)
-        + F.least(F.col("_pos"), F.lit(WAL2JSON_CHANGE_SHIFT - 1))
+    # Positions ≥ 2^12 would alias under the seq pack (tied seqs ⇒
+    # nondeterministic last-wins winner); fail the batch loudly rather
+    # than corrupt final row state. See WAL2JSON_CHANGE_SHIFT.
+    checked_pos = F.when(
+        F.col("_pos") < WAL2JSON_CHANGE_SHIFT, F.col("_pos")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "wal2json transaction has a change at position %s >= %s: "
+                "the lsn*2^12+pos seq pack cannot totally order it. "
+                "Split the transaction (wal2json write-in-chunks) or "
+                "switch to format version 2 (one message per change).",
+                F.col("_pos").cast("string"),
+                F.lit(str(WAL2JSON_CHANGE_SHIFT)),
+            )
+        ).cast("int")
     )
+    seq = F.col("_msg_seq") * F.lit(WAL2JSON_CHANGE_SHIFT) + checked_pos
     out = (
         exploded.where(op.isNotNull())
         .select(
@@ -578,6 +595,155 @@ def normalize_wal2json(
     if tables:
         out = out.where(F.col("table").isin(*tables))
     return out
+
+
+# wal2json format version 2 action → EventType. v2 additionally emits
+# B (begin), C (commit), T (truncate), M (logical message) records —
+# all dropped, matching the v1 kind filter (P5).
+WAL2JSON_V2_OP_MAP: dict[str, str] = {
+    "I": "create",
+    "U": "update",
+    "D": "delete",
+}
+
+
+def wal2json_v2_value_schema() -> T.StructType:
+    """Schema of a wal2json **format version 2** message: one JSON
+    object per *change* (not per transaction) — ``action`` one-letter
+    kind, ``columns`` as an array of ``{name, type, value}`` objects
+    (v1's parallel arrays zipped), ``identity`` (REPLICA IDENTITY
+    columns, same shape) on updates/deletes, and per-change ``lsn`` /
+    ``timestamp`` under the ``include-lsn`` / ``include-timestamp``
+    options. This is the widely-deployed modern format the reference's
+    v1-only consumer (meilisync/source/postgres.py:100-121) cannot
+    parse.
+
+    ``value`` decodes as string exactly like v1's ``columnvalues``
+    (typed JSON scalars rendered to their string form; re-typed against
+    the caller's payload schema with Catalyst casts downstream)."""
+    col = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("action", T.StringType()),
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("columns", T.ArrayType(col)),
+            T.StructField("identity", T.ArrayType(col)),
+            T.StructField("lsn", T.StringType()),
+            T.StructField("timestamp", T.StringType()),
+        ]
+    )
+
+
+def normalize_wal2json_v2(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    *,
+    pk: str = "id",
+    value_col: str = "value",
+    tables: list[str] | None = None,
+) -> DataFrame:
+    """wal2json format-version-2 envelope → the engine's normalized
+    event schema ``(seq, ts, table, op, pk, payload struct)``.
+
+    Same contract as :func:`normalize_wal2json` (v1); differences that
+    follow from the format:
+
+    - one message per change ⇒ no posexplode and no intra-transaction
+      position: ``seq = lsn · 2^12`` — the SAME packed domain as v1, so
+      a mixed v1/v2 stream (``normalize_wal2json_auto``) totally orders
+      consistently. Each v2 change carries its own LSN, so the pack is
+      collision-free without a position term (and the v1 >4096-change
+      failure mode cannot occur).
+    - payload: ``columns[{name,value}]`` → map; deletes carry only
+      ``identity`` (REPLICA IDENTITY columns) and fall back to it, the
+      analogue of v1's ``oldkeys``.
+    - op (P4/P5): I/U/D → create/update/delete; B/C/T/M records are
+      dropped.
+    """
+    v = F.from_json(F.col(value_col).cast("string"), wal2json_v2_value_schema())
+    lsn = v.getField("lsn")
+    hi = F.regexp_extract(lsn, r"^([0-9A-Fa-f]+)/", 1)
+    lo = F.regexp_extract(lsn, r"/([0-9A-Fa-f]+)$", 1)
+    lsn_seq = F.when(
+        (hi != "") & (lo != ""),
+        F.conv(hi, 16, 10).cast("long") * F.lit(_LSN_LO_MOD)
+        + F.conv(lo, 16, 10).cast("long"),
+    )
+    ts = v.getField("timestamp").cast("timestamp")
+    # same fallback ladder and packed domain as v1 (lsn → kafka offset
+    # → epoch-micros, all scaled by the change shift with position 0 —
+    # v2 has one change per message, so no position term is needed)
+    base_candidates = [lsn_seq]
+    if "offset" in df.columns:  # kafka frame
+        base_candidates.append(F.col("offset"))
+    base_candidates.append(F.unix_micros(ts))
+    seq = F.coalesce(*base_candidates) * F.lit(WAL2JSON_CHANGE_SHIFT)
+    op_src = v.getField("action")
+    op: Column = F.lit(None).cast("string")
+    for src, dst in reversed(list(WAL2JSON_V2_OP_MAP.items())):
+        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
+
+    def _as_map(cols: Column) -> Column:
+        return F.map_from_arrays(
+            F.transform(cols, lambda c: c.getField("name")),
+            F.transform(cols, lambda c: c.getField("value")),
+        )
+
+    row_map = F.when(
+        F.size(v.getField("columns")) > 0, _as_map(v.getField("columns"))
+    ).otherwise(_as_map(v.getField("identity")))
+    typed = F.struct(
+        *[
+            F.element_at(row_map, f.name).cast(f.dataType).alias(f.name)
+            for f in payload_schema.fields
+        ]
+    )
+    out = df.select(
+        seq.alias("seq"),
+        ts.alias("ts"),
+        v.getField("table").alias("table"),
+        op.alias("op"),
+        typed.getField(pk).alias("pk"),
+        typed.alias("payload"),
+    ).where(F.col("op").isNotNull())
+    if tables:
+        out = out.where(F.col("table").isin(*tables))
+    return out
+
+
+def normalize_wal2json_auto(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    *,
+    pk: str = "id",
+    value_col: str = "value",
+    tables: list[str] | None = None,
+) -> DataFrame:
+    """Per-row wal2json format dispatch: v1 messages carry a ``change``
+    array, v2 messages carry ``action`` — a user pointing the drop-dir
+    tail at either slot kind (or a stream that upgraded mid-retention)
+    parses correctly without declaring the version. The marker probe is
+    one cheap ``get_json_object``; each branch's full parse runs only
+    on its own rows (the filter sits under the parse), and both
+    branches emit the same ``lsn·2^12``-packed seq domain so the union
+    totally orders consistently."""
+    marker = F.get_json_object(F.col(value_col).cast("string"), "$.action")
+    v1 = normalize_wal2json(
+        df.where(marker.isNull()), payload_schema,
+        pk=pk, value_col=value_col, tables=tables,
+    )
+    v2 = normalize_wal2json_v2(
+        df.where(marker.isNotNull()), payload_schema,
+        pk=pk, value_col=value_col, tables=tables,
+    )
+    return v1.unionByName(v2)
 
 
 # ---------------------------------------------------------------------------
@@ -794,12 +960,34 @@ def wal2json_roundtrip(events: DataFrame) -> DataFrame:
     oldkeys fallback, and the microsecond timestamp cast — end to end
     against an oracle computed straight from the source columns."""
     src = _rt_source(events)
+    env = _w2j_v1_envelopes(src)
+    out = normalize_wal2json(env, _RT_PAYLOAD, pk="user_id")
+    return out.select(
+        "seq", "ts", "table", "op", "pk",
+        F.col("payload").getField("value").alias("value"),
+        F.col("payload").getField("k").alias("k"),
+    )
+
+
+def _w2j_num(c: Column) -> Column:
+    # typed JSON values: numbers render unquoted; SQL NULL → null
+    return F.coalesce(c.cast("string"), F.lit("null"))
+
+
+def _w2j_kind_col() -> Column:
     kind: Column = F.lit(None).cast("string")
     for evt, w2j_kind in reversed(
         [("signup", "insert"), ("purchase", "update"), ("click", "update"),
          ("error", "delete")]
     ):
         kind = F.when(F.col("event_type") == evt, F.lit(w2j_kind)).otherwise(kind)
+    return kind
+
+
+def _w2j_v1_envelopes(src: DataFrame) -> DataFrame:
+    """Render roundtrip-source rows as wal2json v1 transaction messages
+    (``WAL2JSON_RT_BATCH`` changes per message; see
+    :func:`wal2json_roundtrip` for the shape rationale)."""
     grouped = (
         src.withColumn("_batch", (F.col("event_id") / WAL2JSON_RT_BATCH).cast("long"))
         # batch key is the RAW source op (one statement = one kind),
@@ -812,7 +1000,7 @@ def wal2json_roundtrip(events: DataFrame) -> DataFrame:
                 F.collect_list(F.struct("event_id", "user_id", "value", "k"))
             ).alias("_rows"),
         )
-        .withColumn("_kind", kind)
+        .withColumn("_kind", _w2j_kind_col())
     )
 
     # same CPU-density fan-out as canal_roundtrip: the render below is
@@ -822,9 +1010,7 @@ def wal2json_roundtrip(events: DataFrame) -> DataFrame:
         grouped.sparkSession.sparkContext.defaultParallelism
     )
 
-    def _num(c: Column) -> Column:
-        # typed JSON values: numbers render unquoted; SQL NULL → null
-        return F.coalesce(c.cast("string"), F.lit("null"))
+    _num = _w2j_num
 
     def _change(r: Column) -> Column:
         row_change = F.format_string(
@@ -845,7 +1031,7 @@ def wal2json_roundtrip(events: DataFrame) -> DataFrame:
         )
         return F.when(F.col("_kind") == "delete", del_change).otherwise(row_change)
 
-    env = grouped.select(
+    return grouped.select(
         F.concat(
             F.lit('{"change":['),
             F.array_join(F.transform("_rows", _change), ","),
@@ -860,12 +1046,103 @@ def wal2json_roundtrip(events: DataFrame) -> DataFrame:
             F.lit('+00"}'),
         ).alias("value")
     )
-    out = normalize_wal2json(env, _RT_PAYLOAD, pk="user_id")
+
+
+def _w2j_v2_envelopes(src: DataFrame) -> DataFrame:
+    """Render roundtrip-source rows as wal2json format-version-2
+    messages: one JSON object per change, ``columns`` as
+    ``{name,type,value}`` objects, deletes carrying only ``identity``
+    (REPLICA IDENTITY pk), per-change ``lsn`` = the event_id in HI/LO
+    hex and full-microsecond ``timestamp``."""
+    _num = _w2j_num
+    lsn = F.format_string(
+        "%X/%X",
+        F.floor(F.col("event_id") / F.lit(_LSN_LO_MOD)).cast("long"),
+        F.col("event_id") % F.lit(_LSN_LO_MOD),
+    )
+    tail = F.concat(
+        F.lit('"lsn":"'), lsn, F.lit('","timestamp":"'),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit('+00"}'),
+    )
+    row_msg = F.concat(
+        F.format_string(
+            '{"action":"%s","schema":"public","table":"users",'
+            '"columns":[{"name":"user_id","type":"bigint","value":%s},'
+            '{"name":"value","type":"double precision","value":%s},'
+            '{"name":"k","type":"bigint","value":%s}],',
+            F.upper(F.substring(F.col("_kind"), 1, 1)),
+            _num(F.col("user_id")),
+            _num(F.col("value")),
+            _num(F.col("k")),
+        ),
+        tail,
+    )
+    del_msg = F.concat(
+        F.format_string(
+            '{"action":"D","schema":"public","table":"users",'
+            '"identity":[{"name":"user_id","type":"bigint","value":%s}],',
+            _num(F.col("user_id")),
+        ),
+        tail,
+    )
+    return src.withColumn("_kind", _w2j_kind_col()).select(
+        F.when(F.col("_kind") == "delete", del_msg).otherwise(row_msg).alias("value")
+    )
+
+
+def wal2json_v2_roundtrip(events: DataFrame) -> DataFrame:
+    """(seq, ts, table, op, pk, value, k) — a MIXED-format wal2json
+    stream pushed through :func:`normalize_wal2json_auto`: even
+    ``event_id // WAL2JSON_RT_BATCH`` batches render as v1 transaction
+    messages (change array, nextlsn), odd batches as per-event v2
+    messages (``action``/``columns[{name,type,value}]``/``identity``
+    deletes, per-change lsn). Certifies the v2 parser, the per-row
+    format dispatch, AND that both parsers land in one shared
+    ``lsn·2^12``-packed seq domain — end to end against an oracle
+    computed straight from the source columns."""
+    src = _rt_source(events)
+    parity = (F.col("event_id") / WAL2JSON_RT_BATCH).cast("long") % 2
+    env = _w2j_v1_envelopes(src.where(parity == 0)).unionByName(
+        _w2j_v2_envelopes(src.where(parity == 1))
+    )
+    out = normalize_wal2json_auto(env, _RT_PAYLOAD, pk="user_id")
     return out.select(
         "seq", "ts", "table", "op", "pk",
         F.col("payload").getField("value").alias("value"),
         F.col("payload").getField("k").alias("k"),
     )
+
+
+def wal2json_v2_roundtrip_oracle_sql() -> str:
+    return f"""
+    WITH f AS (
+        SELECT event_id, ts, user_id, value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               event_type
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'click', 'error')
+    ),
+    w AS (
+        SELECT *,
+               (event_id // {WAL2JSON_RT_BATCH}) % 2 AS v2,
+               min(event_id) OVER win AS mid,
+               row_number() OVER (PARTITION BY event_type,
+                                  event_id // {WAL2JSON_RT_BATCH}
+                                  ORDER BY event_id) - 1 AS pos,
+               arg_min(ts, event_id) OVER win AS ts0
+        FROM f
+        WINDOW win AS (PARTITION BY event_type, event_id // {WAL2JSON_RT_BATCH})
+    )
+    SELECT CASE WHEN v2 = 1 THEN event_id * {WAL2JSON_CHANGE_SHIFT}
+                ELSE mid * {WAL2JSON_CHANGE_SHIFT} + pos END AS seq,
+           make_timestamp(epoch_us(CASE WHEN v2 = 1 THEN ts ELSE ts0 END)) AS ts,
+           'users' AS "table",
+           {_RT_SQL_OP} AS op,
+           user_id AS pk,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+           CASE WHEN event_type = 'error' THEN NULL ELSE k END AS k
+    FROM w
+    """
 
 
 def wal2json_roundtrip_oracle_sql() -> str:

@@ -500,3 +500,120 @@ def test_wal2json_feeds_compact_and_apply(spark):
         base, compact_last_wins(flat, ["pk"], "seq"), pk="pk", payload_cols=["v"]
     )
     assert {(r.pk, r.v) for r in state.collect()} == {(1, 1.5)}
+
+
+def test_wal2json_oversize_transaction_fails_loudly(spark):
+    """A v1 transaction with a change past position 4095 would alias
+    under the lsn*2^12+pos seq pack (tied seqs ⇒ nondeterministic
+    last-wins winner), so the normalizer raises instead of clamping —
+    wrong final row state must never be silent."""
+    import pytest
+
+    from meilisync_spark.sources.cdc_connectors import (
+        WAL2JSON_CHANGE_SHIFT,
+        normalize_wal2json,
+    )
+
+    payload_schema = T.StructType([T.StructField("id", T.LongType())])
+    big = _w2j(
+        [_w2j_row("insert", ["id"], [i])
+         for i in range(WAL2JSON_CHANGE_SHIFT + 1)],
+        nextlsn="0/1",
+    )
+    df = spark.createDataFrame([(big,)], "value string")
+    with pytest.raises(Exception, match="position.*4096"):
+        normalize_wal2json(df, payload_schema, pk="id").collect()
+    # one-under-the-limit parses fine
+    ok = _w2j(
+        [_w2j_row("insert", ["id"], [i]) for i in range(WAL2JSON_CHANGE_SHIFT)],
+        nextlsn="0/1",
+    )
+    n = normalize_wal2json(
+        spark.createDataFrame([(ok,)], "value string"), payload_schema, pk="id"
+    ).count()
+    assert n == WAL2JSON_CHANGE_SHIFT
+
+
+def _w2j_v2(action, cols=None, *, identity=None, table="users",
+            lsn="0/1", timestamp="2023-11-14 22:13:20.123456+00"):
+    msg = {"action": action, "schema": "public", "table": table,
+           "lsn": lsn, "timestamp": timestamp}
+    if cols is not None:
+        msg["columns"] = [
+            {"name": n, "type": t, "value": v} for n, t, v in cols
+        ]
+    if identity is not None:
+        msg["identity"] = [
+            {"name": n, "type": t, "value": v} for n, t, v in identity
+        ]
+    return json.dumps(msg)
+
+
+def test_normalize_wal2json_v2_envelope(spark):
+    """Format v2: one message per change; I/U/D → create/update/delete
+    with B/C/T dropped; columns[{name,type,value}] re-typed against the
+    payload schema; deletes fall back to identity (REPLICA IDENTITY
+    pk); seq = lsn·2^12 (same packed domain as v1)."""
+    from meilisync_spark.sources.cdc_connectors import (
+        WAL2JSON_CHANGE_SHIFT,
+        normalize_wal2json_v2,
+    )
+
+    payload_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    rows = [
+        (_w2j_v2("B"),),  # begin — dropped
+        (_w2j_v2("I", [("id", "bigint", 1), ("v", "double precision", 1.5)],
+                 lsn="1/A"),),
+        (_w2j_v2("U", [("id", "bigint", 1), ("v", "double precision", 9.25)],
+                 lsn="1/B"),),
+        (_w2j_v2("I", [("id", "bigint", 2), ("v", "double precision", 2.5)],
+                 table="other", lsn="1/C"),),  # routed out
+        (_w2j_v2("D", identity=[("id", "bigint", 1)], lsn="1/D"),),
+        (_w2j_v2("T"),),  # truncate — dropped
+        (_w2j_v2("C"),),  # commit — dropped
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = normalize_wal2json_v2(df, payload_schema, pk="id",
+                                tables=["users"]).collect()
+    assert sorted((r.op, r.pk) for r in out) == [
+        ("create", 1), ("delete", 1), ("update", 1)]
+    by_seq = {r.seq: r for r in out}
+    lsn = lambda lo: ((1 << 32) + lo) * WAL2JSON_CHANGE_SHIFT
+    assert by_seq[lsn(0xA)].payload.v == 1.5
+    assert by_seq[lsn(0xB)].payload.v == 9.25
+    d = by_seq[lsn(0xD)]
+    assert d.op == "delete" and d.pk == 1 and d.payload.v is None
+    assert all(str(r.ts) == "2023-11-14 22:13:20.123456" for r in out)
+
+
+def test_normalize_wal2json_auto_mixed_stream(spark):
+    """Per-row format dispatch: a drop dir holding both v1 transaction
+    messages and v2 per-change messages normalizes into one stream in
+    the shared lsn·2^12 seq domain — a slot upgrade mid-retention needs
+    no operator change."""
+    from meilisync_spark.sources.cdc_connectors import (
+        WAL2JSON_CHANGE_SHIFT,
+        normalize_wal2json_auto,
+    )
+
+    payload_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    rows = [
+        (_w2j([_w2j_row("insert", ["id", "v"], [1, 1.0]),
+               _w2j_row("insert", ["id", "v"], [2, 2.0])], nextlsn="0/10"),),
+        (_w2j_v2("U", [("id", "bigint", 1), ("v", "double precision", 1.5)],
+                 lsn="0/20"),),
+        (_w2j_v2("D", identity=[("id", "bigint", 2)], lsn="0/30"),),
+    ]
+    out = normalize_wal2json_auto(
+        spark.createDataFrame(rows, "value string"), payload_schema, pk="id"
+    ).collect()
+    seqs = sorted(r.seq for r in out)
+    assert seqs == [16 * WAL2JSON_CHANGE_SHIFT, 16 * WAL2JSON_CHANGE_SHIFT + 1,
+                    32 * WAL2JSON_CHANGE_SHIFT, 48 * WAL2JSON_CHANGE_SHIFT]
+    by_seq = {r.seq: r for r in out}
+    assert by_seq[32 * WAL2JSON_CHANGE_SHIFT].op == "update"
+    assert by_seq[48 * WAL2JSON_CHANGE_SHIFT].op == "delete"

@@ -220,7 +220,8 @@ def test_envelope_roundtrips_stay_jvm_side(spark):
     """The envelope construct+parse path is to_json/from_json — JVM
     expressions inside codegen, no Python anywhere; canal's one shuffle
     is the statement batching groupBy."""
-    for name in ["maxwell_roundtrip", "canal_roundtrip", "wal2json_roundtrip"]:
+    for name in ["maxwell_roundtrip", "canal_roundtrip", "wal2json_roundtrip",
+                 "wal2json_v2_roundtrip"]:
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name

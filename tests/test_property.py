@@ -449,6 +449,77 @@ def test_wal2json_normalizer_roundtrip_any_payload(spark, rows):
     assert deletes[0].seq == lsn * WAL2JSON_CHANGE_SHIFT + len(rows)
 
 
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), _env_doubles, _env_strings), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_wal2json_v2_auto_roundtrip_any_payload(spark, rows):
+    """The v2 twin of the adversarial roundtrip, pushed through the
+    AUTO dispatcher on a mixed stream: each payload rendered as its own
+    format-v2 message (columns[{name,type,value}] by a real JSON
+    encoder) plus one v1 transaction message carrying a delete —
+    strings byte-equal, doubles bit-equal, both formats landing in the
+    shared lsn·2^12 seq domain."""
+    import json as _json
+    import math
+
+    from pyspark.sql import types as T
+
+    from meilisync_spark.sources.cdc_connectors import (
+        WAL2JSON_CHANGE_SHIFT,
+        normalize_wal2json_auto,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+    ])
+    msgs = []
+    expected = {}
+    for i, (pk, v, s) in enumerate(rows):
+        lsn_lo = 0x100 + i
+        expected[lsn_lo] = (pk, v, s)
+        msgs.append((_json.dumps({
+            "action": "I", "schema": "public", "table": "users",
+            "columns": [
+                {"name": "id", "type": "bigint", "value": pk},
+                {"name": "v", "type": "double precision", "value": v},
+                {"name": "s", "type": "text", "value": s},
+            ],
+            "lsn": f"2/{lsn_lo:X}",
+            "timestamp": "2023-11-14 22:13:20.000123+00",
+        }),))
+    msgs.append((_json.dumps({
+        "change": [{"kind": "delete", "schema": "public", "table": "users",
+                    "oldkeys": {"keynames": ["id"], "keytypes": ["bigint"],
+                                "keyvalues": [777]}}],
+        "nextlsn": "2/F",
+        "timestamp": "2023-11-14 22:13:20.000123+00",
+    }),))
+    out = normalize_wal2json_auto(
+        spark.createDataFrame(msgs, "value string"), schema, pk="id"
+    ).collect()
+    base = 2 << 32
+    got = {r.seq // WAL2JSON_CHANGE_SHIFT - base:
+           (r.payload.id, r.payload.v, r.payload.s)
+           for r in out if r.op != "delete"}
+
+    def eq(a, b):
+        return all(
+            (x == y and (not isinstance(x, float)
+                         or math.copysign(1, x) == math.copysign(1, y)))
+            for x, y in zip(a, b))
+
+    assert set(got) == set(expected)
+    for k, exp in expected.items():
+        assert eq(got[k], exp), (got[k], exp)
+    deletes = [r for r in out if r.op == "delete"]
+    assert len(deletes) == 1 and deletes[0].pk == 777
+    assert deletes[0].seq == (base + 0xF) * WAL2JSON_CHANGE_SHIFT
+
+
 @given(docs=st.lists(_docs_words, min_size=1, max_size=6))
 @settings(**SETTINGS)
 def test_bigram_lm_score_matches_python_model(spark, docs):
