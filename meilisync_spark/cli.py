@@ -170,6 +170,14 @@ def cmd_start(args: argparse.Namespace) -> int:
     from meilisync_spark.operators.bucketed import resolve_num_buckets
 
     sink_format = getattr(args, "sink_format", "parquet")
+    if sink_format == "delta" and args.buckets:
+        # fail-loud convention (matches --envelope + syncs-config):
+        # Delta manages its own file layout (MERGE rewrites touched
+        # files under snapshot isolation) — silently dropping the flag
+        # would let a user believe the table is pk-bucketed
+        print("error: --buckets does not apply to --sink-format delta "
+              "(Delta MERGE manages its own file layout)", file=sys.stderr)
+        return 2
     resolved_buckets = 0 if sink_format == "delta" else resolve_num_buckets(index, args.buckets)
     if not os.path.exists(index) and resolved_buckets:
         print(f"bootstrap: bucketed index ({resolved_buckets} buckets) at {index}")
@@ -259,8 +267,36 @@ def cmd_check(args: argparse.Namespace) -> int:
 
         positions = make_progress(settings.progress).get()
         ev = load_path(spark, args.events)
+        # The pipelines publish max(seq) per sync. For fixture event
+        # streams seq == event_id, so the log's max(event_id) is the
+        # head in the SAME domain. Envelope streams publish binlog/LSN
+        # coordinates the raw log can't reproduce without the
+        # normalizer (and a text drop-dir has no event_id column at
+        # all) — decline cleanly instead of reporting a meaningless
+        # number or raising mid-report.
+        if "event_id" not in ev.columns:
+            print(
+                "position lag: the event log has no event_id column — "
+                "lag is only computable for fixture event streams "
+                "(seq == event_id); envelope streams publish "
+                "binlog/LSN positions, compare those with the source "
+                "database's own tooling",
+                file=sys.stderr,
+            )
+            return 0 if ok else 1
         tc = getattr(args, "table_col", None)
-        if tc and tc in ev.columns:
+        if tc and tc not in ev.columns:
+            print(
+                f"position lag: --table-col {tc!r} is not in the event "
+                f"log schema {ev.columns}",
+                file=sys.stderr,
+            )
+            return 2
+        if tc is None and "table" in ev.columns:
+            # the fixture and every envelope normalizer emit `table` —
+            # default to it so multi-sync lag needs no extra flag
+            tc = "table"
+        if tc:
             heads = {
                 r[0]: r[1] for r in ev.groupBy(tc).agg(F.max("event_id")).collect()
             }
@@ -467,10 +503,13 @@ def build_parser() -> argparse.ArgumentParser:
                                       "(config mode)")
     ck.add_argument("--events", help="event-log path: with a configured "
                                      "progress store, also report applied-"
-                                     "position-vs-head lag per sync")
+                                     "position-vs-head lag per sync "
+                                     "(fixture event streams only — "
+                                     "seq == event_id)")
     ck.add_argument("--table-col", dest="table_col",
                     help="raw column carrying the source table name (per-"
-                         "table heads for the lag report)")
+                         "table heads for the lag report; defaults to "
+                         "'table' when the log has one)")
     ck.set_defaults(fn=cmd_check)
 
     ig = sub.add_parser(

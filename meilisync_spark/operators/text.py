@@ -392,8 +392,20 @@ def vocab_encode(docs: DataFrame, min_count: int = 1) -> DataFrame:
     vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
         vocab = vocab.where(F.col("cnt") >= min_count)
-    ranged = vocab.repartitionByRange(F.desc("cnt"), F.asc("word")).withColumn(
-        "_p", F.spark_partition_id()
+    # CORRECTNESS PIN: the offsets side and the join side must see the
+    # SAME partition boundaries. Two syntactically identical range
+    # exchanges are NOT guaranteed to agree — RangePartitioner seeds
+    # its boundary sampling by RDD id, so independent physical subtrees
+    # can sample different boundaries once the vocab outgrows the
+    # per-partition sample budget (it only coincided on small corpora,
+    # where sampling degenerates to the full set). localCheckpoint
+    # materializes the ranged frame once; both consumers scan that one
+    # RDD, so `_p` means the same row set on both sides
+    # (tests/test_plans.py::test_vocab_encode_single_range_exchange).
+    ranged = (
+        vocab.repartitionByRange(F.desc("cnt"), F.asc("word"))
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     sizes = ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("_n"))
     woff = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
@@ -1034,6 +1046,9 @@ def unigram_freq_score_oracle_sql() -> str:
 # Fixed-point scale for the bigram conditional: floor(c2·10^9 / c1)
 # stays exact in int64 (c2 ≤ corpus tokens < 9.2e9 before overflow)
 BIGRAM_SCALE = 1_000_000_000
+# c2 · BIGRAM_SCALE must stay inside int64; counts past this wrap
+# silently and corrupt scores, so the score expression raises instead
+_BIGRAM_C2_MAX = (2**63 - 1) // BIGRAM_SCALE
 
 
 def bigram_lm_score(docs: DataFrame) -> DataFrame:
@@ -1074,7 +1089,22 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     q = (
         big.join(c2, "bg")
         .join(c1, "w1")
-        .select("doc_id", F.expr(f"c2 * {BIGRAM_SCALE} div c1").alias("q"))
+        # int64 guard inside the same distributed expression (no extra
+        # pass): a bigram occurring ≥ ~9.2e9 times — plausible at the
+        # 100-TB scale this module targets — would overflow c2·10^9;
+        # fail loudly rather than emit wrapped scores. A corpus that
+        # trips this should drop BIGRAM_SCALE (documented precision
+        # trade), not widen silently.
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN c2 <= {_BIGRAM_C2_MAX} "
+                f"THEN c2 * {BIGRAM_SCALE} div c1 "
+                f"ELSE raise_error(concat('bigram_lm_score: corpus bigram "
+                f"count ', c2, ' overflows the 10^9 fixed-point scale "
+                f"(max {_BIGRAM_C2_MAX})')) END"
+            ).alias("q"),
+        )
     )
     agg = q.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.sum("q").alias("sq")

@@ -256,6 +256,119 @@ def test_cli_start_envelope_conflicts_with_syncs_config(tmp_path, capsys):
     assert "cannot be combined" in capsys.readouterr().err
 
 
+def test_cli_start_buckets_conflicts_with_delta(tmp_path, capsys):
+    """--buckets with --sink-format delta must error loudly (rc 2) —
+    Delta manages its own layout, and silently dropping the flag would
+    let a user believe the table is pk-bucketed (fail-loud convention,
+    same as --envelope + syncs config)."""
+    rc = main([
+        "start", "--events", str(tmp_path), "--index", str(tmp_path / "i"),
+        "--checkpoint", str(tmp_path / "c"),
+        "--sink-format", "delta", "--buckets", "16",
+    ])
+    assert rc == 2
+    assert "--buckets" in capsys.readouterr().err
+
+
+def test_cli_check_lag_multi_sync_defaults_to_table_column(spark, tmp_path, capsys):
+    """Multi-sync lag needs no --table-col when the event log carries a
+    `table` column (the fixture and every normalizer emit one): heads
+    are attributed per table and each sync's lag is reported."""
+    import duckdb
+
+    from meilisync_spark.progress import FileProgress
+
+    sink_root = str(tmp_path / "indexes")
+    sources = str(tmp_path / "sources")
+    os.makedirs(sources)
+    con = duckdb.connect()
+    # two tables, same source/index parquet so counts audit green
+    for t in ("users", "orders"):
+        con.sql(f"COPY (SELECT 1 AS pk) TO '{sources}/{t}.parquet' (FORMAT PARQUET)")
+    os.makedirs(sink_root)
+    for t in ("users", "orders"):
+        con.sql(f"COPY (SELECT 1 AS pk) TO '{sink_root}/{t}_idx.parquet' "
+                f"(FORMAT PARQUET)")
+    # event log WITH a table column: heads users=7, orders=12
+    log = str(tmp_path / "log.parquet")
+    con.sql("COPY (SELECT * FROM (VALUES (5, 'users'), (7, 'users'), "
+            "(12, 'orders')) t(event_id, \"table\")) "
+            f"TO '{log}' (FORMAT PARQUET)")
+    progress_path = str(tmp_path / "progress.json")
+    FileProgress(progress_path).set(users=7, orders=10)
+    cfg = tmp_path / "config.yml"
+    cfg.write_text("\n".join([
+        "sink:",
+        f"  index_path: {sink_root}",
+        "progress:",
+        "  type: file",
+        f"  path: {progress_path}",
+        "sync:",
+        "  - table: users",
+        "    index: users_idx.parquet",
+        "    pk: pk",
+        "  - table: orders",
+        "    index: orders_idx.parquet",
+        "    pk: pk",
+    ]))
+    rc = main(["check", "--config", str(cfg), "--sources", sources,
+               "--events", log])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "users: applied=7 head=7 lag=0" in out
+    assert "orders: applied=10 head=12 lag=2" in out
+
+
+def test_cli_check_lag_declines_log_without_event_id(spark, tmp_path, capsys):
+    """An event log without event_id (an envelope drop log publishes
+    binlog/LSN seqs the raw log can't reproduce) gets a clean decline,
+    not an AnalysisException mid-report."""
+    import duckdb
+
+    from meilisync_spark.progress import FileProgress
+
+    sink_root = str(tmp_path / "indexes")
+    sources = str(tmp_path / "sources")
+    os.makedirs(sources)
+    os.makedirs(sink_root)
+    con = duckdb.connect()
+    con.sql(f"COPY (SELECT 1 AS pk) TO '{sources}/users.parquet' (FORMAT PARQUET)")
+    con.sql(f"COPY (SELECT 1 AS pk) TO '{sink_root}/users_idx.parquet' "
+            f"(FORMAT PARQUET)")
+    log = str(tmp_path / "log.parquet")
+    con.sql(f"COPY (SELECT 'x' AS value) TO '{log}' (FORMAT PARQUET)")
+    progress_path = str(tmp_path / "progress.json")
+    FileProgress(progress_path).set(users=7)
+    cfg = tmp_path / "config.yml"
+    cfg.write_text("\n".join([
+        "sink:",
+        f"  index_path: {sink_root}",
+        "progress:",
+        "  type: file",
+        f"  path: {progress_path}",
+        "sync:",
+        "  - table: users",
+        "    index: users_idx.parquet",
+        "    pk: pk",
+    ]))
+    rc = main(["check", "--config", str(cfg), "--sources", sources,
+               "--events", log])
+    captured = capsys.readouterr()
+    assert rc == 0  # the count audit itself passed
+    assert "no event_id column" in captured.err
+    assert "lag=" not in captured.out
+
+    # an explicitly wrong --table-col is an argument error, not a
+    # silent fall-through to the global head
+    con.sql(f"COPY (SELECT 1 AS event_id) TO '{log}' (FORMAT PARQUET, "
+            f"OVERWRITE_OR_IGNORE)")
+    rc = main(["check", "--config", str(cfg), "--sources", sources,
+               "--events", log, "--table-col", "nope"])
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert "nope" in captured.err
+
+
 def test_cli_start_wal2json_envelope_drop_dir(tmp_path):
     """`start --source-format text --envelope wal2json` tails a raw
     wal2json drop directory (the reference's own Postgres transport,

@@ -228,6 +228,21 @@ def test_envelope_roundtrips_stay_jvm_side(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_vocab_encode_single_range_exchange(spark):
+    """vocab_encode's global rank is only correct if the offsets side
+    and the join side read the SAME range partitioning — independent
+    range exchanges sample boundaries with rdd-id-dependent seeds and
+    can disagree once the vocab outgrows the sample budget (ids then
+    duplicate or skip silently). The ranged frame is pinned via
+    localCheckpoint, so the executed plan must show zero residual
+    range exchanges and BOTH consumers scanning the pinned RDD."""
+    df = Q.REGISTRY["vocab_encode"].fn(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 0, plan[:1200]
+    assert plan.count("Scan ExistingRDD") == 2, plan[:1200]
+
+
 def test_corpus_pipeline_full_scan_budget(spark):
     """The composed curation chain consumes each stage's output, not a
     re-derivation: the quality gate filters the scan directly, the

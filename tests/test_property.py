@@ -520,6 +520,24 @@ def test_wal2json_v2_auto_roundtrip_any_payload(spark, rows):
     assert deletes[0].seq == (base + 0xF) * WAL2JSON_CHANGE_SHIFT
 
 
+def test_bigram_lm_score_overflow_guard(spark, monkeypatch):
+    """c2·10^9 past int64 must raise, not wrap into corrupted scores.
+    The real limit (~9.2e9 occurrences of one bigram) can't be built in
+    a test, so the guard constant is patched down and the same code
+    path asserted."""
+    import pytest
+
+    from meilisync_spark.operators import text as text_mod
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    assert text_mod.bigram_lm_score(docs).count() == 2  # under the limit: fine
+    monkeypatch.setattr(text_mod, "_BIGRAM_C2_MAX", 2)
+    with pytest.raises(Exception, match="overflows"):
+        text_mod.bigram_lm_score(docs).collect()  # "a b" occurs 4 times > 2
+
+
 @given(docs=st.lists(_docs_words, min_size=1, max_size=6))
 @settings(**SETTINGS)
 def test_bigram_lm_score_matches_python_model(spark, docs):
