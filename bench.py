@@ -7,6 +7,15 @@ Prints ONE JSON line:
 Each query is fully materialized via the ``noop`` datasource writer —
 every operator executes, nothing is collected to the driver, and no
 final-stage column pruning can cheat the measurement.
+
+``--ab <git-ref>`` runs the INTERLEAVED A/B comparison: the ref's tree
+is extracted beside the working copy and, per query, the current and
+base registries alternate inside ONE process/session (A, B, A, B —
+min of 2 each). Per-query ratios (cur/base) are the only
+round-over-round comparison this host's ±30-50% run-to-run noise
+cannot fake — separate-capture deltas have repeatedly been pure host
+drift (see BENCH notes in VERDICT r4). The payload then carries
+``ab_vs`` + ``ratios`` beside the normal timing fields.
 """
 
 from __future__ import annotations
@@ -115,7 +124,106 @@ HEADLINE = [
     "ann_recall_clustered",
     "srp_recall_clustered",
     "srp_multiprobe_recall",
+    # round 5 additions
+    "wal2json_v2_roundtrip",
+    "ann_incremental_recall",
+    "ann_nprobe_recall",
+    "ann_query_served",
 ]
+
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _activate(root: str, other: str):
+    """Make ``root``'s meilisync_spark the ACTIVE package: purge every
+    loaded module of the package and put ``root`` at the head of
+    sys.path. Purging (rather than keeping references) matters because
+    registry fns lazy-import operators at CALL time — a stale module
+    cache would silently run the other variant's code mid-measurement.
+    Returns the freshly imported queries module."""
+    import importlib
+
+    for mod in [m for m in sys.modules
+                if m == "meilisync_spark" or m.startswith("meilisync_spark.")]:
+        del sys.modules[mod]
+    sys.path[:] = [p for p in sys.path if p not in (root, other)]
+    sys.path.insert(0, root)
+    return importlib.import_module("meilisync_spark.queries")
+
+
+def ab_main(base_ref: str) -> None:
+    """Interleaved A/B: current tree vs ``base_ref``'s tree, alternated
+    per run inside one process so host drift hits both sides equally."""
+    import math
+    import subprocess
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    base_root = tempfile.mkdtemp(prefix=f"bench_ab_{base_ref.replace('/', '_')}_")
+    tar = subprocess.run(
+        ["git", "-C", REPO_ROOT, "archive", base_ref],
+        check=True, stdout=subprocess.PIPE,
+    )
+    subprocess.run(["tar", "-x", "-C", base_root], input=tar.stdout, check=True)
+
+    spark = get_spark(app_name="meilisync-spark-bench-ab")
+    base_q = _activate(base_root, REPO_ROOT)
+    base_names = set(base_q.REGISTRY)
+    cur_q = _activate(REPO_ROOT, base_root)
+    names = [n for n in HEADLINE if n in cur_q.REGISTRY and n in base_names]
+    dropped = [n for n in HEADLINE if n in cur_q.REGISTRY and n not in base_names]
+    if dropped:
+        print(f"# ab: {len(dropped)} queries only in current tree "
+              f"(not compared): {dropped}", file=sys.stderr)
+
+    # warm once per variant
+    for root in (REPO_ROOT, base_root):
+        q = _activate(root, base_root if root == REPO_ROOT else REPO_ROOT)
+        q.REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+
+    cur_t: dict[str, float] = {}
+    base_t: dict[str, float] = {}
+    for name in names:
+        best = {"cur": float("inf"), "base": float("inf")}
+        for _ in range(2):
+            # alternate INSIDE the per-query loop: whatever the host is
+            # doing this second, it does it to both variants
+            for key, root, other in (("cur", REPO_ROOT, base_root),
+                                     ("base", base_root, REPO_ROOT)):
+                q = _activate(root, other)  # import cost outside the clock
+                fn = q.REGISTRY[name].fn
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best[key] = min(best[key], time.perf_counter() - t0)
+                spark.catalog.clearCache()
+        cur_t[name] = round(best["cur"], 3)
+        base_t[name] = round(best["base"], 3)
+    _activate(REPO_ROOT, base_root)  # leave the current tree active
+
+    ratios = {n: round(cur_t[n] / base_t[n], 3) if base_t[n] > 0 else None
+              for n in names}
+    vals = [r for r in ratios.values() if r]
+    geomean = round(math.exp(sum(math.log(r) for r in vals) / len(vals)), 3)
+    payload = json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(cur_t.values()), 3),
+        "unit": "sec",
+        "queries": cur_t,
+        "sf": sf,
+        "ab_vs": base_ref,
+        "ab_base_total": round(sum(base_t.values()), 3),
+        "ab_base_queries": base_t,
+        "ab_ratio_geomean": geomean,
+        "ratios": ratios,
+    })
+    print(payload)
+    with open(os.path.join(REPO_ROOT, "BENCH_AB.json"), "w") as fh:
+        fh.write(payload + "\n")
 
 
 def main() -> None:
@@ -170,4 +278,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--ab" in sys.argv:
+        ab_main(sys.argv[sys.argv.index("--ab") + 1])
+    else:
+        main()

@@ -444,6 +444,54 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_add(args: argparse.Namespace) -> int:
+    """Fold new vectors into an existing `ann-build` index without
+    retraining (operators/ivfpq.add_to_index): nearest-stored-centroid
+    routing + stored-codebook encoding + cluster-partition append.
+    Batch one-shot by default; --follow tails a drop dir as a stream."""
+    from meilisync_spark.operators.ivfpq import ANN_META_FILE, add_to_index
+
+    spark = get_spark("meilisync-spark-ann-add")
+    if not os.path.exists(os.path.join(args.index, ANN_META_FILE)):
+        print(f"error: {args.index} is not a servable ANN index "
+              f"(no {ANN_META_FILE}); build it with ann-build first",
+              file=sys.stderr)
+        return 2
+    if args.follow:
+        if not args.checkpoint:
+            print("error: --follow needs --checkpoint", file=sys.stderr)
+            return 2
+        from meilisync_spark.streaming.ann_ingest import run_ann_ingest
+
+        run_ann_ingest(
+            spark, args.vectors, args.index, args.checkpoint,
+            available_now=False, processing_interval=args.interval,
+            timeout_sec=None,
+        )
+        return 0
+    emb = spark.read.parquet(args.vectors).select("vec_id", "embedding")
+    try:
+        n = add_to_index(spark, args.index, emb)
+    except ValueError as e:  # dim mismatch
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(f"ann index {args.index}: added {n} vectors")
+    return 0
+
+
+def cmd_ann_stats(args: argparse.Namespace) -> int:
+    """Report per-cell growth of an `ann-build` index since its
+    quantizers were trained, plus the retrain-due verdict."""
+    from meilisync_spark.operators.ivfpq import index_stats, retrain_due
+
+    spark = get_spark("meilisync-spark-ann-stats")
+    for r in index_stats(spark, args.index).orderBy("cluster").collect():
+        print(json.dumps(r.asDict()))
+    due = retrain_due(spark, args.index, max_growth=args.max_growth)
+    print(json.dumps({"retrain_due": bool(due), "max_growth": args.max_growth}))
+    return 0
+
+
 def cmd_version(_: argparse.Namespace) -> int:
     print(json.dumps({"meilisync_spark": __version__}))
     return 0
@@ -575,6 +623,34 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--refine", action="store_true",
                     help="exact-re-rank the ADC shortlist (exact cosine out)")
     aq.set_defaults(fn=cmd_ann_query)
+
+    aa = sub.add_parser(
+        "ann-add",
+        help="add vectors to an ann-build index without retraining "
+             "(FAISS add-after-train; batch, or --follow a drop dir)",
+    )
+    aa.add_argument("--vectors", required=True,
+                    help="parquet of (vec_id, embedding) rows to add — a "
+                         "file/dir for batch mode, a drop dir with --follow")
+    aa.add_argument("--index", required=True, help="existing ann-build index")
+    aa.add_argument("--checkpoint",
+                    help="streaming checkpoint dir (required with --follow)")
+    aa.add_argument("--follow", action="store_true",
+                    help="tail --vectors as a stream until killed instead of "
+                         "a one-shot batch add")
+    aa.add_argument("--interval", help="processing trigger interval "
+                                       "(streaming mode), e.g. '5 seconds'")
+    aa.set_defaults(fn=cmd_ann_add)
+
+    ast_ = sub.add_parser(
+        "ann-stats",
+        help="per-cell growth of an ann-build index since training "
+             "(the retrain-due drift monitor)",
+    )
+    ast_.add_argument("--index", required=True)
+    ast_.add_argument("--max-growth", dest="max_growth", type=float, default=0.5,
+                      help="added/trained fraction past which retrain is due")
+    ast_.set_defaults(fn=cmd_ann_stats)
 
     v = sub.add_parser("version")
     v.set_defaults(fn=cmd_version)

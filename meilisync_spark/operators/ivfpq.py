@@ -71,18 +71,27 @@ def _adc_scored(
     return out.where(F.col("neighbor_id") != F.col("q_id")) if exclude_self else out
 
 
-def ivfpq_index(emb: DataFrame, *, with_centroids: bool = False):
+def ivfpq_index(
+    emb: DataFrame, *, with_centroids: bool = False, kcells: int | None = None
+):
     """Train both quantizers and build the compressed index frame
     ``(vec_id, cluster, codes)`` — the thing you'd write out
     partitioned by ``cluster``. Returns (index_df, books), plus the
     coarse centroid matrix when ``with_centroids`` (the query-side
     half :func:`save_index` persists). ``emb`` is pinned first: both
-    trainings iterate corpus passes over it."""
-    from meilisync_spark.operators.kmeans import assign_cells, kmeans_centroids
+    trainings iterate corpus passes over it. ``kcells`` overrides the
+    coarse quantizer's cell count (more cells ⇒ finer pruning, lower
+    per-cell recall at nprobe=1 — the knob :func:`ann_nprobe_recall`
+    measures)."""
+    from meilisync_spark.operators.kmeans import (
+        K_DEFAULT,
+        assign_cells,
+        kmeans_centroids,
+    )
 
     emb = emb.localCheckpoint(False)
     books = pq_codebooks(emb)
-    centq = kmeans_centroids(emb)
+    centq = kmeans_centroids(emb, k=kcells or K_DEFAULT)
     idx = pq_encode(emb, books).join(assign_cells(emb, centq), "vec_id")
     return (idx, books, centq) if with_centroids else (idx, books)
 
@@ -416,7 +425,7 @@ def ivfpq_persisted_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
 ANN_META_FILE = "_ann_meta.json"
 
 
-def save_index(emb: DataFrame, index_path: str) -> None:
+def save_index(emb: DataFrame, index_path: str, *, kcells: int | None = None) -> None:
     """Train both quantizers and persist a SELF-CONTAINED servable
     index: the ``(vec_id, codes)`` frame hive-partitioned by
     ``cluster`` plus ``_ann_meta.json`` carrying the query-side halves
@@ -425,15 +434,26 @@ def save_index(emb: DataFrame, index_path: str) -> None:
     query vectors to their probe cells, the same fixed-point math as
     training's assignment pass). Both are a few KB — the FAISS split
     between the inverted lists (big, on disk, partition-pruned) and the
-    quantizer objects (tiny, in memory)."""
+    quantizer objects (tiny, in memory).
+
+    The meta also records the per-cell row counts AT TRAIN TIME
+    (``trained_cells``) — the baseline :func:`index_stats` compares
+    against after :func:`add_to_index` appends, so a deployment can see
+    per-cell drift and decide when :func:`retrain_due`."""
     import json
     import os
 
-    idx, books, centq = ivfpq_index(emb, with_centroids=True)
+    idx, books, centq = ivfpq_index(emb, with_centroids=True, kcells=kcells)
     idx.write.mode("overwrite").partitionBy("cluster").parquet(index_path)
+    spark = emb.sparkSession
+    trained_cells = {
+        str(int(r.cluster)): int(r["count"])
+        for r in spark.read.parquet(index_path).groupBy("cluster").count().collect()
+    }
     meta = {
         "books": books.tolist(),
         "centroids": centq.tolist(),
+        "trained_cells": trained_cells,
     }
     with open(os.path.join(index_path, ANN_META_FILE), "w") as fh:
         json.dump(meta, fh)
@@ -548,3 +568,263 @@ def query_index(
         .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: FAISS's add-after-train shape. The quantizers
+# are trained once (save_index); new vectors stream in forever — each
+# batch is assigned to its nearest STORED centroid, PQ-encoded with the
+# STORED codebooks, and appended to the cluster= partitions. O(batch)
+# work, same at-rest layout, zero retrain; index_stats / retrain_due
+# turn quantizer staleness into a measurable, thresholded number.
+# ---------------------------------------------------------------------------
+
+
+def _load_meta_dict(index_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_path, ANN_META_FILE)) as fh:
+        return json.load(fh)
+
+
+def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) -> int:
+    """Append ``(vec_id, embedding)`` rows to a :func:`save_index`
+    layout WITHOUT retraining — the FAISS ``add``-after-``train``
+    lifecycle: nearest-STORED-centroid assignment routes each vector to
+    its cell (the same fixed-point math as training's assignment pass),
+    the STORED codebooks encode it, and the rows append into the
+    ``cluster=`` partitions the probe already prunes on. Per-batch cost
+    is O(batch) encode/assign plus, under ``dedup``, a vec_id anti-join
+    pruned to the batch's own cells — assignment is deterministic, so
+    an at-least-once replay of a batch lands in exactly the same cells,
+    which makes the touched-partition check sufficient for idempotence.
+    Returns the number of rows actually appended.
+
+    The added vectors are served by :func:`query_index` immediately:
+    the probe routes queries with the same stored centroids, so a new
+    vector is found by any query probing its cell. What degrades over
+    time is quantizer fit (cells drift, codebooks stop matching the
+    data distribution) — watch :func:`index_stats` and rebuild with
+    :func:`save_index` when :func:`retrain_due`."""
+    from meilisync_spark.operators.kmeans import assign_cells
+
+    books, centq = load_index_meta(index_path)
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return 0
+    if int(first.d) != centq.shape[1]:
+        raise ValueError(
+            f"new vectors have dim {int(first.d)}, index expects {centq.shape[1]}"
+        )
+    # pin the encoded batch: the dedup collect, the anti-join and the
+    # append would otherwise each replay the two mapInPandas passes
+    new = (
+        pq_encode(emb, books)
+        .join(assign_cells(emb, centq), "vec_id")
+        .localCheckpoint(True)
+    )
+    if dedup:
+        touched = sorted(
+            int(r[0]) for r in new.select("cluster").distinct().collect()
+        )
+        seen = (
+            spark.read.parquet(index_path)
+            .where(F.col("cluster").isin(touched))
+            .select(F.col("vec_id").alias("seen_id"))
+        )
+        new = new.join(
+            seen, F.col("vec_id") == F.col("seen_id"), "left_anti"
+        ).localCheckpoint(True)  # pin BEFORE the append: the anti-join
+        # lineage reads the same directory the write appends into
+    n = new.count()
+    if n:
+        new.select("vec_id", "codes", "cluster").write.mode("append").partitionBy(
+            "cluster"
+        ).parquet(index_path)
+    return int(n)
+
+
+def index_stats(spark, index_path: str) -> DataFrame:
+    """(cluster, n_rows, trained_rows, added) per cell — the drift
+    monitor for the add-after-train lifecycle: how much each inverted
+    list has grown since its quantizers were trained. The scan reads
+    only parquet row counts (column-pruned); the trained baseline comes
+    from ``_ann_meta.json``. Indexes written before the baseline was
+    recorded report trained_rows=0 (everything counts as added)."""
+    meta = _load_meta_dict(index_path)
+    trained = {int(c): int(n) for c, n in meta.get("trained_cells", {}).items()}
+    counts = spark.read.parquet(index_path).groupBy("cluster").count().collect()
+    rows = []
+    for r in counts:
+        c, n = int(r.cluster), int(r["count"])
+        t = trained.get(c, 0)
+        rows.append((c, n, t, n - t))
+    return spark.createDataFrame(
+        sorted(rows), "cluster int, n_rows long, trained_rows long, added long"
+    )
+
+
+def retrain_due(spark, index_path: str, *, max_growth: float = 0.5) -> bool:
+    """True when the index has grown past ``max_growth`` of its trained
+    size — the retrain trigger a serving deployment polls. Growth (not
+    recall) is the proxy: added vectors are encoded with quantizers
+    that never saw them, so fit decays with the added fraction."""
+    tot = index_stats(spark, index_path).agg(
+        F.sum("added").alias("a"), F.sum("trained_rows").alias("t")
+    ).first()
+    if tot is None or not tot.t:
+        return True  # no recorded baseline: be loud, ask for a retrain
+    return (tot.a or 0) / tot.t > max_growth
+
+
+def ivfpq_incremental_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
+    """(q_id, n_hits, n_brute, recall) — the add-after-train lifecycle
+    PROVEN end to end: quantizers train on 3/4 of the clustered twin
+    (:func:`save_index`), the held-out quarter streams in as two
+    :func:`add_to_index` batches (no retrain), and :func:`query_index`
+    serves the benchmark queries (stored-centroid routing + exact
+    refine) — measured against brute force over the FULL corpus, so the
+    added vectors must be both findable and able to find (recall 1.0 on
+    the twin, threshold-asserted in tests/test_pq.py)."""
+    import shutil
+    import tempfile
+
+    from meilisync_spark.operators.similarity import (
+        _recall_against_brute,
+        clustered_embeddings,
+    )
+
+    # pin the twin: quantizer training iterates passes over it
+    ce = clustered_embeddings(emb).localCheckpoint(False)
+    base = ce.where(F.col("vec_id") % 4 != 3)
+    work = tempfile.mkdtemp(prefix="mls_ivfpq_incr_")
+    try:
+        path = f"{work}/index"
+        save_index(base, path)
+        # the held-out quarter arrives in two separate batches
+        for m in (3, 7):
+            add_to_index(
+                spark, path, ce.where(F.col("vec_id") % 8 == m), dedup=True
+            )
+        queries = [
+            (int(r.vec_id), list(r.embedding))
+            for r in ce.where(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        topk = query_index(spark, path, queries, k=k, refine=ce)
+        out = _recall_against_brute(ce, topk, k)
+        out = spark.createDataFrame(out.collect(), out.schema)  # pin
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _build_served_cache(ce: DataFrame, cache_dir: str) -> None:
+    """Build :func:`save_index` output at ``cache_dir`` exactly once:
+    train into a private tmp sibling, then atomically rename into
+    place — concurrent builders race safely (one rename wins, losers
+    discard their copy), and a partially-written dir can never be
+    mistaken for a servable index."""
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.exists(os.path.join(cache_dir, ANN_META_FILE)):
+        return
+    parent = os.path.dirname(cache_dir) or "."
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(cache_dir) + ".tmp.", dir=parent)
+    try:
+        built = os.path.join(tmp, "built")
+        save_index(ce, built)
+        try:
+            os.rename(built, cache_dir)
+        except OSError:
+            pass  # a concurrent builder won the rename; use theirs
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ann_query_served(spark, emb: DataFrame, cache_dir: str, k: int = 5) -> DataFrame:
+    """(q_id, neighbor_id, rank, cosine) — the pure QUERY-side serving
+    path: the index is built AT MOST ONCE per corpus fingerprint into
+    ``cache_dir`` (train-once, like a real deployment — the
+    ``ivfpq_persisted_recall`` row retrains per invocation by design,
+    which conflates train and serve cost); the row itself only routes
+    the benchmark queries through the stored centroids, scans the
+    partition-pruned codes, ADC-ranks and exact-refines. Oracle:
+    brute-force cosine top-k over the clustered twin — hash equality
+    certifies the served probe found the TRUE top-k (serving recall
+    1.0), not merely that k rows came back."""
+    from meilisync_spark.operators.similarity import clustered_embeddings
+
+    ce = clustered_embeddings(emb).localCheckpoint(False)
+    _build_served_cache(ce, cache_dir)
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in ce.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return query_index(spark, cache_dir, queries, k=k, nprobe=1, refine=ce)
+
+
+def ann_query_served_oracle_sql(k: int = 5) -> str:
+    from meilisync_spark.functions.vectors import duck_cosine
+    from meilisync_spark.operators.similarity import _clustered_cte
+
+    return f"""
+    WITH {_clustered_cte()},
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               {duck_cosine('q.v', 'c.v')} AS cosine
+        FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT q_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
+    """(nprobe, mean_recall) — the serving knob's recall-vs-IO curve
+    pinned to numbers: the twin corpus is indexed with MORE coarse
+    cells than it has natural clusters (kcells=20 vs 10), so tight
+    clusters split across cells and nprobe=1 genuinely misses
+    neighbors; probing 2 then 4 cells recovers them monotonically while
+    reading 2×/4× the codes. Exact refine is ON (the production
+    config), so the curve isolates what the PROBE failed to reach —
+    precisely FAISS's nprobe trade."""
+    import shutil
+    import tempfile
+
+    from meilisync_spark.operators.similarity import (
+        _recall_against_brute,
+        clustered_embeddings,
+    )
+
+    ce = clustered_embeddings(emb).localCheckpoint(False)
+    work = tempfile.mkdtemp(prefix="mls_nprobe_")
+    rows = []
+    try:
+        path = f"{work}/index"
+        save_index(ce, path, kcells=20)
+        queries = [
+            (int(r.vec_id), list(r.embedding))
+            for r in ce.where(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        for nprobe in (1, 2, 4):
+            topk = query_index(spark, path, queries, k=k, nprobe=nprobe, refine=ce)
+            rec = _recall_against_brute(ce, topk, k).agg(F.avg("recall")).first()[0]
+            rows.append((nprobe, float(rec)))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "nprobe int, mean_recall double")

@@ -1787,6 +1787,81 @@ def q_ivfpq_persisted_recall(spark, sf_dir):
 
 
 @register(
+    "ann_incremental_recall",
+    None,  # trained + streamed adds — recall asserted in tests/test_pq.py
+    doc="FAISS add-after-train proven end to end: quantizers train on "
+        "3/4 of the clustered twin (save_index), the held-out quarter "
+        "arrives as two add_to_index batches (stored-centroid routing, "
+        "stored-codebook encoding, cluster-partition append — no "
+        "retrain), and query_index serves the benchmark queries against "
+        "brute force over the FULL corpus: the added vectors must be "
+        "both findable and able to find. Recall 1.0 on the twin.",
+    driver_facing=False,
+)
+def q_ann_incremental_recall(spark, sf_dir):
+    from meilisync_spark.operators.ivfpq import ivfpq_incremental_recall
+
+    return ivfpq_incremental_recall(spark, _t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_nprobe_recall",
+    None,  # trained index — monotonicity asserted in tests/test_pq.py
+    doc="The serving nprobe knob's recall-vs-IO curve measured: the "
+        "twin indexed with 20 coarse cells (clusters split across "
+        "cells), queried at nprobe 1/2/4 with exact refine — recall "
+        "rises monotonically as the probe reads 2x/4x the codes; the "
+        "number a deployment tunes against its IO budget.",
+    driver_facing=False,
+)
+def q_ann_nprobe_recall(spark, sf_dir):
+    from meilisync_spark.operators.ivfpq import ann_nprobe_recall
+
+    return ann_nprobe_recall(spark, _t(spark, sf_dir, "embeddings"))
+
+
+def _ann_served_cache_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus cache dir for the train-once serving
+    row: keyed by the embeddings table's path + mtime + size, so a
+    regenerated fixture rebuilds while repeated runs (the number a
+    serving deployment cares about) skip straight to the query path."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    key = hashlib.sha1(
+        f"{os.path.abspath(p)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"mls_ann_served_{key}")
+
+
+from meilisync_spark.operators.ivfpq import (  # noqa: E402
+    ann_query_served_oracle_sql as _ann_served_sql,
+)
+
+
+@register(
+    "ann_query_served",
+    _ann_served_sql(),
+    doc="Train-once serving: the index is built AT MOST ONCE per corpus "
+        "fingerprint (cached dir); the row measures/verifies only the "
+        "query-side path — stored-centroid routing, partition-pruned "
+        "code scan, ADC rank, exact refine. Oracle = brute-force cosine "
+        "top-k on the clustered twin, so hash equality certifies the "
+        "served probe recovered the TRUE top-k (recall 1.0), not just "
+        "row counts.",
+)
+def q_ann_query_served(spark, sf_dir):
+    from meilisync_spark.operators.ivfpq import ann_query_served
+
+    return ann_query_served(
+        spark, _t(spark, sf_dir, "embeddings"), _ann_served_cache_dir(sf_dir)
+    )
+
+
+@register(
     "ivfpq_residual_ablation",
     None,  # trained measurement row — ordering asserted in tests/test_pq.py
     doc="Residual-encoding ablation (FAISS by_residual), measured under "

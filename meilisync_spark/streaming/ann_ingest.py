@@ -1,0 +1,84 @@
+"""Continuous ANN index maintenance: stream new embedding vectors into
+a served IVF+PQ index without retraining.
+
+The FAISS ``train once, add forever`` lifecycle wired to Structured
+Streaming: :func:`meilisync_spark.operators.ivfpq.save_index` builds
+the index once; every micro-batch of ``(vec_id, embedding)`` rows is
+then assigned to its nearest STORED centroid, PQ-encoded with the
+STORED codebooks, and appended into the ``cluster=`` partitions —
+O(batch) work per batch, the same at-rest layout the probe
+partition-prunes, and the new vectors are servable by ``query_index``
+from the moment the batch commits.
+
+At-least-once replay is safe: assignment is deterministic, so a
+replayed batch lands in exactly the cells it touched before, and
+``add_to_index``'s dedup anti-join (pruned to those cells) drops the
+duplicates. Quantizer staleness is the monitored quantity, not a
+silent failure: ``index_stats`` / ``retrain_due`` report per-cell
+growth since training, and the operator answer to drift is a fresh
+``save_index`` behind the same atomic-swap pattern the CDC refresh
+uses.
+
+Reference analogue: none (the reference has no vector surface); this
+composes the CDC streaming shell with the ANN serving index, closing
+the gap between the append-forever corpus ingest and the train-once
+serving surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from meilisync_spark.operators.ivfpq import add_to_index
+from meilisync_spark.streaming.pipeline import _start_and_await
+
+
+def run_ann_ingest(
+    spark: SparkSession,
+    vectors_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    dedup: bool = True,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_interval: str | None = None,
+    timeout_sec: float | None = 180.0,
+) -> None:
+    """Tail ``vectors_path`` (parquet drop dir of ``vec_id, embedding``
+    rows) and fold each micro-batch into the :func:`save_index` layout
+    at ``index_path`` via :func:`add_to_index`. The index must exist —
+    adding before training has no codebooks to encode with, so it
+    fails loudly rather than bootstrap a layout the probe can't
+    serve."""
+    from meilisync_spark.operators.ivfpq import ANN_META_FILE
+
+    if not os.path.exists(os.path.join(index_path, ANN_META_FILE)):
+        raise FileNotFoundError(
+            f"{index_path} is not a servable ANN index (no {ANN_META_FILE}); "
+            "build it first with save_index / the ann-build CLI"
+        )
+    schema = spark.read.parquet(vectors_path).schema
+    if os.path.isfile(vectors_path):
+        # file source needs a directory basePath — stage a one-symlink dir
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="mls_ann_src_")
+        os.symlink(
+            vectors_path, os.path.join(staging, os.path.basename(vectors_path))
+        )
+        vectors_path = staging
+    stream = spark.readStream.schema(schema).option("latestFirst", "false")
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = stream.parquet(vectors_path)
+
+    def handle(batch: DataFrame, _bid: int) -> None:
+        add_to_index(spark, index_path, batch, dedup=dedup)
+
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    _start_and_await(writer, available_now, processing_interval, timeout_sec)

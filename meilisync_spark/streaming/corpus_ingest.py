@@ -171,10 +171,16 @@ def drop_near_dups(fresh: DataFrame, load_band_index) -> DataFrame:
     if band_index is not None:
         probe = bands.join(
             band_index.select(
-                "band_idx", "band_hash", F.col("sig").alias("sig_c")
+                "band_idx", "band_hash", F.col("doc_id").alias("doc_c"),
+                F.col("sig").alias("sig_c"),
             ),
             ["band_idx", "band_hash"],
-        )
+            # a doc's own band rows can already be stored: bands append
+            # BEFORE documents (crash consistency — see run_corpus_ingest),
+            # so an at-least-once replay of the crash window probes
+            # against its own first-attempt bands. Never drop a doc as a
+            # near-duplicate of itself.
+        ).where(F.col("doc_c") != F.col("doc_id"))
         near_corpus = (
             probe.where(_est_jaccard("sig", "sig_c") >= NEAR_DUP_TAU)
             .select("doc_id")
@@ -283,10 +289,19 @@ def run_corpus_ingest(
             # index/band dirs — re-evaluating it after the first append
             # would see the batch's own rows as "already present"
             survivors = drop_near_dups(fresh, load_band_index).localCheckpoint(True)
-            _append(survivors.select("content_hash", *DOC_COLS), bucketed)
             new_bands = lsh_bands(
                 survivors.where(F.col("sig").isNotNull()).select("doc_id", "sig")
             )
+            # CRASH ORDER: bands append BEFORE the corpus append. A
+            # crash between the two leaves dangling band rows, which are
+            # harmless — the replayed doc is excluded from matching its
+            # own rows (drop_near_dups) and re-appends normally; a stray
+            # band row for a doc that never returns is one spurious
+            # probe candidate. The REVERSE order would leave corpus
+            # documents with no band rows: replay drops the doc at the
+            # exact-hash anti-join, its bands are never written, and
+            # every future near-duplicate of it is permanently invisible
+            # to the probe.
             if bands_bucketed:
                 (
                     new_bands.withColumn(BAND_BUCKET_COL, _bb(F.col("band_hash")))
@@ -296,6 +311,7 @@ def run_corpus_ingest(
                 )
             else:
                 new_bands.write.mode("append").parquet(bands_path)
+            _append(survivors.select("content_hash", *DOC_COLS), bucketed)
         else:
             _append(fresh, bucketed)
 

@@ -590,3 +590,47 @@ def test_cli_ann_query_foreign_vectors_file(spark, tmp_path, capsys):
                "--corpus", f"{SF_SMOKE}/embeddings.parquet",
                "--vectors-file", str(bad_dim)])
     assert rc == 1
+
+
+def test_cli_ann_add_and_stats(spark, tmp_path, capsys):
+    """ann-add folds new vectors into a built index without retraining
+    and is replay-idempotent; ann-stats reports per-cell growth and the
+    retrain-due verdict; adding to a non-index errors loudly."""
+    import duckdb
+
+    index = str(tmp_path / "ann")
+    base = str(tmp_path / "base.parquet")
+    extra = str(tmp_path / "extra.parquet")
+    con = duckdb.connect()
+    src = f"{SF_SMOKE}/embeddings.parquet"
+    con.sql(f"COPY (SELECT vec_id, embedding FROM '{src}' WHERE vec_id % 4 != 3) "
+            f"TO '{base}' (FORMAT PARQUET)")
+    con.sql(f"COPY (SELECT vec_id, embedding FROM '{src}' WHERE vec_id % 4 = 3) "
+            f"TO '{extra}' (FORMAT PARQUET)")
+    rc = main(["ann-build", "--embeddings", base, "--index", index])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["ann-add", "--vectors", extra, "--index", index])
+    out = capsys.readouterr().out
+    assert rc == 0
+    n_extra = con.sql(f"SELECT count(*) FROM '{extra}'").fetchone()[0]
+    assert f"added {n_extra} vectors" in out
+
+    # replay: nothing new
+    rc = main(["ann-add", "--vectors", extra, "--index", index])
+    assert rc == 0
+    assert "added 0 vectors" in capsys.readouterr().out
+
+    rc = main(["ann-stats", "--index", index, "--max-growth", "0.2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [json.loads(line) for line in out.splitlines()]
+    verdict = lines[-1]
+    assert verdict["retrain_due"] is True  # 1/3 growth > 0.2
+    assert sum(r["added"] for r in lines[:-1]) == n_extra
+
+    # not-an-index errors loudly
+    rc = main(["ann-add", "--vectors", extra, "--index", str(tmp_path / "no")])
+    assert rc == 2
+    assert "ann-build" in capsys.readouterr().err

@@ -136,6 +136,75 @@ def test_near_dedup_drops_cross_batch_near_duplicates(spark, tmp_path):
     assert sorted(r.doc_id for r in bands.select("doc_id").distinct().collect()) == [1, 3]
 
 
+def test_crash_between_band_and_corpus_append_recovers(spark, tmp_path):
+    """Bands append BEFORE documents, so the only possible crash window
+    leaves dangling band rows with no corpus doc. After restart: (a)
+    the at-least-once replay of the crash-window doc must re-enter the
+    corpus — its own dangling bands must NOT drop it as a near-dup of
+    itself; (b) a later near-duplicate of it must still be dropped.
+    (The reverse write order would make (b) fail forever: the doc would
+    be in the corpus with no bands, replay would drop it at the exact
+    anti-join, and its bands would never be written.)"""
+    from meilisync_spark.operators.dedup import lsh_bands, minhash_signatures
+    from meilisync_spark.streaming.corpus_ingest import BAND_BUCKET_COL, _bb
+
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    bands_path = idx + "_bands"
+    os.makedirs(src)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy stone bridge near the river "
+        "and a cold wind moves slowly through the tall dry grass"
+    )
+    crash_doc = (
+        "an entirely different story about container ships crossing "
+        "the northern strait at dawn carrying spices and copper wire "
+        "to ports where cranes lift pallets under heavy winter fog"
+    )
+    near_crash = crash_doc.replace("winter fog", "summer fog")
+
+    def _ship(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + f"/b{i}")
+        part = glob.glob(src + f"/b{i}/part-*.parquet")[0]
+        os.rename(part, src + f"/batch_{i}.parquet")
+
+    # batch 0: the base corpus
+    _ship(0, [(1, base, "en", "src0", len(base))])
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"),
+        near_dedup=True, max_files_per_trigger=1,
+    )
+
+    # simulate the crash window for doc 2: its band rows land, the
+    # corpus append never runs (the only window the write order allows)
+    crash_rows = spark.createDataFrame(
+        [(2, crash_doc, "en", "src0", len(crash_doc))], schema
+    )
+    sigs = minhash_signatures(crash_rows.select("doc_id", "text"))
+    (
+        lsh_bands(sigs)
+        .withColumn(BAND_BUCKET_COL, _bb(F.col("band_hash")))
+        .write.mode("append")
+        .partitionBy(BAND_BUCKET_COL)
+        .parquet(bands_path)
+    )
+    assert sorted(r.doc_id for r in spark.read.parquet(idx).collect()) == [1]
+
+    # restart: the stream redelivers doc 2 (at-least-once), then a
+    # near-duplicate arrives in a later batch
+    _ship(1, [(2, crash_doc, "en", "src0", len(crash_doc))])
+    _ship(2, [(3, near_crash, "en", "src0", len(near_crash))])
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"),
+        near_dedup=True, max_files_per_trigger=1,
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
+    # doc 2 recovered (not self-dropped); doc 3 dropped as its near-dup
+    assert got == [1, 2]
+
+
 def test_cli_ingest_command(spark, tmp_path):
     from meilisync_spark.cli import main
 
