@@ -2657,8 +2657,13 @@ DRIVER_ORDER = [
     # BLAS kernel; still oracle-checked by driver_sim --all) to make
     # room for the envelope-connector row above. ann_recall_at_k also
     # moved out: the clustered twin is the positive recall
-    # demonstration the ANN story needs in the driver window
-    "ann_recall_clustered",
+    # demonstration the ANN story needs in the driver window.
+    # Round 5 swaps ann_recall_clustered (label-probe recall row, green
+    # r3-r4, still driver_sim-checked) for the SERVED-index row: its
+    # oracle is the brute-force top-k itself, so hash equality
+    # certifies recall 1.0 through the full build-once → store →
+    # route → prune → ADC → refine serving lifecycle
+    "ann_query_served",
     "embedding_quantize",
     "label_centroids",
     "semantic_dedup",
