@@ -628,11 +628,7 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         touched = sorted(
             int(r[0]) for r in new.select("cluster").distinct().collect()
         )
-        seen = (
-            spark.read.parquet(index_path)
-            .where(F.col("cluster").isin(touched))
-            .select(F.col("vec_id").alias("seen_id"))
-        )
+        seen = _dedup_probe(spark, index_path, touched)
         new = new.join(
             seen, F.col("vec_id") == F.col("seen_id"), "left_anti"
         ).localCheckpoint(True)  # pin BEFORE the append: the anti-join
@@ -643,6 +639,19 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
             "cluster"
         ).parquet(index_path)
     return int(n)
+
+
+def _dedup_probe(spark, index_path: str, touched: list) -> DataFrame:
+    """The replay-dedup read: vec_ids of ONLY the batch's own cells —
+    a partition-pruned, vec_id-only scan (PartitionFilters on
+    ``cluster``, plan-asserted in
+    tests/test_plans.py::test_add_to_index_dedup_probe_prunes), so the
+    idempotence check costs O(touched cells), never O(index)."""
+    return (
+        spark.read.parquet(index_path)
+        .where(F.col("cluster").isin(touched))
+        .select(F.col("vec_id").alias("seen_id"))
+    )
 
 
 def index_stats(spark, index_path: str) -> DataFrame:

@@ -243,6 +243,34 @@ def test_vocab_encode_single_range_exchange(spark):
     assert plan.count("Scan ExistingRDD") == 2, plan[:1200]
 
 
+def test_add_to_index_dedup_probe_prunes(spark, tmp_path):
+    """add_to_index's replay-idempotence anti-join must read ONLY the
+    batch's own cell partitions (PartitionFilters on cluster, vec_id-
+    only ReadSchema, no post-scan cluster Filter) — the O(touched
+    cells) contract that keeps streaming adds O(batch), not O(index)."""
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.operators.ivfpq import _dedup_probe, save_index
+    from meilisync_spark.operators.similarity import clustered_embeddings
+    from meilisync_spark.sources.parquet import load_table
+
+    ce = clustered_embeddings(load_table(spark, SF_SMOKE, "embeddings"))
+    path = str(tmp_path / "ann")
+    save_index(ce, path)
+    probe = _dedup_probe(spark, path, [3])
+    probe.write.format("noop").mode("overwrite").save()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:800]
+    assert not re.search(r"Filter .*cluster#", plan)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and rs.group(1).split(":")[0] == "vec_id", rs and rs.group(1)
+    # and the read really is that one cell's rows
+    assert probe.count() == spark.read.parquet(path).where(
+        F.col("cluster") == 3
+    ).count()
+
+
 def test_corpus_pipeline_full_scan_budget(spark):
     """The composed curation chain consumes each stage's output, not a
     re-derivation: the quality gate filters the scan directly, the
