@@ -624,6 +624,18 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         .join(assign_cells(emb, centq), "vec_id")
         .localCheckpoint(True)
     )
+    # duplicate vec_ids WITHIN one batch would both append (the replay
+    # anti-join only checks the stored index) and then shadow each
+    # other nondeterministically at query time — fail loudly, matching
+    # query_index's duplicate-q_id guard
+    dup = (
+        new.groupBy("vec_id").count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate vec_id {dup[0][0]} in the add batch: ids must be "
+            "unique within a batch (and fresh unless a replay)"
+        )
     if dedup:
         touched = sorted(
             int(r[0]) for r in new.select("cluster").distinct().collect()

@@ -258,6 +258,14 @@ def test_add_to_index_dim_mismatch_fails(spark, tmp_path):
     # empty batch is a clean no-op
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert add_to_index(spark, index, empty) == 0
+    # duplicate vec_ids within one batch fail loudly (they'd shadow
+    # each other nondeterministically at query time)
+    v = [0.0625] * 64
+    dup = spark.createDataFrame(
+        [(777_001, v), (777_001, v)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        add_to_index(spark, index, dup)
 
 
 def test_streaming_ann_ingest_drop_dir(spark, tmp_path):
