@@ -129,6 +129,8 @@ HEADLINE = [
     "ann_incremental_recall",
     "ann_nprobe_recall",
     "ann_query_served",
+    "bpe_merges",
+    "bpe_encode_stats",
 ]
 
 

@@ -1,0 +1,208 @@
+"""Byte-pair-encoding tokenizer training + encoding, Spark-declarative.
+
+The real BPE trainer shape (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"): training never touches
+the corpus per iteration — it operates on the WORD-FREQUENCY VOCAB
+(one row per distinct word, its corpus count carried as a weight),
+which is what makes BPE trainable at 100 TB: the corpus is scanned
+once to build the weighted vocab (hash groupBy, map-side combined),
+and every one of the N merge iterations is a job over that vocab-sized
+frame (pair explode → weighted count → driver argmax → fold-apply),
+bounded by |vocab|, not |corpus|.
+
+All of it is JVM-side Catalyst: the pair explode is a slice+zip_with,
+the merge application is an ``F.aggregate`` fold carrying
+``(acc, prev)`` state (greedy LEFT-TO-RIGHT non-overlapping
+replacement — ``a a a`` under merge ``(a,a)`` becomes ``[aa, a]``,
+exactly the reference implementation's behavior), and encoding is a
+broadcast join of the corpus's words against the trained vocab's final
+token arrays. No Python in any hot path.
+
+Determinism: the winning pair each round is ``(count DESC, left ASC,
+right ASC)`` — a total order, so the merge sequence is reproducible
+across engines and replicated token-for-token by the pure-python model
+in tests/test_bpe.py. Iterative training ⇒ rows-only rows (no DuckDB
+oracle), same verification contract as k-means/PQ.
+
+End-of-word marker: ``</w>`` is appended as its own symbol (the
+standard trick that lets the tokenizer distinguish "est" in "highest"
+from the word "est"), so learned subwords never span word boundaries.
+
+Encoding of words NEVER seen at training time falls back to their
+character symbols (no merges applied) — the honest simplification:
+applying N merges per unseen word needs an N-deep fold chain; a
+deployment encoding genuinely foreign text would precompute its vocab
+the same way training did. Seen words — all of them, when encoding the
+training corpus — take their exact trained segmentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meilisync_spark.operators.text import words_col
+from meilisync_spark.sources.parquet import spread
+
+BPE_MERGES_DEFAULT = 24
+EOW = "</w>"
+
+
+def _char_tokens(word: Column) -> Column:
+    """word → its initial symbol array: characters + the end-of-word
+    marker as a separate symbol."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def _adjacent_pairs(tokens: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (empty for 1-symbol
+    arrays — slice of length 0)."""
+    n = F.size(tokens)
+    return F.zip_with(
+        F.slice(tokens, 1, n - 1),
+        F.slice(tokens, 2, n - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def _apply_merge(tokens: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    pair (left, right) with its concatenation — one ``F.aggregate``
+    fold carrying (acc, prev): prev holds the symbol that might start a
+    match; a match flushes the merged symbol and clears prev (so the
+    merged result can NOT immediately re-match as ``left``, the
+    reference non-overlap rule)."""
+    merged = left + right
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(s: Column, x: Column) -> Column:
+        is_match = s.getField("prev").isNotNull() & (
+            s.getField("prev") == left
+        ) & (x == right)
+        return F.when(
+            is_match,
+            F.struct(
+                F.concat(s.getField("acc"), F.array(F.lit(merged))).alias("acc"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    s.getField("prev").isNotNull(),
+                    F.concat(s.getField("acc"), F.array(s.getField("prev"))),
+                )
+                .otherwise(s.getField("acc"))
+                .alias("acc"),
+                x.alias("prev"),
+            )
+        )
+
+    def fin(s: Column) -> Column:
+        return F.when(
+            s.getField("prev").isNotNull(),
+            F.concat(s.getField("acc"), F.array(s.getField("prev"))),
+        ).otherwise(s.getField("acc"))
+
+    return F.aggregate(tokens, init, step, fin)
+
+
+def weighted_vocab(docs: DataFrame) -> DataFrame:
+    """(word, freq, tokens) — the trainer's working frame: one row per
+    distinct corpus word with its occurrence count and initial
+    character segmentation. ONE corpus scan; everything after is
+    vocab-sized."""
+    docs = spread(docs)
+    tok = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    return (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("tokens", _char_tokens(F.col("word")))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` merges; returns (merges, trained_vocab) where
+    merges is ``[(left, right, weighted_count), ...]`` in learned order
+    and trained_vocab is (word, freq, tokens) with the FINAL
+    segmentation of every training word (the encode side's join table).
+
+    Each iteration: weighted adjacent-pair count over the vocab frame
+    (map-side combined, |symbol-pairs| result), a 1-row driver argmax,
+    and a fold-apply — then the frame is pinned (localCheckpoint) so
+    iteration k+1's lineage doesn't nest k fold expressions deep.
+    Stops early when no pair occurs at least twice."""
+    vocab = weighted_vocab(docs).localCheckpoint(True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts = (
+            vocab.select("freq", F.explode(_adjacent_pairs(F.col("tokens"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = counts.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).first()
+        if best is None or best.c < 2:
+            break
+        merges.append((best.l, best.r, int(best.c)))
+        vocab = vocab.withColumn(
+            "tokens", _apply_merge(F.col("tokens"), best.l, best.r)
+        ).localCheckpoint(True)
+    return merges, vocab
+
+
+def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT) -> DataFrame:
+    """(rank, left, right, merged, weighted_count) — the learned merge
+    sequence as a frame (what a tokenizer file ships)."""
+    merges, _ = bpe_train(docs, n_merges)
+    spark = docs.sparkSession
+    rows = [
+        (i + 1, l, r, l + r, c) for i, (l, r, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, weighted_count long"
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, compression) — every document
+    re-encoded with the trained segmentation: corpus words broadcast-
+    join the trained vocab's final token arrays (OOV → character
+    fallback, exercised only off the training corpus), n_tokens sums
+    per-word token counts, compression = symbols-before / tokens-after
+    (initial chars+EOW over BPE tokens; ≥ 1.0 by construction, one
+    final IEEE division)."""
+    _, vocab = bpe_train(docs, n_merges)
+    docs = spread(docs)
+    words = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("word")
+    )
+    enc = words.join(F.broadcast(vocab.select("word", "tokens")), "word", "left")
+    per_word = enc.select(
+        "doc_id",
+        # explicit null test, not coalesce: size(NULL) is -1 under
+        # Spark's legacy sizeOfNull, which would silently poison counts
+        F.when(F.col("tokens").isNotNull(), F.size("tokens"))
+        .otherwise(F.size(_char_tokens(F.col("word"))))
+        .alias("n_tok"),
+        (F.length("word") + 1).alias("n_sym"),  # chars + EOW
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_sym").alias("n_sym"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            (F.col("n_sym").cast("double") / F.col("n_tokens")).alias("compression"),
+        )
+    )

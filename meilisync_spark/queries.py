@@ -1820,6 +1820,38 @@ def q_ann_nprobe_recall(spark, sf_dir):
     return ann_nprobe_recall(spark, _t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "bpe_merges",
+    None,  # iterative training — python-reference-replicated in tests/test_bpe.py
+    doc="BPE tokenizer TRAINING (Sennrich et al. 2016), the real-scale "
+        "shape: one corpus scan builds the weighted word vocab, every "
+        "merge iteration is a vocab-sized job (pair explode -> weighted "
+        "count -> deterministic argmax -> fold-apply, all JVM-side); "
+        "output is the learned merge table a tokenizer file ships. "
+        "Merge-for-merge equal to the pure-python reference model.",
+    driver_facing=False,
+)
+def q_bpe_merges(spark, sf_dir):
+    from meilisync_spark.operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_encode_stats",
+    None,  # trained segmentation — token-for-token replicated in tests
+    doc="Corpus re-encoded with the trained BPE segmentation: words "
+        "broadcast-join the trained vocab's final token arrays (OOV -> "
+        "character fallback); per-doc token counts + compression ratio "
+        "(initial symbols / BPE tokens, one final IEEE division).",
+    driver_facing=False,
+)
+def q_bpe_encode_stats(spark, sf_dir):
+    from meilisync_spark.operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(_t(spark, sf_dir, "documents"))
+
+
 def _ann_served_cache_dir(sf_dir: str) -> str:
     """Deterministic per-corpus cache dir for the train-once serving
     row: keyed by the embeddings table's path + mtime + size, so a
