@@ -181,6 +181,11 @@ def ab_main(base_ref: str) -> None:
     if dropped:
         print(f"# ab: {len(dropped)} queries only in current tree "
               f"(not compared): {dropped}", file=sys.stderr)
+    if not names:
+        print(f"error: no HEADLINE query exists in both trees — is "
+              f"{base_ref!r} old enough to predate the registry?",
+              file=sys.stderr)
+        sys.exit(2)
 
     # warm once per variant
     for root in (REPO_ROOT, base_root):
@@ -210,7 +215,10 @@ def ab_main(base_ref: str) -> None:
     ratios = {n: round(cur_t[n] / base_t[n], 3) if base_t[n] > 0 else None
               for n in names}
     vals = [r for r in ratios.values() if r]
-    geomean = round(math.exp(sum(math.log(r) for r in vals) / len(vals)), 3)
+    geomean = (
+        round(math.exp(sum(math.log(r) for r in vals) / len(vals)), 3)
+        if vals else None  # every base timing rounded to 0 — no signal
+    )
     payload = json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(cur_t.values()), 3),

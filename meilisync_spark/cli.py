@@ -316,8 +316,18 @@ def cmd_check(args: argparse.Namespace) -> int:
             heads = {t: head for t in pairs}
         for t in pairs:
             applied, head = positions.get(t), heads.get(t)
-            if applied is None or head is None:
+            if applied is None:
                 print(f"{t}: position unknown (no progress published)")
+            elif head is None and tc:
+                # progress WAS published — it's the head that can't be
+                # attributed (e.g. the log carries schema-qualified
+                # names); don't conflate the two failure modes
+                print(
+                    f"{t}: head unknown — no {t!r} value in the log's "
+                    f"{tc!r} column (log tables: {sorted(heads)})"
+                )
+            elif head is None:
+                print(f"{t}: head unknown (see note above)")
             else:
                 # redis hashes are stringly typed; normalize both sides
                 print(f"{t}: applied={int(applied)} head={int(head)} "
@@ -481,13 +491,17 @@ def cmd_ann_add(args: argparse.Namespace) -> int:
 
 def cmd_ann_stats(args: argparse.Namespace) -> int:
     """Report per-cell growth of an `ann-build` index since its
-    quantizers were trained, plus the retrain-due verdict."""
-    from meilisync_spark.operators.ivfpq import index_stats, retrain_due
+    quantizers were trained, plus the retrain-due verdict (derived from
+    the same collected rows — one index scan, not two)."""
+    from meilisync_spark.operators.ivfpq import index_stats
 
     spark = get_spark("meilisync-spark-ann-stats")
-    for r in index_stats(spark, args.index).orderBy("cluster").collect():
+    rows = index_stats(spark, args.index).orderBy("cluster").collect()
+    for r in rows:
         print(json.dumps(r.asDict()))
-    due = retrain_due(spark, args.index, max_growth=args.max_growth)
+    added = sum(r.added for r in rows)
+    trained = sum(r.trained_rows for r in rows)
+    due = trained == 0 or added / trained > args.max_growth
     print(json.dumps({"retrain_due": bool(due), "max_growth": args.max_growth}))
     return 0
 

@@ -424,6 +424,11 @@ def ivfpq_persisted_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
 
 ANN_META_FILE = "_ann_meta.json"
 
+# Bump whenever the on-disk index layout or the quantizer math changes:
+# cached served indexes (ann_query_served) key on it, so stale indexes
+# built by older code can never be silently served by newer code.
+ANN_INDEX_FORMAT_VERSION = 1
+
 
 def save_index(emb: DataFrame, index_path: str, *, kcells: int | None = None) -> None:
     """Train both quantizers and persist a SELF-CONTAINED servable
@@ -610,12 +615,19 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
     from meilisync_spark.operators.kmeans import assign_cells
 
     books, centq = load_index_meta(index_path)
-    first = emb.select(F.size("embedding").alias("d")).first()
-    if first is None:
+    # EVERY row's dimension is checked (one distinct-scan over the
+    # batch), not just the first: a ragged batch would otherwise bypass
+    # the clean error and die deep inside the encode UDF's numpy stack
+    sizes = [
+        int(r.d)
+        for r in emb.select(F.size("embedding").alias("d")).distinct().limit(3).collect()
+    ]
+    if not sizes:
         return 0
-    if int(first.d) != centq.shape[1]:
+    wrong = [d for d in sizes if d != centq.shape[1]]
+    if wrong:
         raise ValueError(
-            f"new vectors have dim {int(first.d)}, index expects {centq.shape[1]}"
+            f"new vectors have dim {wrong[0]}, index expects {centq.shape[1]}"
         )
     # pin the encoded batch: the dedup collect, the anti-join and the
     # append would otherwise each replay the two mapInPandas passes

@@ -49,13 +49,18 @@ def _assign_fn(centq, emit_partials: bool):
     lowest-id tie-break. Emits either per-batch partial sums (training)
     or per-vector assignments (final labeling)."""
 
-    def run(batches):
+    # KM_QUANT bound as a default: a module-global reference would make
+    # cloudpickle serialize it by module lookup, requiring
+    # meilisync_spark importable on the python WORKER — false whenever
+    # the driver launched outside the repo (session._ship_package is
+    # the belt; this is the suspenders)
+    def run(batches, _q=KM_QUANT):
         import numpy as _np
         import pandas as _pd
 
         for pdf in batches:
             X = _np.array(list(pdf["embedding"]), dtype=_np.float64)
-            Xq = _np.floor(X * KM_QUANT).astype(_np.int64)
+            Xq = _np.floor(X * _q).astype(_np.int64)
             # |x-c|^2 exactly, batch×k — int64 throughout
             d = ((Xq[:, None, :] - centq[None, :, :]) ** 2).sum(axis=2)
             cl = d.argmin(axis=1)  # numpy argmin: first (lowest) index on ties

@@ -61,6 +61,28 @@ def _split(Xq, m: int):
     return Xq.reshape(n, m, dsub).transpose(1, 0, 2)
 
 
+def _worker_helpers():
+    """BY-VALUE copies of _quantize/_split for UDF closures. Module-
+    level functions pickle by module reference (the worker would have
+    to import meilisync_spark — false when the driver launched outside
+    the repo); functions nested inside this factory have a non-
+    importable qualname, so cloudpickle serializes their code into the
+    task itself (session._ship_package is the belt; this is the
+    suspenders on the hot paths)."""
+
+    def qz(X, _q=PQ_QUANT):
+        import numpy as np
+
+        return np.floor(np.asarray(X, dtype=np.float64) * _q).astype(np.int64)
+
+    def sp(Xq, m):
+        n, dim = Xq.shape
+        dsub = dim // m
+        return Xq.reshape(n, m, dsub).transpose(1, 0, 2)
+
+    return qz, sp
+
+
 def pq_codebooks(
     emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS
 ):
@@ -81,12 +103,14 @@ def pq_codebooks(
     dsub = books.shape[2]
 
     for _ in range(iters):
-        def partials(batches, _books=books):
+        _qz, _sp = _worker_helpers()
+
+        def partials(batches, _books=books, _sp=_sp, _qz=_qz):
             import numpy as _np
             import pandas as _pd
 
             for pdf in batches:
-                Xs = _split(_quantize(list(pdf["embedding"])), m)  # (m, n, dsub)
+                Xs = _sp(_qz(list(pdf["embedding"])), m)  # (m, n, dsub)
                 rows = []
                 for s in range(m):
                     # exact int64 squared distances: (n, ksub)
@@ -126,11 +150,13 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     pass, codebooks in the closure."""
     m = books.shape[0]
 
-    def enc(batches, _books=books):
+    _qz, _sp = _worker_helpers()
+
+    def enc(batches, _books=books, _sp=_sp, _qz=_qz):
         import pandas as _pd
 
         for pdf in batches:
-            Xs = _split(_quantize(list(pdf["embedding"])), m)
+            Xs = _sp(_qz(list(pdf["embedding"])), m)
             codes = []
             for s in range(m):
                 d = ((Xs[s][:, None, :] - _books[s][None, :, :]) ** 2).sum(axis=2)

@@ -1854,19 +1854,29 @@ def q_bpe_encode_stats(spark, sf_dir):
 
 def _ann_served_cache_dir(sf_dir: str) -> str:
     """Deterministic per-corpus cache dir for the train-once serving
-    row: keyed by the embeddings table's path + mtime + size, so a
-    regenerated fixture rebuilds while repeated runs (the number a
-    serving deployment cares about) skip straight to the query path."""
+    row: keyed by the embeddings table's path + mtime + size AND the
+    index format version (a code change to the quantizer math bumps it,
+    so a stale index built by older code is never silently served).
+    Lives under a uid-keyed mode-0700 root — a world-writable shared
+    /tmp name would let another user's dir (or a planted symlink) be
+    trusted as the index."""
     import hashlib
     import os
     import tempfile
 
+    from meilisync_spark.operators.ivfpq import ANN_INDEX_FORMAT_VERSION
+
     p = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(p)
     key = hashlib.sha1(
-        f"{os.path.abspath(p)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"v{ANN_INDEX_FORMAT_VERSION}:{os.path.abspath(p)}:"
+        f"{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"mls_ann_served_{key}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"mls_ann_serving_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return os.path.join(root, f"idx_{key}")
 
 
 from meilisync_spark.operators.ivfpq import (  # noqa: E402

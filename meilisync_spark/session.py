@@ -51,6 +51,40 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``meilisync_spark`` importable on PYTHON WORKERS regardless
+    of the driver's cwd/PYTHONPATH. Workers inherit the environment,
+    not the driver's ``sys.path`` mutations — so a pickled UDF that
+    references a module global (cloudpickle serializes those by module
+    reference) dies with ModuleNotFoundError whenever the session was
+    launched from outside the repo, which is exactly how the
+    correctness driver runs us. Shipping the package once per session
+    via ``addPyFile`` closes that for every current and future UDF;
+    the hot closures additionally bind their globals as defaults so
+    the common paths never even need the import."""
+    sc = spark.sparkContext
+    if sc._jsc is None or getattr(sc, "_mls_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mls_pkg_{os.getuid()}_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(os.path.join(pkg_root, "meilisync_spark")):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, pkg_root))
+    try:
+        sc.addPyFile(zpath)
+        sc._mls_pkg_shipped = True
+    except Exception:
+        pass  # a session that disallows addPyFile still works repo-cwd
+
+
 def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime conf to an existing session. Safe + idempotent."""
     for k, v in RUNTIME_CONF.items():
@@ -64,6 +98,7 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     except Exception:
         pass
+    _ship_package(spark)
     return spark
 
 

@@ -439,6 +439,29 @@ WAL2JSON_CHANGE_SHIFT = 1 << 12
 _LSN_LO_MOD = 1 << 32  # lsn = hi·2^32 + lo, both hex in "HI/LO"
 
 
+def _lsn_to_long(lsn: Column) -> Column:
+    """Postgres "HI/LO" hex LSN → ``hi·2^32 + lo`` (NULL when the
+    string doesn't parse) — the ONE implementation both wal2json format
+    versions pack their seq from, so the shared total-order domain
+    cannot silently diverge between them."""
+    hi = F.regexp_extract(lsn, r"^([0-9A-Fa-f]+)/", 1)
+    lo = F.regexp_extract(lsn, r"/([0-9A-Fa-f]+)$", 1)
+    return F.when(
+        (hi != "") & (lo != ""),
+        F.conv(hi, 16, 10).cast("long") * F.lit(_LSN_LO_MOD)
+        + F.conv(lo, 16, 10).cast("long"),
+    )
+
+
+def _op_from_map(op_src: Column, mapping: dict[str, str]) -> Column:
+    """Source op token → EventType via a when-fold (NULL for anything
+    not in the map — the P5 kind filter)."""
+    op: Column = F.lit(None).cast("string")
+    for src, dst in reversed(list(mapping.items())):
+        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
+    return op
+
+
 def wal2json_value_schema() -> T.StructType:
     """Schema of a wal2json (format version 1) message — the payload
     the reference's replication consumer receives
@@ -527,14 +550,7 @@ def normalize_wal2json(
       with full microsecond + zone-offset fidelity.
     """
     v = F.from_json(F.col(value_col).cast("string"), wal2json_value_schema())
-    lsn = v.getField("nextlsn")
-    hi = F.regexp_extract(lsn, r"^([0-9A-Fa-f]+)/", 1)
-    lo = F.regexp_extract(lsn, r"/([0-9A-Fa-f]+)$", 1)
-    lsn_seq = F.when(
-        (hi != "") & (lo != ""),
-        F.conv(hi, 16, 10).cast("long") * F.lit(_LSN_LO_MOD)
-        + F.conv(lo, 16, 10).cast("long"),
-    )
+    lsn_seq = _lsn_to_long(v.getField("nextlsn"))
     ts = v.getField("timestamp").cast("timestamp")
     base_candidates = [lsn_seq]
     if "offset" in df.columns:  # kafka frame
@@ -546,10 +562,7 @@ def normalize_wal2json(
         F.posexplode(v.getField("change")).alias("_pos", "_c"),
     )
     c = F.col("_c")
-    op_src = c.getField("kind")
-    op: Column = F.lit(None).cast("string")
-    for src, dst in reversed(list(WAL2JSON_OP_MAP.items())):
-        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
+    op = _op_from_map(c.getField("kind"), WAL2JSON_OP_MAP)
     ok = c.getField("oldkeys")
     row_map = F.when(
         F.size(c.getField("columnvalues")) > 0,
@@ -668,27 +681,33 @@ def normalize_wal2json_v2(
       dropped.
     """
     v = F.from_json(F.col(value_col).cast("string"), wal2json_v2_value_schema())
-    lsn = v.getField("lsn")
-    hi = F.regexp_extract(lsn, r"^([0-9A-Fa-f]+)/", 1)
-    lo = F.regexp_extract(lsn, r"/([0-9A-Fa-f]+)$", 1)
-    lsn_seq = F.when(
-        (hi != "") & (lo != ""),
-        F.conv(hi, 16, 10).cast("long") * F.lit(_LSN_LO_MOD)
-        + F.conv(lo, 16, 10).cast("long"),
-    )
+    lsn_seq = _lsn_to_long(v.getField("lsn"))
     ts = v.getField("timestamp").cast("timestamp")
-    # same fallback ladder and packed domain as v1 (lsn → kafka offset
-    # → epoch-micros, all scaled by the change shift with position 0 —
-    # v2 has one change per message, so no position term is needed)
+    # packed domain shared with v1 (lsn·2^12, position 0 — one change
+    # per message). Fallback ladder: Kafka offset (a real per-change
+    # total order), then FAIL LOUDLY. v1 can fall back to the commit
+    # timestamp because its array position disambiguates changes within
+    # a transaction; v2 without lsn has NOTHING to order two changes of
+    # one transaction — every change shares the commit timestamp, seqs
+    # tie, and last-wins compaction picks a nondeterministic winner.
+    # Silent wrong final row state is never acceptable (same stance as
+    # the v1 >4096-position guard).
     base_candidates = [lsn_seq]
     if "offset" in df.columns:  # kafka frame
         base_candidates.append(F.col("offset"))
-    base_candidates.append(F.unix_micros(ts))
+    base_candidates.append(
+        F.raise_error(
+            F.lit(
+                "wal2json v2 message carries no lsn and the frame has no "
+                "Kafka offset: the commit timestamp cannot totally order "
+                "multiple changes of one transaction (tied seqs make "
+                "last-wins nondeterministic). Enable include-lsn on the "
+                "replication slot, or consume through Kafka."
+            )
+        ).cast("long")
+    )
     seq = F.coalesce(*base_candidates) * F.lit(WAL2JSON_CHANGE_SHIFT)
-    op_src = v.getField("action")
-    op: Column = F.lit(None).cast("string")
-    for src, dst in reversed(list(WAL2JSON_V2_OP_MAP.items())):
-        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
+    op = _op_from_map(v.getField("action"), WAL2JSON_V2_OP_MAP)
 
     def _as_map(cols: Column) -> Column:
         return F.map_from_arrays(

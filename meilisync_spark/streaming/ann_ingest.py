@@ -62,13 +62,14 @@ def run_ann_ingest(
         )
     schema = spark.read.parquet(vectors_path).schema
     if os.path.isfile(vectors_path):
-        # file source needs a directory basePath — stage a one-symlink dir
+        # file source needs a directory basePath — stage a one-symlink
+        # dir (absolute target: a relative one would resolve against
+        # the staging dir and dangle)
         import tempfile
 
         staging = tempfile.mkdtemp(prefix="mls_ann_src_")
-        os.symlink(
-            vectors_path, os.path.join(staging, os.path.basename(vectors_path))
-        )
+        target = os.path.abspath(vectors_path)
+        os.symlink(target, os.path.join(staging, os.path.basename(target)))
         vectors_path = staging
     stream = spark.readStream.schema(schema).option("latestFirst", "false")
     if max_files_per_trigger:

@@ -209,11 +209,14 @@ def run_corpus_ingest(
     continuous-dedup pipeline (exact + near, both O(batch) probes)."""
     schema = spark.read.parquet(docs_path).schema
     if os.path.isfile(docs_path):
-        # file source needs a directory basePath — stage a one-symlink dir
+        # file source needs a directory basePath — stage a one-symlink
+        # dir (absolute target: a relative one would resolve against
+        # the staging dir and dangle)
         import tempfile
 
         staging = tempfile.mkdtemp(prefix="mls_ingest_src_")
-        os.symlink(docs_path, os.path.join(staging, os.path.basename(docs_path)))
+        target = os.path.abspath(docs_path)
+        os.symlink(target, os.path.join(staging, os.path.basename(target)))
         docs_path = staging
     stream = spark.readStream.schema(schema).option("latestFirst", "false")
     if max_files_per_trigger:

@@ -93,7 +93,9 @@ def read_event_stream(
         os.makedirs(staging, mode=0o700, exist_ok=True)
         link = os.path.join(staging, os.path.basename(events_path))
         try:
-            os.symlink(events_path, link)
+            # absolute target: a relative one would resolve against the
+            # staging dir and dangle
+            os.symlink(os.path.abspath(events_path), link)
         except FileExistsError:
             # concurrent starter won the race, or a prior run left the
             # link: both point at the same target by construction (the
@@ -151,6 +153,12 @@ def _start_and_await(
         # meilisync/source/mysql.py:127-135 — swallowing is worse)
         if q.exception() is not None:
             raise q.exception()
+    elif not available_now:
+        # follow mode ("tail until killed"): block forever — returning
+        # here would let the caller exit and tear the stream down after
+        # at most one trigger, before any batch commits. Raises the
+        # stream's exception if the query dies.
+        q.awaitTermination()
     return q
 
 

@@ -588,6 +588,34 @@ def test_normalize_wal2json_v2_envelope(spark):
     assert all(str(r.ts) == "2023-11-14 22:13:20.123456" for r in out)
 
 
+def test_wal2json_v2_without_lsn_fails_loudly(spark):
+    """v2 without include-lsn has NOTHING to order two changes of one
+    transaction (they share the commit timestamp) — the normalizer must
+    raise, not silently tie seqs; a Kafka offset column is an accepted
+    per-change order and parses fine."""
+    import json as _json
+
+    import pytest
+
+    from meilisync_spark.sources.cdc_connectors import (
+        WAL2JSON_CHANGE_SHIFT,
+        normalize_wal2json_v2,
+    )
+
+    payload_schema = T.StructType([T.StructField("id", T.LongType())])
+    msg = _json.dumps({
+        "action": "I", "schema": "public", "table": "users",
+        "columns": [{"name": "id", "type": "bigint", "value": 1}],
+        "timestamp": "2023-11-14 22:13:20.123456+00",
+    })
+    plain = spark.createDataFrame([(msg,)], "value string")
+    with pytest.raises(Exception, match="include-lsn"):
+        normalize_wal2json_v2(plain, payload_schema, pk="id").collect()
+    kafka = spark.createDataFrame([(msg, 41)], "value string, offset long")
+    out = normalize_wal2json_v2(kafka, payload_schema, pk="id").collect()
+    assert [r.seq for r in out] == [41 * WAL2JSON_CHANGE_SHIFT]
+
+
 def test_normalize_wal2json_auto_mixed_stream(spark):
     """Per-row format dispatch: a drop dir holding both v1 transaction
     messages and v2 per-change messages normalizes into one stream in
