@@ -174,11 +174,16 @@ def compact_table(
         if f.endswith(".parquet")
     )
     n_files = max(1, -(-total // target_file_bytes))
-    meta = os.path.join(real, "_meta.json")
-    meta_body = None
-    if os.path.isfile(meta):
-        with open(meta) as fh:
-            meta_body = fh.read()
+    # sidecar metadata rides along with the rewrite: the bucket layout
+    # record (_meta.json) AND the ANN index's quantizer halves
+    # (_ann_meta.json — losing it would leave the compacted code
+    # partitions unservable: no codebooks, no centroid routing)
+    sidecars: dict[str, str] = {}
+    for name in ("_meta.json", "_ann_meta.json"):
+        p = os.path.join(real, name)
+        if os.path.isfile(p):
+            with open(p) as fh:
+                sidecars[name] = fh.read()
     if pcols:
         refresh_data(
             df.repartition(n_files, *pcols), index_path, partition_by=pcols
@@ -186,7 +191,7 @@ def compact_table(
     else:
         refresh_data(df.coalesce(n_files), index_path)
     real = os.path.realpath(index_path)
-    if meta_body is not None:
-        with open(os.path.join(real, "_meta.json"), "w") as fh:
-            fh.write(meta_body)
+    for name, body in sidecars.items():
+        with open(os.path.join(real, name), "w") as fh:
+            fh.write(body)
     return sum(f.endswith(".parquet") for _, _, fs in os.walk(real) for f in fs)

@@ -369,3 +369,48 @@ def test_ann_query_served_builds_once(spark, tmp_path):
           for r in ann_query_served(spark, emb, cache).collect()}
     assert os.stat(os.path.join(cache, ANN_META_FILE)).st_mtime_ns == mt1
     assert r1 == r2
+
+
+def test_compact_ann_index_preserves_serving(spark, tmp_path):
+    """Streaming adds leave one file set per batch; compact_table must
+    merge them while preserving BOTH the cluster= partition layout and
+    the _ann_meta.json quantizer sidecar — the compacted index still
+    serves (recall intact) and still accepts adds."""
+    import glob
+    import os
+
+    from meilisync_spark.operators.ivfpq import (
+        add_to_index,
+        query_index,
+        save_index,
+    )
+    from meilisync_spark.operators.refresh import compact_table
+    from meilisync_spark.operators.similarity import (
+        _recall_against_brute,
+        clustered_embeddings,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ce = clustered_embeddings(emb).localCheckpoint(False)
+    index = str(tmp_path / "ann")
+    save_index(ce.where(F.col("vec_id") % 4 != 3), index)
+    for m in (3, 7):  # two appends = extra small file sets
+        add_to_index(spark, index, ce.where(F.col("vec_id") % 8 == m))
+    before = spark.read.parquet(index).count()
+
+    compact_table(spark, index, target_file_bytes=1 << 30)
+    real = os.path.realpath(index)
+    assert os.path.isfile(os.path.join(real, "_ann_meta.json"))
+    assert glob.glob(os.path.join(real, "cluster=*"))  # layout preserved
+    assert spark.read.parquet(index).count() == before
+
+    qs = [
+        (r.vec_id, list(r.embedding))
+        for r in ce.where(f"vec_id < {pq.N_QUERIES}").collect()
+    ]
+    topk = query_index(spark, index, qs, k=5, refine=ce)
+    rec = _recall_against_brute(ce, topk, 5)
+    mean = sum(r.recall for r in rec.collect()) / pq.N_QUERIES
+    assert mean >= 0.99, mean
+    # and the compacted index still accepts (deduped) adds
+    assert add_to_index(spark, index, ce.where(F.col("vec_id") % 8 == 3)) == 0
