@@ -40,6 +40,10 @@ QUERIES = [
     "minhash_lsh_pairs",
     "corpus_pipeline_full",
     "ivfpq_persisted_recall",
+    # vocab-bounded claim measured: training cost is one corpus scan +
+    # N jobs over the (sublinearly growing) word vocab, so the exponent
+    # should sit well below 1
+    "bpe_merges",
 ]
 
 VOCAB = (
