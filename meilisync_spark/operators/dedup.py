@@ -311,10 +311,16 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-duplicate pairs (≥1 shared LSH band) with the
     signature-estimated Jaccard. Shuffle = one self-join keyed on
     (band_idx, band_hash); skewed mega-buckets are split by AQE."""
-    # persist: the band table feeds both sides of the self-join — without
-    # it the whole shingle+hash pipeline runs twice (at scale you'd
-    # materialize signatures as a table for exactly this reason)
-    bands = lsh_bands(minhash_signatures(docs)).persist()
+    # lazy localCheckpoint: the band table feeds both sides of the
+    # self-join — without a pin the whole shingle+hash pipeline runs
+    # twice (at scale you'd materialize signatures as a table for
+    # exactly this reason). NOT .persist(): cached plans live in the
+    # CacheManager until explicitly unpersisted, and a lazily-returned
+    # result frame has no safe unpersist point — repeated calls in a
+    # long-lived session would accumulate corpus-sized cache entries.
+    # Checkpoint RDDs are released by the ContextCleaner when the frame
+    # is garbage collected.
+    bands = lsh_bands(minhash_signatures(docs)).localCheckpoint(False)
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash")
     pairs = (
@@ -373,7 +379,9 @@ def minhash_lsh_pairs_oracle_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
-    bands = lsh_bands(minhash_signatures(docs)).persist()
+    # pins are lazy localCheckpoints, not .persist() — see
+    # minhash_lsh_pairs for the leak rationale
+    bands = lsh_bands(minhash_signatures(docs)).localCheckpoint(False)
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
         .join(
@@ -384,10 +392,13 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = docs.select(
+    # spread: the exact-shingle build (tokenize + n-gram + distinct per
+    # doc) is the CPU-dense verify half — on a one-row-group fixture
+    # file it would otherwise run on a single core
+    sh = spread(docs).select(
         "doc_id",
         F.array_distinct(shingles_col(words_col(F.col("text")), MH_SHINGLE)).alias("sh"),
-    ).persist()  # feeds both pair sides
+    ).localCheckpoint(False)  # feeds both pair sides
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -532,6 +543,7 @@ def connected_components(
     )
     labels = labels.localCheckpoint(True)
 
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -553,9 +565,22 @@ def connected_components(
         labels = stepped.select("doc_id", "cluster_id")
         # any label changed this round? (limit(1) short-circuits the scan)
         if stepped.where(F.col("cluster_id") != F.col("_prev")).limit(1).count() == 0:
+            converged = True
             break
     edges.unpersist()
     pairs.unpersist()
+    if not converged:
+        # a component with diameter > max_iters would return SPLIT
+        # clusters — silently wrong dedup (and a silent divergence from
+        # the oracle's exact recursive closure). Min-label propagation
+        # converges in O(diameter) rounds; a real corpus needing more
+        # than max_iters means a pathological duplicate chain the
+        # caller should know about, not paper over.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations — a component's diameter exceeds the cap; "
+            "raise max_iters"
+        )
     return labels.union(isolated)
 
 

@@ -96,11 +96,14 @@ def _with_hash(docs: DataFrame) -> DataFrame:
 
 
 def ingest_batch(
-    batch: DataFrame, index: DataFrame | None, apply_quality: bool
+    batch: DataFrame, index: DataFrame | None, apply_quality: bool,
+    *, prehashed: bool = False,
 ) -> DataFrame:
     """The pure batch step: returns the NEW rows to append (hash +
-    doc columns), deduped in-batch and against the existing index."""
-    b = _with_hash(batch)
+    doc columns), deduped in-batch and against the existing index.
+    ``prehashed`` skips the content-hash projection when the caller
+    already computed (and pinned) it."""
+    b = batch if prehashed else _with_hash(batch)
     if apply_quality:
         # single-pass: the keep rule filters the batch scan directly
         # (text.quality_keep, same composition as corpus_pipeline_full)
@@ -130,17 +133,26 @@ def _est_jaccard(sig_a: str, sig_b: str):
     return matched / F.lit(NUM_PERM)
 
 
-def drop_near_dups(fresh: DataFrame, load_band_index) -> DataFrame:
+def drop_near_dups(fresh: DataFrame, load_band_index):
     """Filter ``fresh`` (post exact-dedup) against the stored MinHash
     band index AND against itself: a doc is dropped when a band
-    collision verifies at est_jaccard >= NEAR_DUP_TAU against the
-    corpus (the incremental_neardup probe, O(|batch|·bucket), never
-    O(corpus²)) or against a smaller-id doc of the same batch (so the
-    result does not depend on which micro-batch near-twins arrive in).
+    collision verifies at est_jaccard >= NEAR_DUP_TAU against anything
+    previously SEEN (the incremental_neardup probe, O(|batch|·bucket),
+    never O(corpus²)) or against a smaller-id doc of the same batch.
     Docs too short to carry a signature (< one shingle) skip the probe
     but are KEPT — near-dedup must not silently drop short documents.
-    Returns survivors with their ``sig`` attached (null for short
-    docs) so the caller can append their bands.
+
+    Returns ``(survivors, batch_bands)``. ``batch_bands`` covers EVERY
+    post-exact-dedup doc of the batch — dropped ones included — and the
+    caller appends all of it to the band index. Storing only survivors'
+    bands would make the result depend on micro-batch boundaries: with
+    A in the corpus, B dropped against A, and C a near-dup of B but not
+    of A, C is dropped when it shares B's batch (the in-batch self-
+    probe sees B's bands) yet KEPT when it arrives later (B's bands
+    were never stored). The batch twin (dedup near_drop) drops against
+    any smaller-id collision regardless of whether that doc itself
+    survived — this matches it: the band index is the memory of
+    everything seen, the corpus index the set of docs retained.
 
     ``load_band_index`` is called with the batch's own band table and
     returns the stored corpus band index to probe (or None when none
@@ -187,7 +199,7 @@ def drop_near_dups(fresh: DataFrame, load_band_index) -> DataFrame:
             .distinct()
         )
         dropped = dropped.union(near_corpus)
-    return withsig.join(dropped, "doc_id", "left_anti")
+    return withsig.join(dropped, "doc_id", "left_anti"), bands
 
 
 def run_corpus_ingest(
@@ -227,11 +239,18 @@ def run_corpus_ingest(
 
     def _read_if_exists(path: str) -> DataFrame | None:
         # filesystem-agnostic existence probe (os.path.isdir would read
-        # "absent" for every s3://
+        # "absent" for every s3://). ONLY path-not-found maps to "no
+        # index yet" — any other read failure (corrupt footer, transient
+        # IO) must fail the batch so the checkpoint retries: treating it
+        # as absent would skip the seen-hash anti-join and re-append
+        # already-ingested docs, silently breaking hash uniqueness
         try:
             return spark.read.parquet(path)
-        except Exception:
-            return None
+        except Exception as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
 
     def _is_bucketed(path: str, col: str, index: DataFrame | None) -> bool:
         # the layout is a property of the DIRECTORY TREE, not of the
@@ -251,6 +270,10 @@ def run_corpus_ingest(
         return index is None or col in index.columns
 
     def handle(batch: DataFrame, _bid: int) -> None:
+        # hash the batch ONCE and pin it: the touched-bucket collect,
+        # the in-batch dedup and the anti-join all consume this frame —
+        # unpinned, the sha256 scan re-runs per consumer
+        hashed = _with_hash(batch).localCheckpoint(True)
         index = _read_if_exists(index_path)
         bucketed = _is_bucketed(index_path, HASH_BUCKET_COL, index)
         if index is not None and bucketed:
@@ -259,13 +282,12 @@ def run_corpus_ingest(
             # seen-hash scan by |touched buckets|, not |corpus|
             touched = [
                 r[0]
-                for r in _with_hash(batch)
-                .select(_hb(F.col("content_hash")))
+                for r in hashed.select(_hb(F.col("content_hash")))
                 .distinct()
                 .collect()
             ]
             index = index.where(F.col(HASH_BUCKET_COL).isin(touched))
-        fresh = ingest_batch(batch, index, apply_quality)
+        fresh = ingest_batch(hashed, index, apply_quality, prehashed=True)
         if near_dedup:
             band_index = _read_if_exists(bands_path)
             bands_bucketed = _is_bucketed(bands_path, BAND_BUCKET_COL, band_index)
@@ -290,11 +312,14 @@ def run_corpus_ingest(
             # pin the batch result BEFORE the first append: both writes
             # must see the same survivors, and the lineage reads the
             # index/band dirs — re-evaluating it after the first append
-            # would see the batch's own rows as "already present"
-            survivors = drop_near_dups(fresh, load_band_index).localCheckpoint(True)
-            new_bands = lsh_bands(
-                survivors.where(F.col("sig").isNotNull()).select("doc_id", "sig")
+            # would see the batch's own rows as "already present".
+            # new_bands covers the WHOLE post-exact-dedup batch (dropped
+            # docs included — see drop_near_dups for why), so it comes
+            # from the probe's own pinned band table, not the survivors
+            survivors, new_bands = drop_near_dups(
+                fresh.localCheckpoint(True), load_band_index
             )
+            survivors = survivors.localCheckpoint(True)
             # CRASH ORDER: bands append BEFORE the corpus append. A
             # crash between the two leaves dangling band rows, which are
             # harmless — the replayed doc is excluded from matching its

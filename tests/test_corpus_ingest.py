@@ -131,9 +131,67 @@ def test_near_dedup_drops_cross_batch_near_duplicates(spark, tmp_path):
     )
     got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
     assert got == [1, 3]
-    # the band index carries exactly the surviving docs
+    # the band index carries EVERY seen doc — dropped near-dups
+    # included, so later near-dups of a dropped doc still match
+    # (batch-boundary independence)
     bands = spark.read.parquet(idx + "_bands")
-    assert sorted(r.doc_id for r in bands.select("doc_id").distinct().collect()) == [1, 3]
+    assert sorted(
+        r.doc_id for r in bands.select("doc_id").distinct().collect()
+    ) == [1, 2, 3]
+
+
+def test_near_dup_of_dropped_doc_blocked_across_batches(spark, tmp_path):
+    """Batch-boundary independence: A in the corpus; B (near-dup of A)
+    dropped in a later batch; C — a near-dup of B but NOT of A — must
+    still be dropped when it arrives in yet another batch. Requires
+    dropped docs' bands to be stored; with survivor-only bands C would
+    silently survive exactly when B and C arrive in different
+    batches."""
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "corpus")
+    os.makedirs(src)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    a = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy stone bridge near the river "
+        "and a cold wind moves slowly through the tall dry grass today"
+    )
+    # b: three words changed from a (est_jaccard(a,b)=0.5625 — still a
+    # near-dup). c: one further change from b — est_jaccard(b,c)=0.8125
+    # but est_jaccard(a,c)=0.4375, under the tau=0.5 bar
+    b = (a.replace("cold wind", "warm wind")
+          .replace("mossy stone", "slick stone")
+          .replace("dry grass", "wet grass"))
+    c = b.replace("lazy dog", "idle dog")
+
+    def _ship(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + f"/b{i}")
+        part = glob.glob(src + f"/b{i}/part-*.parquet")[0]
+        os.rename(part, src + f"/batch_{i}.parquet")
+
+    _ship(0, [(1, a, "en", "src0", len(a))])
+    _ship(1, [(2, b, "en", "src0", len(b))])
+    _ship(2, [(3, c, "en", "src0", len(c))])
+    run_corpus_ingest(
+        spark, src, idx, str(tmp_path / "ckpt"),
+        near_dedup=True, max_files_per_trigger=1,
+    )
+    from meilisync_spark.operators.dedup import minhash_signatures
+    from meilisync_spark.streaming.corpus_ingest import _est_jaccard
+
+    sigs = minhash_signatures(spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"))
+    j = {
+        (r.a, r.b): r.j
+        for r in sigs.alias("x").join(sigs.alias("y"), F.lit(True))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                _est_jaccard(F.col("x.sig"), F.col("y.sig")).alias("j"))
+        .collect()
+    }
+    # the scenario's premise must hold on the real signatures
+    assert j[(1, 2)] >= 0.5 and j[(2, 3)] >= 0.5 and j[(1, 3)] < 0.5, j
+    got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
+    assert got == [1]  # b dropped against a; c dropped against b's bands
 
 
 def test_crash_between_band_and_corpus_append_recovers(spark, tmp_path):
@@ -267,9 +325,13 @@ def test_near_dedup_keeps_short_docs_and_drops_in_batch_twins(spark, tmp_path):
     run_corpus_ingest(spark, src, idx, str(tmp_path / "ckpt"), near_dedup=True)
     got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
     assert got == [1, 2]
-    # the band index only carries signed docs (doc 2)
+    # the band index carries every SIGNED doc — the dropped in-batch
+    # twin included (its bands are the memory that blocks later
+    # near-dups of it); the unsigned short doc stays out
     bands = spark.read.parquet(idx + "_bands")
-    assert sorted(r.doc_id for r in bands.select("doc_id").distinct().collect()) == [2]
+    assert sorted(
+        r.doc_id for r in bands.select("doc_id").distinct().collect()
+    ) == [2, 3]
 
 
 def test_index_is_hash_bucketed_and_probe_prunes(spark, tmp_path):
@@ -436,4 +498,9 @@ def test_compact_band_index_then_near_dedup_still_works(spark, tmp_path):
     )
     assert sorted(r.doc_id for r in spark.read.parquet(idx).collect()) == [1, 3]
     bands = spark.read.parquet(idx + "_bands")
-    assert sorted(r.doc_id for r in bands.select("doc_id").distinct().collect()) == [1, 3]
+    # every SEEN doc's bands are stored (near-dropped doc 2 included —
+    # batch-boundary independence), and the compacted layout accepted
+    # the post-compaction appends
+    assert sorted(
+        r.doc_id for r in bands.select("doc_id").distinct().collect()
+    ) == [1, 2, 3]
