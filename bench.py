@@ -156,7 +156,21 @@ def _activate(root: str, other: str):
 
 def ab_main(base_ref: str) -> None:
     """Interleaved A/B: current tree vs ``base_ref``'s tree, alternated
-    per run inside one process so host drift hits both sides equally."""
+    per run inside one process so host drift hits both sides equally.
+    Each query gets one UNTIMED warmup run per variant before the timed
+    min-of-2 — round 5's min-of-2-without-warmup produced a 1.62×
+    phantom (maxwell_roundtrip) that a min-of-4 re-measure read as 1.01:
+    the first execution of a query family pays JVM JIT + codegen
+    compilation that later runs don't.
+
+    CAVEAT (worker-side code): the base variant swaps the DRIVER's
+    sys.path, but worker python processes unpickle UDF closures against
+    the package THEY see — the current tree shipped once per session
+    via session._ship_package/addPyFile. Rows whose hot path is a
+    module-level function reached by reference (rare here: the hot
+    closures bind by value precisely for shipping robustness) could
+    execute current-tree kernel code under the base clock. Treat A/B
+    ratios on mapInPandas-heavy rows accordingly."""
     import math
     import subprocess
     import tempfile
@@ -197,7 +211,7 @@ def ab_main(base_ref: str) -> None:
     base_t: dict[str, float] = {}
     for name in names:
         best = {"cur": float("inf"), "base": float("inf")}
-        for _ in range(2):
+        for rnd in range(3):
             # alternate INSIDE the per-query loop: whatever the host is
             # doing this second, it does it to both variants
             for key, root, other in (("cur", REPO_ROOT, base_root),
@@ -206,7 +220,8 @@ def ab_main(base_ref: str) -> None:
                 fn = q.REGISTRY[name].fn
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best[key] = min(best[key], time.perf_counter() - t0)
+                if rnd > 0:  # round 0 is the untimed JIT/codegen warmup
+                    best[key] = min(best[key], time.perf_counter() - t0)
                 spark.catalog.clearCache()
         cur_t[name] = round(best["cur"], 3)
         base_t[name] = round(best["base"], 3)

@@ -71,6 +71,57 @@ MH_PERMS: list[tuple[int, int]] = [
     (419874721, 345678917), (736489117, 192837465),
 ]
 
+# Mega-bucket guard. A band bucket holding n docs emits O(n²) candidate
+# pairs from the band self-join — AQE splits skewed shuffle PARTITIONS,
+# not the pair count itself, so a boilerplate-heavy corpus (10^5 docs
+# sharing one template ⇒ one bucket) would emit ~10^10 pairs before any
+# distinct(). Buckets larger than LSH_BUCKET_CAP collapse to a STAR:
+# each member pairs with the bucket REPRESENTATIVE (min doc_id) only —
+# O(n) pairs. All bucket members are mutual candidates by construction,
+# so connected components still merges the whole bucket into one
+# cluster through the representative; what the star gives up is the
+# explicit (member, member) pair list inside an over-cap bucket, the
+# standard cap-or-collapse mitigation (MMDS ch.3 bucket-size capping).
+# The guard predicate — (bucket_n <= cap) OR (doc_a = bucket_rep),
+# applied to the LEFT (smaller-id) side of the a<b self-join — is
+# mirrored verbatim in every DuckDB oracle that derives pairs from
+# bands, so capped and uncapped corpora alike stay hash-equal.
+LSH_BUCKET_CAP = 512
+
+
+def _cap_left_side(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Restrict ``bands`` to the rows allowed on the LEFT (doc_a) side
+    of the band self-join under the mega-bucket guard: every row of a
+    bucket with ≤ cap members, only the representative (min doc_id) row
+    of a larger one. Star pairs have doc_a = rep automatically because
+    rep is the bucket minimum and the join keeps doc_a < doc_b.
+
+    The over-cap bucket list is bounded by |bands| / cap (at 10^9 band
+    rows and cap 512 that is ≤ 2M keys ≈ 50 MB), so it broadcasts; the
+    guard costs one narrow groupBy on the same key the join shuffles on
+    plus a broadcast-hash left join — never a second corpus shuffle."""
+    big = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep"))
+        .where(F.col("_n") > cap)
+        .select("band_idx", "band_hash", "_rep")
+    )
+    return (
+        bands.join(F.broadcast(big), ["band_idx", "band_hash"], "left")
+        .where(F.col("_rep").isNull() | (F.col("doc_id") == F.col("_rep")))
+        .drop("_rep")
+    )
+
+
+def _duck_pair_guard(stats_alias: str = "s", left_alias: str = "a") -> str:
+    """The oracle twin of :func:`_cap_left_side`: SQL predicate to AND
+    onto a bands self-join that also joins the ``bstats`` CTE (emitted
+    by :func:`_duck_sig_cte`) on the bucket key."""
+    return (
+        f"({stats_alias}.n <= {LSH_BUCKET_CAP} "
+        f"OR {left_alias}.doc_id = {stats_alias}.rep)"
+    )
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -139,6 +190,9 @@ def source_overlap_oracle_sql() -> str:
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+        JOIN bstats s
+          ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+        WHERE {_duck_pair_guard()}
     )
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
@@ -307,10 +361,12 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Candidate near-duplicate pairs (≥1 shared LSH band) with the
     signature-estimated Jaccard. Shuffle = one self-join keyed on
-    (band_idx, band_hash); skewed mega-buckets are split by AQE."""
+    (band_idx, band_hash); buckets over ``bucket_cap`` collapse to the
+    representative star (see the guard note above _cap_left_side) so a
+    template mega-bucket emits O(n) pairs, never O(n²)."""
     # lazy localCheckpoint: the band table feeds both sides of the
     # self-join — without a pin the whole shingle+hash pipeline runs
     # twice (at scale you'd materialize signatures as a table for
@@ -321,7 +377,9 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # Checkpoint RDDs are released by the ContextCleaner when the frame
     # is garbage collected.
     bands = lsh_bands(minhash_signatures(docs)).localCheckpoint(False)
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash")
+    a = _cap_left_side(bands, bucket_cap).select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash")
     pairs = (
         a.join(b, ["band_idx", "band_hash"])
@@ -354,6 +412,10 @@ def _duck_sig_cte(source: str = "documents") -> str:
         SELECT doc_id, sig, b AS band_idx,
                {duck_hash64("'B' || b || ':' || sig[2*b+1] || ',' || sig[2*b+2]")} AS band_hash
         FROM sigs, UNNEST(range(0, {BANDS})) t(b)
+    ),
+    bstats AS (
+        SELECT band_idx, band_hash, COUNT(*) AS n, MIN(doc_id) AS rep
+        FROM bands GROUP BY 1, 2
     )
     """
 
@@ -367,6 +429,9 @@ def minhash_lsh_pairs_oracle_sql() -> str:
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+        JOIN bstats s
+          ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+        WHERE {_duck_pair_guard()}
     )
     SELECT doc_a, doc_b,
            len(list_filter(list_zip(sig_a, sig_b), z -> z[1] = z[2])) / {NUM_PERM} AS est_jaccard
@@ -383,7 +448,8 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # minhash_lsh_pairs for the leak rationale
     bands = lsh_bands(minhash_signatures(docs)).localCheckpoint(False)
     cand = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        _cap_left_side(bands)
+        .select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
         .join(
             bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"),
             ["band_idx", "band_hash"],
@@ -419,6 +485,9 @@ def ngram_jaccard_pairs_oracle_sql() -> str:
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+        JOIN bstats s
+          ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+        WHERE {_duck_pair_guard()}
     ),
     dsh AS (SELECT doc_id, {dsh} AS sh FROM documents)
     SELECT doc_a, doc_b,
@@ -456,7 +525,14 @@ def incremental_neardup(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n"),
         "band_idx", "band_hash",
     )
-    corpus = bands.where(~F.col("is_delta")).select(
+    # mega-bucket guard on the CORPUS side: a template bucket with 10^5
+    # stored docs would otherwise fan every colliding delta doc out to
+    # the whole bucket (O(|delta|·n) rows). Over-cap buckets expose only
+    # their representative — the delta doc still collides (the signal a
+    # dedup pipeline acts on), against one witness instead of n.
+    corpus = _cap_left_side(
+        bands.where(~F.col("is_delta")).drop("is_delta")
+    ).select(
         F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c"),
         "band_idx", "band_hash",
     )
@@ -479,12 +555,19 @@ def incremental_neardup_oracle_sql() -> str:
     return f"""
     WITH {_duck_sig_cte()},
     flagged AS (SELECT *, {flag} AS is_delta FROM bands),
+    cstats AS (
+        SELECT band_idx, band_hash, COUNT(*) AS n, MIN(doc_id) AS rep
+        FROM flagged WHERE NOT is_delta GROUP BY 1, 2
+    ),
     pairs AS (
         SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
                         n.sig AS sig_n, c.sig AS sig_c
         FROM flagged n JOIN flagged c
           ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
          AND n.is_delta AND NOT c.is_delta
+        JOIN cstats s
+          ON s.band_idx = c.band_idx AND s.band_hash = c.band_hash
+        WHERE {_duck_pair_guard(left_alias="c")}
     )
     SELECT new_doc, corpus_doc,
            len(list_filter(list_zip(sig_n, sig_c), z -> z[1] = z[2])) / {NUM_PERM} AS est_jaccard
@@ -543,14 +626,13 @@ def connected_components(
     )
     labels = labels.localCheckpoint(True)
 
-    converged = False
-    for _ in range(max_iters):
+    def _step(labels: DataFrame) -> DataFrame:
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        stepped = (
+        return (
             labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
             .select(
                 "doc_id",
@@ -562,11 +644,25 @@ def connected_components(
             )
             .localCheckpoint(True)
         )
+
+    converged = False
+    for _ in range(max_iters):
+        stepped = _step(labels)
         labels = stepped.select("doc_id", "cluster_id")
         # any label changed this round? (limit(1) short-circuits the scan)
         if stepped.where(F.col("cluster_id") != F.col("_prev")).limit(1).count() == 0:
             converged = True
             break
+    if not converged:
+        # the LAST allowed iteration may have applied the final change:
+        # the loop only observes convergence when a full no-change round
+        # fits INSIDE the cap, so a component of diameter exactly
+        # max_iters would be labeled correctly yet reported as failed.
+        # One extra (label-preserving by definition if converged) probe
+        # settles it without granting any additional improvement round.
+        probe = _step(labels)
+        if probe.where(F.col("cluster_id") != F.col("_prev")).limit(1).count() == 0:
+            converged = True
     edges.unpersist()
     pairs.unpersist()
     if not converged:
@@ -601,6 +697,9 @@ def dedup_clusters_oracle_sql() -> str:
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+        JOIN bstats s
+          ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+        WHERE {_duck_pair_guard()}
     ),
     e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
@@ -650,6 +749,9 @@ def dedup_clusters_verified_oracle_sql(threshold: float = VERIFY_JACCARD) -> str
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+        JOIN bstats s
+          ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+        WHERE {_duck_pair_guard()}
     ),
     dsh AS (SELECT doc_id, {dsh} AS sh FROM documents),
     pairs AS (
@@ -1050,7 +1152,10 @@ def corpus_pipeline_full_oracle_sql() -> str:
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-        WHERE len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2]))
+        JOIN bstats s
+          ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+        WHERE {_duck_pair_guard()}
+          AND len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2]))
               / {NUM_PERM} >= {NEAR_DUP_TAU}
     ),
     sh AS (

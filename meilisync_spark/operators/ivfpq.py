@@ -629,6 +629,15 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         raise ValueError(
             f"new vectors have dim {wrong[0]}, index expects {centq.shape[1]}"
         )
+    # duplicate vec_ids WITHIN one batch would both append (the replay
+    # anti-join only checks the stored index) and then shadow each
+    # other nondeterministically at query time. Raising here would
+    # wedge a checkpointed --follow stream permanently (the replayed
+    # batch is identical, so every retry hits the same error) — instead
+    # collapse deterministically: keep the lexicographically-smallest
+    # embedding per vec_id, so a replay of the same files makes the
+    # same choice. Arrays are orderable in Spark, so min() is exact.
+    emb = emb.groupBy("vec_id").agg(F.min("embedding").alias("embedding"))
     # pin the encoded batch: the dedup collect, the anti-join and the
     # append would otherwise each replay the two mapInPandas passes
     new = (
@@ -636,18 +645,6 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         .join(assign_cells(emb, centq), "vec_id")
         .localCheckpoint(True)
     )
-    # duplicate vec_ids WITHIN one batch would both append (the replay
-    # anti-join only checks the stored index) and then shadow each
-    # other nondeterministically at query time — fail loudly, matching
-    # query_index's duplicate-q_id guard
-    dup = (
-        new.groupBy("vec_id").count().where(F.col("count") > 1).limit(1).collect()
-    )
-    if dup:
-        raise ValueError(
-            f"duplicate vec_id {dup[0][0]} in the add batch: ids must be "
-            "unique within a batch (and fresh unless a replay)"
-        )
     if dedup:
         touched = sorted(
             int(r[0]) for r in new.select("cluster").distinct().collect()
@@ -774,7 +771,13 @@ def _build_served_cache(ce: DataFrame, cache_dir: str) -> None:
         try:
             os.rename(built, cache_dir)
         except OSError:
-            pass  # a concurrent builder won the rename; use theirs
+            # a concurrent builder winning the rename is the only
+            # benign cause — verify a servable index actually exists
+            # before swallowing; an unrelated failure (permissions,
+            # EXDEV) would otherwise surface later as a confusing
+            # missing-path error inside query_index
+            if not os.path.exists(os.path.join(cache_dir, ANN_META_FILE)):
+                raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -95,6 +95,36 @@ def _with_hash(docs: DataFrame) -> DataFrame:
     )
 
 
+def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Filesystem-agnostic existence probe (os.path.isdir would read
+    "absent" for every s3://). ONLY "no index yet" conditions map to
+    None — any other read failure (corrupt footer, transient IO) must
+    fail the batch so the checkpoint retries: treating it as absent
+    would skip the seen-hash anti-join and re-append already-ingested
+    docs, silently breaking hash uniqueness. Conditions matched by
+    Spark error CLASS (stable across versions), with a message-substring
+    fallback for exceptions that don't carry one:
+
+    - PATH_NOT_FOUND — the path does not exist;
+    - UNABLE_TO_INFER_SCHEMA over a verifiably EMPTY local directory —
+      a pre-created empty index dir is "no index yet", but the same
+      error over a non-empty dir (corrupt/foreign files) or a remote
+      path we cannot inspect stays fatal."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException, but import-stable
+        get_cls = getattr(e, "getErrorClass", None)
+        cls = (get_cls() if callable(get_cls) else None) or ""
+        msg = str(e)
+        if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        if "UNABLE_TO_INFER_SCHEMA" in cls or "UNABLE_TO_INFER_SCHEMA" in msg:
+            real = os.path.realpath(path)
+            if os.path.isdir(real) and not os.listdir(real):
+                return None
+        raise
+
+
 def ingest_batch(
     batch: DataFrame, index: DataFrame | None, apply_quality: bool,
     *, prehashed: bool = False,
@@ -165,13 +195,31 @@ def drop_near_dups(fresh: DataFrame, load_band_index):
     sigs = minhash_signatures(fresh.select("doc_id", "text")).localCheckpoint(True)
     withsig = fresh.join(sigs, "doc_id", "left")
     bands = lsh_bands(sigs)
-    # in-batch self-probe: higher id loses against a verified lower id
-    self_pairs = bands.select("doc_id", "sig", "band_idx", "band_hash").join(
+    # MEGA-BUCKET GUARD, exactness-preserving form. Both probes only ask
+    # an EXISTENCE question per batch doc ("is there some other doc in
+    # my bucket whose signature verifies?"), and est_jaccard depends on
+    # the signature alone — so candidate rows sharing (bucket, sig) are
+    # interchangeable and can collapse to representatives BEFORE the
+    # join. A template flood (10^5 identical docs ⇒ identical sigs ⇒
+    # one bucket) collapses to O(1) candidates per bucket instead of
+    # fanning every colliding doc out to the whole bucket; corpora with
+    # genuinely distinct sigs are untouched. Unlike the batch operator's
+    # LSH_BUCKET_CAP star (operators/dedup.py), this changes NOTHING
+    # about which docs get dropped — it is a pure join-size reduction.
+    #
+    # in-batch self-probe: higher id loses against a verified lower id.
+    # The drop condition is (doc_b < doc_id AND verify(sig, sig_b)) —
+    # within a (bucket, sig_b) group the MIN doc_b decides for every
+    # batch doc, so one representative per group is exact.
+    rhs = (
         bands.select(
-            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
-            "band_idx", "band_hash",
-        ),
-        ["band_idx", "band_hash"],
+            "band_idx", "band_hash", F.col("sig").alias("sig_b"), "doc_id"
+        )
+        .groupBy("band_idx", "band_hash", "sig_b")
+        .agg(F.min("doc_id").alias("doc_b"))
+    )
+    self_pairs = bands.select("doc_id", "sig", "band_idx", "band_hash").join(
+        rhs, ["band_idx", "band_hash"]
     ).where(F.col("doc_b") < F.col("doc_id"))
     near_in_batch = (
         self_pairs.where(_est_jaccard("sig", "sig_b") >= NEAR_DUP_TAU)
@@ -181,11 +229,26 @@ def drop_near_dups(fresh: DataFrame, load_band_index):
     dropped = near_in_batch
     band_index = load_band_index(bands)
     if band_index is not None:
-        probe = bands.join(
+        # corpus probe: the drop condition is (doc_c != doc_id AND
+        # verify). Two representatives per (bucket, sig_c) group — MIN
+        # and MAX doc_c — are exact: a singleton group {X} offers no
+        # witness against X itself (replayed own bands, see below),
+        # while any ≥2-member group always contains a rep != X.
+        grouped = (
             band_index.select(
-                "band_idx", "band_hash", F.col("doc_id").alias("doc_c"),
-                F.col("sig").alias("sig_c"),
-            ),
+                "band_idx", "band_hash", F.col("sig").alias("sig_c"), "doc_id"
+            )
+            .groupBy("band_idx", "band_hash", "sig_c")
+            .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        )
+        reps = grouped.select(
+            "band_idx", "band_hash", "sig_c",
+            F.explode(
+                F.array_distinct(F.array("_mn", "_mx"))
+            ).alias("doc_c"),
+        )
+        probe = bands.join(
+            reps,
             ["band_idx", "band_hash"],
             # a doc's own band rows can already be stored: bands append
             # BEFORE documents (crash consistency — see run_corpus_ingest),
@@ -238,19 +301,7 @@ def run_corpus_ingest(
     bands_path = index_path.rstrip("/") + "_bands"
 
     def _read_if_exists(path: str) -> DataFrame | None:
-        # filesystem-agnostic existence probe (os.path.isdir would read
-        # "absent" for every s3://). ONLY path-not-found maps to "no
-        # index yet" — any other read failure (corrupt footer, transient
-        # IO) must fail the batch so the checkpoint retries: treating it
-        # as absent would skip the seen-hash anti-join and re-append
-        # already-ingested docs, silently breaking hash uniqueness
-        try:
-            return spark.read.parquet(path)
-        except Exception as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                return None
-            raise
+        return _read_parquet_if_exists(spark, path)
 
     def _is_bucketed(path: str, col: str, index: DataFrame | None) -> bool:
         # the layout is a property of the DIRECTORY TREE, not of the

@@ -1,0 +1,177 @@
+"""LSH mega-bucket guard — the round-6 headliner.
+
+A band bucket with n members emits O(n²) candidate pairs from the band
+self-join; AQE splits skewed shuffle PARTITIONS, not pair counts, so a
+boilerplate-heavy corpus (10^4-10^5 docs sharing one template) would
+detonate the join. The guard (operators/dedup.py::_cap_left_side)
+collapses over-cap buckets to a representative STAR — O(n) pairs —
+with the identical predicate mirrored in every DuckDB oracle; the
+streaming probe (streaming/corpus_ingest.py::drop_near_dups) uses the
+EXACT signature-collapse instead (semantics-preserving, pure join-size
+reduction).
+
+The 10_000-identical-docs test is the detonation fixture: without the
+guard it would materialize ~8·10^8 join rows and effectively hang the
+suite; with it, the star is 9_999 pairs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from meilisync_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
+    dedup_clusters,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_oracle_sql,
+)
+
+TEMPLATE = (
+    "free shipping on every order today click here to claim your "
+    "exclusive discount before the offer expires tonight"
+)
+
+DISTINCT_DOCS = [
+    "the migratory patterns of arctic terns span both hemispheres each year",
+    "quantum error correction requires ancilla qubits and syndrome extraction",
+    "sourdough fermentation depends on wild yeast and lactic acid bacteria",
+]
+
+
+def _planted(spark, n_template: int, extra=()):
+    rows = [(i, TEMPLATE) for i in range(n_template)]
+    base = 1_000_000
+    rows += [(base + j, t) for j, t in enumerate(DISTINCT_DOCS)]
+    rows += list(extra)
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_mega_bucket_emits_star_not_quadratic(spark):
+    """10k identical docs: every band bucket holds all 10k, far over
+    the cap — the candidate set must be the star (rep=0, member) only:
+    exactly n-1 pairs, every one at est_jaccard 1.0. Quadratic would be
+    ~5·10^7 distinct pairs (and ~8·10^8 pre-distinct join rows)."""
+    n = 10_000
+    docs = _planted(spark, n)
+    pairs = minhash_lsh_pairs(docs).localCheckpoint(True)
+    template_pairs = pairs.where(F.col("doc_b") < 1_000_000)
+    assert template_pairs.count() == n - 1
+    assert template_pairs.where(F.col("doc_a") != 0).count() == 0
+    assert template_pairs.where(F.col("est_jaccard") < 1.0).count() == 0
+    # distinct docs collide with nothing
+    assert pairs.where(F.col("doc_b") >= 1_000_000).count() == 0
+
+
+def test_mega_bucket_clusters_stay_whole(spark):
+    """The star is connectivity-preserving: all template docs still
+    land in ONE cluster (id = min member), distinct docs self-label."""
+    n = 2_000
+    docs = _planted(spark, n)
+    labels = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
+    assert all(labels[i] == 0 for i in range(n))
+    assert all(labels[1_000_000 + j] == 1_000_000 + j for j in range(3))
+
+
+def test_guard_is_noop_below_cap(spark):
+    """On a corpus whose largest bucket is under the cap the guard must
+    change nothing: default cap vs effectively-uncapped give identical
+    pair sets (the r5 fixture behavior is preserved bit-for-bit)."""
+    docs = _planted(spark, 200)  # 200 < LSH_BUCKET_CAP
+    assert 200 < LSH_BUCKET_CAP
+    capped = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(docs, bucket_cap=10**9).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) == 200 * 199 // 2  # identical docs: all pairs
+
+
+def test_guard_matches_duckdb_oracle_when_triggered(spark):
+    """The oracle mirrors the guard predicate verbatim — on a corpus
+    that DOES trip the cap, Spark and DuckDB must still agree exactly
+    (this is what keeps the driver rows green on any corpus, not just
+    ones without mega-buckets)."""
+    n = LSH_BUCKET_CAP + 60  # over the cap, small enough for duckdb
+    docs = _planted(spark, n)
+    got = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = {
+        (a, b, round(j, 9))
+        for a, b, j in con.sql(minhash_lsh_pairs_oracle_sql()).fetchall()
+    }
+    con.close()
+    assert got == exp
+    # and it really did collapse: star only, n-1 template pairs
+    assert len([p for p in got if p[1] < 1_000_000]) == n - 1
+
+
+def test_streaming_probe_collapses_identical_sigs(spark, tmp_path):
+    """The streaming near-dup probe's signature-collapse: an index
+    holding 1_500 near-identical template variants (every signed doc's
+    bands are recorded, dropped docs included — so a template flood
+    GROWS the stored bucket) must still drop a new template variant and
+    keep a distinct doc, via a probe whose corpus side is collapsed to
+    ≤2 representatives per (bucket, sig)."""
+    from meilisync_spark.streaming.corpus_ingest import run_corpus_ingest
+
+    n = 1_500
+    flood = [(i, TEMPLATE + f" variant{i}", "en", "crawl", 100) for i in range(n)]
+    later = [
+        (2_000_000, TEMPLATE + " variantfinal", "en", "crawl", 100),
+        (2_000_001, DISTINCT_DOCS[0], "en", "crawl", 100),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    spark.createDataFrame(flood, schema).coalesce(1).write.parquet(
+        str(drop / "batch1.parquet")
+    )
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    run_corpus_ingest(
+        spark, str(drop), index, ck, near_dedup=True, max_files_per_trigger=1
+    )
+    first = spark.read.parquet(index)
+    # the flood collapses to one survivor (smallest id wins in-batch)
+    assert first.count() == 1
+    assert first.collect()[0].doc_id == 0
+    # band index remembers EVERYTHING seen
+    bands = spark.read.parquet(index + "_bands")
+    assert bands.select("doc_id").distinct().count() == n
+
+    spark.createDataFrame(later, schema).coalesce(1).write.parquet(
+        str(drop / "batch2.parquet")
+    )
+    run_corpus_ingest(
+        spark, str(drop), index, ck, near_dedup=True, max_files_per_trigger=1
+    )
+    kept = {r.doc_id for r in spark.read.parquet(index).select("doc_id").collect()}
+    assert kept == {0, 2_000_001}  # template variant dropped, distinct kept
+
+
+def test_cap_left_side_plan_broadcasts_guard(spark):
+    """Plan contract: the guard is a broadcast-hash left join (the
+    over-cap key list is tiny) — it must not introduce a second
+    corpus-sized shuffle beside the band self-join, and the pair plan
+    stays cartesian-free."""
+    docs = _planted(spark, 50)
+    plan = (
+        minhash_lsh_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

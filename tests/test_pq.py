@@ -258,14 +258,23 @@ def test_add_to_index_dim_mismatch_fails(spark, tmp_path):
     # empty batch is a clean no-op
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert add_to_index(spark, index, empty) == 0
-    # duplicate vec_ids within one batch fail loudly (they'd shadow
-    # each other nondeterministically at query time)
+    # duplicate vec_ids within one batch collapse deterministically
+    # (min embedding wins) instead of raising — a raise would wedge a
+    # checkpointed --follow stream forever on the replayed batch
     v = [0.0625] * 64
+    v2 = [0.125] * 64
     dup = spark.createDataFrame(
-        [(777_001, v), (777_001, v)], "vec_id long, embedding array<double>"
+        [(777_001, v2), (777_001, v)], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="duplicate vec_id"):
-        add_to_index(spark, index, dup)
+    assert add_to_index(spark, index, dup) == 1
+    stored = (
+        spark.read.parquet(index)
+        .where(F.col("vec_id") == 777_001)
+        .count()
+    )
+    assert stored == 1
+    # replaying the identical batch appends nothing (same collapse pick)
+    assert add_to_index(spark, index, dup) == 0
 
 
 def test_streaming_ann_ingest_drop_dir(spark, tmp_path):
