@@ -17,6 +17,9 @@ suite; with it, the star is 9_999 pairs.
 
 from __future__ import annotations
 
+import glob
+import os
+
 import duckdb
 import pandas as pd
 import pytest
@@ -39,6 +42,19 @@ DISTINCT_DOCS = [
     "quantum error correction requires ancilla qubits and syndrome extraction",
     "sourdough fermentation depends on wild yeast and lactic acid bacteria",
 ]
+
+
+def _drop_batch(spark, rows, schema, drop_dir, name):
+    """Write one arrival batch as a FLAT parquet file in the drop dir.
+
+    run_corpus_ingest infers schema with a non-recursive
+    spark.read.parquet(docs_path), so the drop dir must hold plain
+    part files, not nested dataset directories (the contract every
+    ingest fixture follows — see tests/test_corpus_ingest.py)."""
+    stage = os.path.join(drop_dir, f"_stage_{name}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    os.rename(part, os.path.join(drop_dir, f"{name}.parquet"))
 
 
 def _planted(spark, n_template: int, extra=()):
@@ -135,9 +151,7 @@ def test_streaming_probe_collapses_identical_sigs(spark, tmp_path):
     schema = "doc_id long, text string, lang string, source string, n_chars int"
     drop = tmp_path / "drop"
     drop.mkdir()
-    spark.createDataFrame(flood, schema).coalesce(1).write.parquet(
-        str(drop / "batch1.parquet")
-    )
+    _drop_batch(spark, flood, schema, str(drop), "batch1")
     index = str(tmp_path / "index")
     ck = str(tmp_path / "ck")
     run_corpus_ingest(
@@ -151,9 +165,7 @@ def test_streaming_probe_collapses_identical_sigs(spark, tmp_path):
     bands = spark.read.parquet(index + "_bands")
     assert bands.select("doc_id").distinct().count() == n
 
-    spark.createDataFrame(later, schema).coalesce(1).write.parquet(
-        str(drop / "batch2.parquet")
-    )
+    _drop_batch(spark, later, schema, str(drop), "batch2")
     run_corpus_ingest(
         spark, str(drop), index, ck, near_dedup=True, max_files_per_trigger=1
     )
