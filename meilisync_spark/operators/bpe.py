@@ -28,12 +28,21 @@ End-of-word marker: ``</w>`` is appended as its own symbol (the
 standard trick that lets the tokenizer distinguish "est" in "highest"
 from the word "est"), so learned subwords never span word boundaries.
 
-Encoding of words NEVER seen at training time falls back to their
-character symbols (no merges applied) — the honest simplification:
-applying N merges per unseen word needs an N-deep fold chain; a
-deployment encoding genuinely foreign text would precompute its vocab
-the same way training did. Seen words — all of them, when encoding the
-training corpus — take their exact trained segmentation.
+Encoding of words NEVER seen at training time applies the trained
+merges to the word's character symbols in rank order
+(:func:`bpe_apply_merges`) — exactly the reference encoder. Rank-order
+single-pass application is equivalent to the classic
+"repeatedly merge the lowest-rank pair present" loop because (a) a
+merge's output symbol can only participate in LATER-rank pairs — any
+merge consuming a symbol was necessarily learned after the merge that
+created it — and (b) merging two symbols never creates a NEW adjacency
+between two pre-existing symbols, so once a rank's turn has passed its
+pair can never reappear. The fold runs over the DISTINCT unseen words
+(vocab-sized, corpus-independent, like training), with the expression
+chain pinned every few merges so lineage depth stays O(1). Seen words —
+all of them, when encoding the training corpus — take their exact
+trained segmentation via the broadcast vocab join, so the OOV fold
+costs nothing there.
 """
 
 from __future__ import annotations
@@ -154,6 +163,38 @@ def bpe_train(
     return merges, vocab
 
 
+BPE_PIN_EVERY = 4  # fold-chain depth between lineage pins
+
+
+def bpe_apply_merges(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    pin_every: int = BPE_PIN_EVERY,
+) -> DataFrame:
+    """``(word)`` → ``(word, tokens)``: segment arbitrary words with an
+    already-trained merge list — the BPE *encoder* for words outside
+    the training vocab. Character-init (chars + EOW), then every merge
+    applied greedily left-to-right in learned rank order; see the
+    module docstring for why single-pass rank order replicates the
+    reference "lowest-rank pair first" loop token-for-token.
+
+    Scale shape: callers pass the DISTINCT unseen words (vocab-sized),
+    so like training the cost is bounded by |vocab|, never |corpus|;
+    ``pin_every`` bounds how many ``F.aggregate`` folds nest in one
+    Catalyst expression before a localCheckpoint pin (deep chains blow
+    past whole-stage-codegen's method-size limit and fall back to
+    interpreted evaluation)."""
+    out = words.withColumn("tokens", _char_tokens(F.col("word")))
+    for i, m in enumerate(merges):
+        left, right = m[0], m[1]
+        out = out.withColumn(
+            "tokens", _apply_merge(F.col("tokens"), left, right)
+        )
+        if (i + 1) % pin_every == 0 and (i + 1) < len(merges):
+            out = out.localCheckpoint(True)
+    return out
+
+
 def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT) -> DataFrame:
     """(rank, left, right, merged, weighted_count) — the learned merge
     sequence as a frame (what a tokenizer file ships)."""
@@ -168,21 +209,41 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT) -> Data
 
 
 def bpe_encode_stats(
-    docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES_DEFAULT,
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens, compression) — every document
     re-encoded with the trained segmentation: corpus words broadcast-
-    join the trained vocab's final token arrays (OOV → character
-    fallback, exercised only off the training corpus), n_tokens sums
-    per-word token counts, compression = symbols-before / tokens-after
-    (initial chars+EOW over BPE tokens; ≥ 1.0 by construction, one
-    final IEEE division)."""
-    _, vocab = bpe_train(docs, n_merges)
+    join the trained vocab's final token arrays; words OUTSIDE the
+    training vocab are segmented by :func:`bpe_apply_merges` (the
+    trained merges fold-applied in rank order over the distinct unseen
+    words — token-for-token the reference encoder, not a char
+    fallback). n_tokens sums per-word token counts, compression =
+    symbols-before / tokens-after (initial chars+EOW over BPE tokens;
+    ≥ 1.0 by construction, one final IEEE division).
+
+    ``train_docs`` defaults to ``docs`` (encode the training corpus —
+    OOV set empty by construction); pass a separate training corpus to
+    exercise the held-out/OOV encoder."""
+    merges, vocab = bpe_train(train_docs if train_docs is not None else docs, n_merges)
     docs = spread(docs)
     words = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("word")
     )
-    enc = words.join(F.broadcast(vocab.select("word", "tokens")), "word", "left")
+    lookup = vocab.select("word", "tokens")
+    # distinct unseen words — EMPTY when encoding the training corpus,
+    # so the pin below is the only extra cost there (one distinct pass
+    # over the corpus words)
+    oov = (
+        words.select("word")
+        .distinct()
+        .join(lookup.select("word"), "word", "left_anti")
+        .localCheckpoint(True)  # pin: feeds the emptiness probe AND the fold
+    )
+    if not oov.isEmpty():
+        lookup = lookup.unionByName(bpe_apply_merges(oov, merges))
+    enc = words.join(F.broadcast(lookup), "word", "left")
     per_word = enc.select(
         "doc_id",
         # explicit null test, not coalesce: size(NULL) is -1 under

@@ -77,11 +77,24 @@ MH_PERMS: list[tuple[int, int]] = [
 # sharing one template ⇒ one bucket) would emit ~10^10 pairs before any
 # distinct(). Buckets larger than LSH_BUCKET_CAP collapse to a STAR:
 # each member pairs with the bucket REPRESENTATIVE (min doc_id) only —
-# O(n) pairs. All bucket members are mutual candidates by construction,
-# so connected components still merges the whole bucket into one
-# cluster through the representative; what the star gives up is the
-# explicit (member, member) pair list inside an over-cap bucket, the
-# standard cap-or-collapse mitigation (MMDS ch.3 bucket-size capping).
+# O(n) pairs. The connectivity claim is precise about WHERE it holds:
+# for UNVERIFIED connected components (dedup_clusters) all bucket
+# members are mutual candidates by construction, so the whole bucket
+# still merges into one cluster through the representative. In the
+# VERIFIED pipelines (ngram_jaccard_pairs → dedup_clusters_verified,
+# corpus_pipeline_full's est_jaccard >= TAU filter) the only surviving
+# edges inside an over-cap bucket are (rep, member): if the rep's
+# exact/estimated Jaccard against a member falls below threshold, a
+# genuine member–member duplicate pair is LOST — clusters can split,
+# near-dups can survive. That bounded recall loss (over-cap buckets
+# only) is the standard cap-or-collapse mitigation (MMDS ch.3
+# bucket-size capping); the oracles mirror the guard, so hash-equality
+# certifies the GUARDED algorithm, not all-pairs LSH. The incremental
+# probe (incremental_neardup) and the streaming probe instead use an
+# exactness-preserving per-(bucket, sig) signature-collapse — viable
+# there because est_jaccard depends on the signature alone; the batch
+# verify paths compare exact shingle sets, which differ within a sig
+# group, so no collapse is exact for them and the star is the bound.
 # The guard predicate — (bucket_n <= cap) OR (doc_a = bucket_rep),
 # applied to the LEFT (smaller-id) side of the a<b self-join — is
 # mirrored verbatim in every DuckDB oracle that derives pairs from
@@ -97,9 +110,14 @@ def _cap_left_side(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     rep is the bucket minimum and the join keeps doc_a < doc_b.
 
     The over-cap bucket list is bounded by |bands| / cap (at 10^9 band
-    rows and cap 512 that is ≤ 2M keys ≈ 50 MB), so it broadcasts; the
-    guard costs one narrow groupBy on the same key the join shuffles on
-    plus a broadcast-hash left join — never a second corpus shuffle."""
+    rows and cap 512 that is ≤ 2M keys ≈ 50 MB), so on realistic
+    corpora AQE converts the guard join to broadcast-hash at runtime
+    (plan-asserted in tests/test_mega_bucket.py). The hint is NOT
+    forced: a pathological corpus where most buckets sit just over the
+    cap could push the key list past driver memory, and a forced
+    F.broadcast would OOM the driver where a shuffle join (whose
+    exchange Catalyst reuses from the groupBy on the same key) degrades
+    gracefully — so the join strategy is left to AQE's measured sizes."""
     big = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep"))
@@ -107,7 +125,7 @@ def _cap_left_side(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
         .select("band_idx", "band_hash", "_rep")
     )
     return (
-        bands.join(F.broadcast(big), ["band_idx", "band_hash"], "left")
+        bands.join(big, ["band_idx", "band_hash"], "left")
         .where(F.col("_rep").isNull() | (F.col("doc_id") == F.col("_rep")))
         .drop("_rep")
     )
@@ -508,7 +526,9 @@ def _delta_flag(doc_id: Column) -> Column:
     return portable_hash64(F.concat(F.lit("delta:"), doc_id)) % DELTA_MOD == 0
 
 
-def incremental_neardup(docs: DataFrame) -> DataFrame:
+def incremental_neardup(
+    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """Near-dup candidates of a *delta* batch against the existing
     corpus — the production dedup shape: a daily ingest is checked
     against the stored band index instead of re-pairing the whole
@@ -525,14 +545,25 @@ def incremental_neardup(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_n"),
         "band_idx", "band_hash",
     )
-    # mega-bucket guard on the CORPUS side: a template bucket with 10^5
-    # stored docs would otherwise fan every colliding delta doc out to
-    # the whole bucket (O(|delta|·n) rows). Over-cap buckets expose only
-    # their representative — the delta doc still collides (the signal a
-    # dedup pipeline acts on), against one witness instead of n.
-    corpus = _cap_left_side(
-        bands.where(~F.col("is_delta")).drop("is_delta")
-    ).select(
+    # mega-bucket guard on the CORPUS side, signature-collapse form
+    # (the streaming probe's scheme, streaming/corpus_ingest.py): a
+    # template bucket with 10^5 stored docs would otherwise fan every
+    # colliding delta doc out to the whole bucket (O(|delta|·n) rows).
+    # est_jaccard depends on the signature ALONE, so corpus rows
+    # sharing (bucket, sig) are interchangeable — one representative
+    # per distinct sig keeps the probe EXACT (a delta doc verifies
+    # against the rep iff it would verify against any member carrying
+    # that sig) while an identical-template flood collapses to O(1)
+    # witnesses. The star cap then bounds the residual pathological
+    # case — a bucket with > cap DISTINCT sigs — where recall can drop
+    # (only non-rep sigs are discarded; same cap-or-collapse tradeoff
+    # as the batch operator, mirrored in the oracle).
+    collapsed = (
+        bands.where(~F.col("is_delta"))
+        .groupBy("band_idx", "band_hash", "sig")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    corpus = _cap_left_side(collapsed, cap=bucket_cap).select(
         F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c"),
         "band_idx", "band_hash",
     )
@@ -555,16 +586,20 @@ def incremental_neardup_oracle_sql() -> str:
     return f"""
     WITH {_duck_sig_cte()},
     flagged AS (SELECT *, {flag} AS is_delta FROM bands),
+    csig AS (
+        SELECT band_idx, band_hash, sig, MIN(doc_id) AS doc_id
+        FROM flagged WHERE NOT is_delta GROUP BY 1, 2, 3
+    ),
     cstats AS (
         SELECT band_idx, band_hash, COUNT(*) AS n, MIN(doc_id) AS rep
-        FROM flagged WHERE NOT is_delta GROUP BY 1, 2
+        FROM csig GROUP BY 1, 2
     ),
     pairs AS (
         SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
                         n.sig AS sig_n, c.sig AS sig_c
-        FROM flagged n JOIN flagged c
+        FROM flagged n JOIN csig c
           ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
-         AND n.is_delta AND NOT c.is_delta
+         AND n.is_delta
         JOIN cstats s
           ON s.band_idx = c.band_idx AND s.band_hash = c.band_hash
         WHERE {_duck_pair_guard(left_alias="c")}

@@ -631,13 +631,27 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         )
     # duplicate vec_ids WITHIN one batch would both append (the replay
     # anti-join only checks the stored index) and then shadow each
-    # other nondeterministically at query time. Raising here would
-    # wedge a checkpointed --follow stream permanently (the replayed
-    # batch is identical, so every retry hits the same error) — instead
-    # collapse deterministically: keep the lexicographically-smallest
-    # embedding per vec_id, so a replay of the same files makes the
-    # same choice. Arrays are orderable in Spark, so min() is exact.
-    emb = emb.groupBy("vec_id").agg(F.min("embedding").alias("embedding"))
+    # other nondeterministically at query time. Two distinct cases:
+    # exact-duplicate ROWS (the at-least-once replay of a crash window
+    # — bit-identical, so a raise would wedge a checkpointed --follow
+    # stream forever on the same batch) collapse silently; the same
+    # vec_id carrying DIFFERING embeddings is a caller data bug a
+    # replay never produces, and collapsing it would silently discard
+    # data — raise. Arrays are orderable in Spark, so min!=max detects
+    # a conflict exactly in the same single groupBy.
+    agg = emb.groupBy("vec_id").agg(
+        F.min("embedding").alias("embedding"),
+        F.max("embedding").alias("_mx"),
+    )
+    conflict = agg.where(F.col("embedding") != F.col("_mx")).select("vec_id")
+    bad = [int(r.vec_id) for r in conflict.limit(3).collect()]
+    if bad:
+        raise ValueError(
+            f"vec_ids {bad} appear in one add batch with conflicting "
+            "embeddings — refusing to pick one silently; dedupe the "
+            "batch upstream (exact-duplicate replay rows are fine)"
+        )
+    emb = agg.drop("_mx")
     # pin the encoded batch: the dedup collect, the anti-join and the
     # append would otherwise each replay the two mapInPandas passes
     new = (

@@ -122,28 +122,59 @@ def test_bpe_merge_table_and_encode_stats(spark):
     assert any(r.compression > 1.0 for r in rows)
 
 
-def test_bpe_encode_oov_falls_back_to_chars(spark):
+def test_bpe_encode_oov_applies_trained_merges(spark):
+    """Unseen words are segmented by the trained merges (rank-order
+    fold), NOT a char fallback: with merges learned on `aa`/`bb`, the
+    held-out `aaaa` compresses while `zzz` (no applicable merge) stays
+    at characters."""
     train = spark.createDataFrame(
         [(1, "aa aa aa bb bb")], "doc_id long, text string"
     )
-    merges, vocab = bpe_train(train, n_merges=3)
-    from meilisync_spark.operators.bpe import _char_tokens
-
-    # an unseen word joins nothing → char fallback (len chars + EOW)
-    docs = spark.createDataFrame([(2, "zzz")], "doc_id long, text string")
-    enc = (
-        docs.select("doc_id", F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
-        ).alias("word"))
-        .join(F.broadcast(vocab.select("word", "tokens")), "word", "left")
-        .select(
-            F.when(F.col("tokens").isNotNull(), F.size("tokens"))
-            .otherwise(F.size(_char_tokens(F.col("word"))))
-            .alias("n")
-        )
-        .collect()
+    merges, _ = bpe_train(train, n_merges=3)
+    docs = spark.createDataFrame(
+        [(2, "zzz"), (3, "aaaa")], "doc_id long, text string"
     )
-    assert enc[0].n == 4  # z z z </w>
+    stats = {
+        r.doc_id: r for r in bpe_encode_stats(docs, 3, train_docs=train).collect()
+    }
+    # zzz: z z z </w> — merges touch nothing
+    assert stats[2].n_tokens == 4
+    # aaaa: python-fold the learned merges over [a,a,a,a,</w>]
+    t = list("aaaa") + [EOW]
+    for l, r, _c in merges:
+        t = _py_apply(t, l, r)
+    assert stats[3].n_tokens == len(t)
+    assert len(t) < 5  # the held-out word genuinely compressed
+
+
+def test_bpe_apply_merges_matches_python_on_disjoint_vocab(spark):
+    """Held-out corpus with a vocabulary DISJOINT from training: every
+    unseen word must encode token-for-token as the pure-python
+    reference fold of the trained merge sequence."""
+    from meilisync_spark.operators.bpe import bpe_apply_merges
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    texts = [r.text for r in docs.select("text").collect() if r.text]
+    merges, _ = bpe_train(docs, n_merges=12)
+    train_vocab = set(_word_freqs(texts))
+    # held-out words: pairwise concatenations of training words (rich
+    # in learned subwords ⇒ merges really fire) plus one alien string
+    base = sorted(train_vocab)[:12]
+    held = [a + b for a, b in zip(base, base[1:])] + ["qzxqzxqzx"]
+    held = [w for w in held if w not in train_vocab]
+    assert held
+    wdf = spark.createDataFrame([(w,) for w in held], "word string")
+    got = {
+        r.word: list(r.tokens) for r in bpe_apply_merges(wdf, merges).collect()
+    }
+    compressed = 0
+    for w in held:
+        t = list(w) + [EOW]
+        for l, r, _c in merges:
+            t = _py_apply(t, l, r)
+        assert got[w] == t, w
+        compressed += len(t) < len(w) + 1
+    assert compressed  # at least one held-out word actually merged
 
 
 def test_bpe_plans_stay_jvm_side(spark):

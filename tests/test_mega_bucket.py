@@ -173,17 +173,50 @@ def test_streaming_probe_collapses_identical_sigs(spark, tmp_path):
     assert kept == {0, 2_000_001}  # template variant dropped, distinct kept
 
 
+def test_incremental_probe_sig_collapse_is_exact(spark):
+    """The incremental probe's corpus-side signature-collapse: with a
+    corpus bucket far over the cap (a template flood) plus variant
+    members, the per-delta-doc detection signal — max est_jaccard over
+    reported pairs — must EQUAL the uncapped probe's (the collapse is a
+    pure join-size reduction whenever distinct sigs per bucket ≤ cap;
+    the old min-doc star only guaranteed the flood representative)."""
+    from meilisync_spark.operators.dedup import incremental_neardup
+
+    n = LSH_BUCKET_CAP + 200
+    rows = [(i, TEMPLATE) for i in range(n)]
+    # near-variants: same boilerplate, small suffix edits — these land
+    # in (some of) the flood's band buckets with DIFFERENT signatures,
+    # making the over-cap buckets genuinely multi-sig
+    rows += [
+        (700_000 + j, TEMPLATE + f" extra token {j}") for j in range(40)
+    ]
+    rows += [(900_000 + j, t) for j, t in enumerate(DISTINCT_DOCS)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def per_doc_signal(df):
+        return {
+            r.new_doc: round(r.mx, 9)
+            for r in df.groupBy("new_doc")
+            .agg(F.max("est_jaccard").alias("mx"))
+            .collect()
+        }
+
+    guarded = per_doc_signal(incremental_neardup(docs))
+    uncapped = per_doc_signal(incremental_neardup(docs, bucket_cap=10**9))
+    assert guarded == uncapped
+    assert guarded  # the hash-split delta side is non-empty
+
+
 def test_cap_left_side_plan_broadcasts_guard(spark):
-    """Plan contract: the guard is a broadcast-hash left join (the
-    over-cap key list is tiny) — it must not introduce a second
-    corpus-sized shuffle beside the band self-join, and the pair plan
+    """Plan contract: the guard join carries no forced broadcast hint
+    (a pathological many-over-cap corpus must degrade to a shuffle
+    join, not OOM the driver), but on a realistic corpus AQE's
+    measured sizes still convert it to broadcast-hash at runtime — so
+    the FINAL adaptive plan shows BroadcastHashJoin, and the pair plan
     stays cartesian-free."""
     docs = _planted(spark, 50)
-    plan = (
-        minhash_lsh_pairs(docs)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    df = minhash_lsh_pairs(docs)
+    df.collect()  # let AQE observe runtime sizes and finalize the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan

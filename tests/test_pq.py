@@ -258,13 +258,13 @@ def test_add_to_index_dim_mismatch_fails(spark, tmp_path):
     # empty batch is a clean no-op
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert add_to_index(spark, index, empty) == 0
-    # duplicate vec_ids within one batch collapse deterministically
-    # (min embedding wins) instead of raising — a raise would wedge a
-    # checkpointed --follow stream forever on the replayed batch
+    # exact-duplicate ROWS (an at-least-once replay window) collapse
+    # silently — a raise would wedge a checkpointed --follow stream
+    # forever on the replayed batch
     v = [0.0625] * 64
     v2 = [0.125] * 64
     dup = spark.createDataFrame(
-        [(777_001, v2), (777_001, v)], "vec_id long, embedding array<double>"
+        [(777_001, v), (777_001, v)], "vec_id long, embedding array<double>"
     )
     assert add_to_index(spark, index, dup) == 1
     stored = (
@@ -275,6 +275,17 @@ def test_add_to_index_dim_mismatch_fails(spark, tmp_path):
     assert stored == 1
     # replaying the identical batch appends nothing (same collapse pick)
     assert add_to_index(spark, index, dup) == 0
+    # but the same vec_id with CONFLICTING embeddings is a data bug a
+    # replay never produces — refuse loudly instead of silently
+    # discarding one of them
+    conflict = spark.createDataFrame(
+        [(777_002, v2), (777_002, v)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="conflicting"):
+        add_to_index(spark, index, conflict)
+    assert (
+        spark.read.parquet(index).where(F.col("vec_id") == 777_002).count() == 0
+    )
 
 
 def test_streaming_ann_ingest_drop_dir(spark, tmp_path):
