@@ -709,6 +709,71 @@ def index_stats(spark, index_path: str) -> DataFrame:
     )
 
 
+def vectors_sidecar_path(index_path: str) -> str:
+    """The raw-vector store kept beside a served index
+    (``<index>_vectors``): PQ codes are lossy, so retraining needs the
+    original embeddings — a deployment either keeps them (this sidecar,
+    the FAISS-with-raw-vectors layout) or re-reads its source of truth.
+    The sidecar is a plain append parquet dir; it lives BESIDE the
+    index symlink, so atomic index swaps never touch it."""
+    return index_path.rstrip("/") + "_vectors"
+
+
+def seed_index_vectors(emb: DataFrame, index_path: str) -> str:
+    """Write the training corpus's raw vectors into the sidecar — call
+    once after :func:`save_index` to make the index rebuildable (the
+    streaming ingest appends every later batch there)."""
+    path = vectors_sidecar_path(index_path)
+    emb.select("vec_id", "embedding").write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_index_vectors(spark, index_path: str) -> DataFrame:
+    """The sidecar's current contents with at-least-once replay appends
+    collapsed (a replayed batch re-appends bit-identical rows; vec_id
+    is unique upstream — :func:`add_to_index` raises on conflicts)."""
+    return (
+        spark.read.parquet(vectors_sidecar_path(index_path))
+        .dropDuplicates(["vec_id"])
+    )
+
+
+def rebuild_index(emb: DataFrame, index_path: str, *, kcells: int | None = None) -> None:
+    """Retrain both quantizers on ``emb`` and atomically swap the
+    served index to the fresh build — the drift answer for the
+    add-after-train lifecycle. Same pattern as
+    :func:`meilisync_spark.operators.refresh.refresh_data` (reference:
+    the shadow-index swap, meilisync/meili.py:34-71): train into a
+    versioned directory, repoint the ``index_path`` symlink via a
+    single atomic rename — readers (and concurrent
+    :func:`add_to_index` batches, which reload the meta per batch)
+    resolve old-or-new, never a half-written index. A legacy
+    real-directory index migrates to the symlink layout on its first
+    rebuild."""
+    import os
+    import shutil
+    import uuid
+
+    from meilisync_spark.operators.refresh import _sweep_stale
+
+    tag = uuid.uuid4().hex[:8]
+    version = f"{index_path.rstrip('/')}_v-{tag}"
+    prev = os.path.realpath(index_path) if os.path.islink(index_path) else None
+    _sweep_stale(index_path, keep={prev} if prev else set())
+    save_index(emb, version, kcells=kcells)
+    if os.path.islink(index_path) or not os.path.exists(index_path):
+        staged = f"{index_path.rstrip('/')}_lnk-{tag}"
+        os.symlink(version, staged)
+        os.rename(staged, index_path)
+    else:
+        old = f"{index_path.rstrip('/')}_old-{tag}"
+        os.rename(index_path, old)
+        os.symlink(version, index_path)
+        shutil.rmtree(old, ignore_errors=True)
+    if prev and os.path.realpath(index_path) != prev:
+        shutil.rmtree(prev, ignore_errors=True)
+
+
 def retrain_due(spark, index_path: str, *, max_growth: float = 0.5) -> bool:
     """True when the index has grown past ``max_growth`` of its trained
     size — the retrain trigger a serving deployment polls. Growth (not

@@ -42,24 +42,51 @@ def run_ann_ingest(
     checkpoint_dir: str,
     *,
     dedup: bool = True,
+    retrain_max_growth: float | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     processing_interval: str | None = None,
     timeout_sec: float | None = 180.0,
-) -> None:
+) -> int:
     """Tail ``vectors_path`` (parquet drop dir of ``vec_id, embedding``
     rows) and fold each micro-batch into the :func:`save_index` layout
     at ``index_path`` via :func:`add_to_index`. The index must exist —
     adding before training has no codebooks to encode with, so it
     fails loudly rather than bootstrap a layout the probe can't
-    serve."""
-    from meilisync_spark.operators.ivfpq import ANN_META_FILE
+    serve. Returns the number of retrains performed (0 unless enabled).
+
+    ``retrain_max_growth`` closes the staleness loop: when set, every
+    batch's raw vectors are also appended to the index's ``_vectors``
+    sidecar (which must be seeded with the TRAINING corpus via
+    :func:`seed_index_vectors` — PQ codes are lossy, so a rebuild
+    needs the originals), and after each add the :func:`retrain_due`
+    growth monitor is polled; past the threshold the quantizers are
+    retrained on the full sidecar and the served index atomically
+    swapped (:func:`rebuild_index`). Later batches reload the meta per
+    add, so they resume against the NEW centroids/codebooks without
+    restarting the stream. Crash windows replay safely: the sidecar
+    append is collapsed by vec_id on read, and the add's dedup
+    anti-join no-ops rows the rebuild already folded in — keep
+    ``dedup=True`` whenever retraining is on (enforced below)."""
+    from meilisync_spark.operators.ivfpq import ANN_META_FILE, vectors_sidecar_path
 
     if not os.path.exists(os.path.join(index_path, ANN_META_FILE)):
         raise FileNotFoundError(
             f"{index_path} is not a servable ANN index (no {ANN_META_FILE}); "
             "build it first with save_index / the ann-build CLI"
         )
+    if retrain_max_growth is not None:
+        if not dedup:
+            raise ValueError(
+                "retrain_max_growth requires dedup=True: a replayed batch "
+                "whose vectors the rebuild already folded in would append twice"
+            )
+        if not os.path.exists(vectors_sidecar_path(index_path)):
+            raise FileNotFoundError(
+                f"{vectors_sidecar_path(index_path)} missing: seed it with the "
+                "training corpus (seed_index_vectors) so a retrain can cover "
+                "the originally-trained vectors — PQ codes are lossy"
+            )
     schema = spark.read.parquet(vectors_path).schema
     if os.path.isfile(vectors_path):
         # file source needs a directory basePath — stage a one-symlink
@@ -76,10 +103,33 @@ def run_ann_ingest(
         stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
     src = stream.parquet(vectors_path)
 
+    retrains = {"n": 0}
+
     def handle(batch: DataFrame, _bid: int) -> None:
-        add_to_index(spark, index_path, batch, dedup=dedup)
+        if retrain_max_growth is not None:
+            from meilisync_spark.operators.ivfpq import (
+                read_index_vectors,
+                rebuild_index,
+                retrain_due,
+                vectors_sidecar_path,
+            )
+
+            # sidecar first: if the add commits and we crash before the
+            # sidecar write, a later rebuild would lose this batch's
+            # raw vectors forever; the reverse order only risks a
+            # duplicate append, which read_index_vectors collapses
+            batch.select("vec_id", "embedding").write.mode("append").parquet(
+                vectors_sidecar_path(index_path)
+            )
+            add_to_index(spark, index_path, batch, dedup=dedup)
+            if retrain_due(spark, index_path, max_growth=retrain_max_growth):
+                rebuild_index(read_index_vectors(spark, index_path), index_path)
+                retrains["n"] += 1
+        else:
+            add_to_index(spark, index_path, batch, dedup=dedup)
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )
     _start_and_await(writer, available_now, processing_interval, timeout_sec)
+    return retrains["n"]

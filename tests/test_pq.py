@@ -336,6 +336,124 @@ def test_streaming_ann_ingest_drop_dir(spark, tmp_path):
     assert spark.read.parquet(index).count() == n_total
 
 
+def test_streaming_ann_retrain_loop(spark, tmp_path):
+    """The staleness loop closed: ingest past the growth threshold must
+    trigger exactly one quantizer retrain behind an atomic swap —
+    recall threshold-holds before, after the rebuild, and for adds that
+    RESUME against the new quantizers; the growth monitor resets."""
+    import glob
+    import os
+
+    from meilisync_spark.operators.ivfpq import (
+        index_stats,
+        query_index,
+        retrain_due,
+        save_index,
+        seed_index_vectors,
+    )
+    from meilisync_spark.operators.similarity import (
+        _recall_against_brute,
+        clustered_embeddings,
+    )
+    from meilisync_spark.streaming.ann_ingest import run_ann_ingest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ce = clustered_embeddings(emb).localCheckpoint(False)
+    index = str(tmp_path / "ann")
+    trained = ce.where(F.col("vec_id") % 4 != 3)
+    save_index(trained, index)
+    seed_index_vectors(trained.select("vec_id", "embedding"), index)
+
+    def mean_recall(corpus) -> float:
+        # brute-force oracle over what the index actually HOLDS — the
+        # recall contract is "finds the true neighbors among stored
+        # vectors", not "knows vectors never ingested"
+        qs = [
+            (r.vec_id, list(r.embedding))
+            for r in ce.where(f"vec_id < {pq.N_QUERIES}").collect()
+        ]
+        topk = query_index(spark, index, qs, k=5, refine=corpus)
+        rec = _recall_against_brute(corpus, topk, 5)
+        return sum(r.recall for r in rec.collect()) / pq.N_QUERIES
+
+    # before: with 1/4 of the corpus (many queries' twins) held out,
+    # the true NN among STORED vectors is often a non-twin in another
+    # cell — single-probe recall drops for those. 0.7 is the structural
+    # floor for this fixture split, not a staleness artifact; the
+    # strong 0.99 gates below are what the rebuild must restore.
+    assert mean_recall(trained.localCheckpoint(False)) >= 0.70
+
+    drop = str(tmp_path / "incoming")
+    os.makedirs(drop)
+    for i, m in enumerate((3, 7)):
+        out = str(tmp_path / f"stage_{i}")
+        ce.where(F.col("vec_id") % 8 == m).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.parquet(out)
+        part = glob.glob(f"{out}/part-*.parquet")[0]
+        os.rename(part, f"{drop}/batch_{i}.parquet")
+    # held-out 1/4 arrives over two batches of 1/8 each: growth passes
+    # 0.30 only after the SECOND batch (1/3 > 0.30 > 1/6) — one retrain
+    n_retrains = run_ann_ingest(
+        spark, drop, index, str(tmp_path / "ckpt"),
+        retrain_max_growth=0.30, max_files_per_trigger=1,
+    )
+    assert n_retrains == 1
+    # the swap left a symlinked, fully-trained index: baseline reset
+    assert os.path.islink(index)
+    stats = index_stats(spark, index).collect()
+    assert sum(r.added for r in stats) == 0
+    assert not retrain_due(spark, index, max_growth=0.30)
+    assert spark.read.parquet(index).count() == ce.count()
+    assert mean_recall(ce) >= 0.99
+
+    # adds RESUME against the retrained quantizers (same stream
+    # checkpoint, new file): appended and still servable
+    extra = [
+        (9_000_000 + j, [float((j * 13 + d) % 7) / 7.0 for d in range(64)])
+        for j in range(8)
+    ]
+    out = str(tmp_path / "stage_extra")
+    spark.createDataFrame(
+        extra, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.parquet(out)
+    part = glob.glob(f"{out}/part-*.parquet")[0]
+    os.rename(part, f"{drop}/batch_2.parquet")
+    run_ann_ingest(
+        spark, drop, index, str(tmp_path / "ckpt"),
+        retrain_max_growth=0.30, max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(index).count() == ce.count() + len(extra)
+    # the synthetic extras are far from the fixture's twin structure,
+    # so the original queries' neighbor sets are what matters: compare
+    # against the full original corpus (extras excluded from the brute
+    # oracle would be unfair only if they cracked a top-5 — they don't)
+    assert mean_recall(ce) >= 0.99
+
+
+def test_ann_retrain_requires_seeded_sidecar(spark, tmp_path):
+    import pytest
+
+    from meilisync_spark.operators.ivfpq import save_index
+    from meilisync_spark.operators.similarity import clustered_embeddings
+    from meilisync_spark.streaming.ann_ingest import run_ann_ingest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ce = clustered_embeddings(emb).localCheckpoint(False)
+    index = str(tmp_path / "ann")
+    save_index(ce, index)
+    with pytest.raises(FileNotFoundError, match="seed_index_vectors"):
+        run_ann_ingest(
+            spark, str(tmp_path), index, str(tmp_path / "ckpt"),
+            retrain_max_growth=0.5,
+        )
+    with pytest.raises(ValueError, match="dedup"):
+        run_ann_ingest(
+            spark, str(tmp_path), index, str(tmp_path / "ckpt"),
+            retrain_max_growth=0.5, dedup=False,
+        )
+
+
 def test_ann_ingest_requires_built_index(spark, tmp_path):
     import pytest
 
