@@ -359,6 +359,87 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    """One command, raw docs → servable vector index (the composed
+    curation pipeline a training-data deployment runs on a schedule):
+
+    1. streaming corpus ingest — exact + (default) near dedup into the
+       ``hb=``-bucketed corpus index, checkpointed (re-runs resume);
+    2. feature-hash embeddings (operators/similarity.text_embeddings)
+       of corpus docs not yet indexed — an id-only anti-join against
+       the ANN index decides "new", so re-runs are idempotent without
+       any extra bookkeeping (the vec_id scan is column-pruned; no
+       embedding bytes move for already-indexed docs);
+    3. first run trains + persists the IVF+PQ index and seeds the raw-
+       vector sidecar; later runs append via add_to_index (cell-pruned
+       replay dedup) and, with ``--retrain-growth``, rebuild the
+       quantizers behind the atomic swap when drift passes the
+       threshold.
+
+    Engine-specific extension (no reference analogue): composes
+    `ingest`, `ann-build` and `ann-add` so the common path is one
+    checkpointed invocation."""
+    from meilisync_spark.operators.ivfpq import (
+        ANN_META_FILE,
+        add_to_index,
+        read_index_vectors,
+        rebuild_index,
+        retrain_due,
+        save_index,
+        seed_index_vectors,
+        vectors_sidecar_path,
+    )
+    from meilisync_spark.operators.similarity import text_embeddings
+    from meilisync_spark.streaming.corpus_ingest import run_corpus_ingest
+
+    spark = get_spark("meilisync-spark-pipeline")
+    run_corpus_ingest(
+        spark,
+        args.source,
+        args.corpus,
+        os.path.join(args.checkpoint, "ingest"),
+        apply_quality=args.quality,
+        near_dedup=not args.no_near_dedup,
+        available_now=True,
+    )
+    docs = spark.read.parquet(args.corpus).select("doc_id", "text")
+    emb = text_embeddings(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    retrained = 0
+    if not os.path.exists(os.path.join(args.index, ANN_META_FILE)):
+        emb = emb.localCheckpoint(True)  # feeds train AND the sidecar seed
+        save_index(emb, args.index)
+        seed_index_vectors(emb, args.index)
+        n_new = spark.read.parquet(args.index).count()
+    else:
+        known = spark.read.parquet(args.index).select(
+            F.col("vec_id").alias("seen_id")
+        )
+        new = emb.join(
+            known, F.col("vec_id") == F.col("seen_id"), "left_anti"
+        ).localCheckpoint(True)  # pin: sidecar append + encode reuse it
+        n_new = new.count()
+        if n_new:
+            # sidecar first (crash window re-appends; read collapses),
+            # same ordering contract as streaming/ann_ingest.py
+            new.write.mode("append").parquet(vectors_sidecar_path(args.index))
+            add_to_index(spark, args.index, new)
+        if args.retrain_growth is not None and retrain_due(
+            spark, args.index, max_growth=args.retrain_growth
+        ):
+            rebuild_index(read_index_vectors(spark, args.index), args.index)
+            retrained = 1
+    n_corpus = spark.read.parquet(args.corpus).count()
+    n_served = spark.read.parquet(args.index).count()
+    print(
+        f"pipeline: corpus {args.corpus}: {n_corpus} documents; "
+        f"ann {args.index}: {n_served} vectors ({n_new} new, "
+        f"retrained {retrained})"
+    )
+    return 0
+
+
 def cmd_rebucket(args: argparse.Namespace) -> int:
     """Offline capacity operation for the bucketed index layout (one
     full shuffle + atomic directory swap; see operators/bucketed.py)."""
@@ -588,6 +669,27 @@ def build_parser() -> argparse.ArgumentParser:
     ig.add_argument("--follow", action="store_true", help="keep tailing")
     ig.add_argument("--interval", default=None, help="processing trigger, e.g. '5 seconds'")
     ig.set_defaults(fn=cmd_ingest)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="raw docs drop-dir → deduped corpus → embeddings → "
+             "servable ANN index, one checkpointed command",
+    )
+    pl.add_argument("--source", required=True, help="incoming document dir")
+    pl.add_argument("--corpus", required=True, help="corpus index path")
+    pl.add_argument("--index", required=True, help="ANN index path")
+    pl.add_argument("--checkpoint", required=True)
+    pl.add_argument("--quality", action="store_true", help="apply quality gate")
+    pl.add_argument(
+        "--no-near-dedup", action="store_true",
+        help="skip MinHash near-dedup (exact dedup always applies)",
+    )
+    pl.add_argument(
+        "--retrain-growth", dest="retrain_growth", type=float, default=None,
+        help="added/trained fraction past which the quantizers retrain "
+             "behind an atomic swap (default: never)",
+    )
+    pl.set_defaults(fn=cmd_pipeline)
 
     rb = sub.add_parser(
         "rebucket", help="change the bucket count of a bucketed index (offline)"

@@ -284,6 +284,126 @@ def ann_recall_at_k_oracle_sql(k: int = TOP_K) -> str:
     """
 
 
+EMB_DIM = 64
+
+
+def _text_embedding_cells(docs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """(doc_id, d, v) — the sparse un-normalized feature-hash cells:
+    per word, bucket ``d`` = hash(word) mod dim with an independent ±1
+    sign hash; ``v`` sums the signs (exact integer arithmetic in
+    double space). The shared core of :func:`text_embeddings` (dense,
+    normalized) and :func:`text_embeddings_sparse` (the oracle-checked
+    driver shape)."""
+    from meilisync_spark.functions.hashing import portable_hash64
+    from meilisync_spark.operators.text import words_col
+    from meilisync_spark.sources.parquet import spread
+
+    words = spread(docs).select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("word")
+    )
+    feat = words.select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("emb:"), F.col("word"))), F.lit(dim)
+        ).cast("int").alias("d"),
+        F.when(
+            F.pmod(
+                portable_hash64(F.concat(F.lit("sgn:"), F.col("word"))), F.lit(2)
+            )
+            == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("s"),
+    )
+    return feat.groupBy("doc_id", "d").agg(F.sum("s").alias("v"))
+
+
+def text_embeddings_sparse(docs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """(doc_id, d, val) — the L2-normalized embedding in sparse long
+    form (only touched buckets), the driver-facing twin of
+    :func:`text_embeddings`: scalar doubles hash identically across
+    engines, where the dense array form's container rendering differs
+    (numpy ndarray vs list). All-cancelled docs (ssq = 0) keep raw
+    zeros, mirroring the dense form's guard."""
+    cells = _text_embedding_cells(docs, dim)
+    w = Window.partitionBy("doc_id")
+    ssq = F.sum(F.col("v") * F.col("v")).over(w)
+    return cells.select(
+        "doc_id",
+        "d",
+        F.when(ssq > 0, F.col("v") / F.sqrt(ssq)).otherwise(F.col("v")).alias("val"),
+    )
+
+
+def text_embeddings_sparse_oracle_sql(dim: int = EMB_DIM) -> str:
+    from meilisync_spark.functions.hashing import duck_hash64
+    from meilisync_spark.operators.text import duck_words
+
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest({duck_words()}) AS word FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST({duck_hash64("'emb:' || word")} % {dim} AS INTEGER) AS d,
+               CASE WHEN {duck_hash64("'sgn:' || word")} % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM w
+    ),
+    cells AS (SELECT doc_id, d, SUM(s) AS v FROM feat GROUP BY 1, 2),
+    stats AS (SELECT doc_id, SUM(v * v) AS ssq FROM cells GROUP BY 1)
+    SELECT c.doc_id, c.d,
+           CASE WHEN s.ssq > 0 THEN c.v / sqrt(s.ssq) ELSE c.v END AS val
+    FROM cells c JOIN stats s USING (doc_id)
+    """
+
+
+def text_embeddings(docs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """(doc_id, embedding array<double>) — deterministic text embedder
+    via the feature-hashing trick (Weinberger et al. 2009, "Feature
+    Hashing for Large Scale Multitask Learning"): every word hashes to
+    one of ``dim`` buckets with an independent ±1 sign hash, counts
+    accumulate per bucket, and the vector is L2-normalized. Vocabulary-
+    free and pure JVM — no model weights, no UDF — so it is the honest
+    scalable stand-in that makes the docs→embeddings→ANN pipeline
+    runnable end-to-end; a production deployment swaps in a Pandas-UDF
+    model encoder with the same (doc_id, embedding) contract. Docs
+    with no word tokens emit no row (nothing to embed).
+
+    Scale: one explode + two hash aggregations keyed on doc_id; cells
+    per doc are capped at ``dim``, norms stay exact (±1 integer sums),
+    and the two final IEEE ops (sqrt, divide) are applied in the same
+    order as the DuckDB oracle (which checks the sparse twin,
+    :func:`text_embeddings_sparse` — same cells, same normalization;
+    the dense assembly is the only unshared step)."""
+    cells = _text_embedding_cells(docs, dim)
+    dense = (
+        cells.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("d", "v"))).alias("m"),
+            F.sum(F.col("v") * F.col("v")).alias("ssq"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)),
+            ).alias("raw"),
+            "ssq",
+        )
+    )
+    return dense.select(
+        "doc_id",
+        F.when(
+            F.col("ssq") > 0,
+            F.transform(F.col("raw"), lambda x: x / F.sqrt(F.col("ssq"))),
+        )
+        .otherwise(F.col("raw"))
+        .alias("embedding"),
+    )
+
+
 def embedding_quantize(emb: DataFrame) -> DataFrame:
     """(vec_id, amax, qvec) — symmetric per-vector int8 quantization:
     each component mapped to round(x / max|x| · 127), the standard

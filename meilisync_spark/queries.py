@@ -1679,6 +1679,20 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+@register("text_embeddings", _sim.text_embeddings_sparse_oracle_sql(),
+          doc="Feature-hashing text embedder (Weinberger et al. 2009): "
+              "word → ±1-signed bucket of 64, counts L2-normalized — the "
+              "deterministic, vocabulary-free encoder that makes the "
+              "docs→embeddings→ANN pipeline runnable end-to-end (CLI "
+              "`pipeline`). Pure JVM: one explode + two doc_id-keyed "
+              "aggregations. Driver-facing shape is the sparse long form "
+              "(doc_id, d, val) — scalar doubles hash identically across "
+              "engines; the dense array twin (text_embeddings) shares "
+              "every step but the assembly.")
+def q_text_embeddings(spark, sf_dir):
+    return _sim.text_embeddings_sparse(_t(spark, sf_dir, "documents"))
+
+
 @register("label_centroids", _sim.label_centroid_components_oracle_sql(),
           doc="Distributed k-means update step: per-cell element-wise mean "
               "via fixed-point (2^-30) quantized sums — exact, order-"

@@ -634,3 +634,102 @@ def test_cli_ann_add_and_stats(spark, tmp_path, capsys):
     rc = main(["ann-add", "--vectors", extra, "--index", str(tmp_path / "no")])
     assert rc == 2
     assert "ann-build" in capsys.readouterr().err
+
+
+def test_cli_pipeline_docs_to_served_index(spark, tmp_path, capsys):
+    """The one-command pipeline: two dropped batches stream through
+    ingest (near-dups absent from the corpus), every surviving doc's
+    feature-hash embedding is served by the ANN index (exhaustive-probe
+    recall 1.0 vs brute-force cosine), later adds fold in through the
+    same checkpointed command, and crossing --retrain-growth swaps in
+    retrained quantizers."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.operators.ivfpq import load_index_meta, query_index
+    from meilisync_spark.operators.similarity import (
+        _recall_against_brute,
+        text_embeddings,
+    )
+    from meilisync_spark.sources.parquet import load_table
+
+    texts = [
+        r.text
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .where(F.length("text") > 120)
+        .select("text")
+        .limit(45)
+        .collect()
+    ]
+    assert len(texts) == 45
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def rows(ids_texts):
+        return [(i, t, "en", "crawl", len(t)) for i, t in ids_texts]
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+
+    def stage(name, batch):
+        out = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(out)
+        part = glob.glob(f"{out}/part-*.parquet")[0]
+        os.rename(part, f"{src}/{name}.parquet")
+
+    # batch 0: 30 distinct docs + a near-dup variant of doc 10
+    stage("b0", rows([(i, texts[i]) for i in range(30)]
+                     + [(900_000, texts[10] + " extra")]))
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "ann")
+    args = ["pipeline", "--source", src, "--corpus", corpus,
+            "--index", index, "--checkpoint", str(tmp_path / "ckpt"),
+            "--retrain-growth", "0.25"]
+    assert main(args) == 0
+
+    kept = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    # the planted near-dup is absent; the fixture corpus itself carries
+    # planted near-dup pairs, so a few of the 30 may legitimately drop
+    # too — lower ids win, so the query batch 0..7 survives
+    assert 900_000 not in kept
+    assert kept <= set(range(30)) and set(range(8)) <= kept
+    n1 = len(kept)
+
+    def served_recall() -> float:
+        docs = spark.read.parquet(corpus).select("doc_id", "text")
+        emb = text_embeddings(docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).withColumn("label", F.lit(0)).localCheckpoint(True)
+        # (cosine_topk's brute side wants a label column; one flat
+        # label = plain brute force over everything)
+        qs = [(r.vec_id, list(r.embedding))
+              for r in emb.where("vec_id < 8").collect()]
+        kcells = len(load_index_meta(index)[1])
+        topk = query_index(spark, index, qs, k=5, nprobe=kcells, refine=emb)
+        rec = _recall_against_brute(emb, topk, 5).collect()
+        return sum(r.recall for r in rec) / len(rec)
+
+    assert spark.read.parquet(index).count() == n1
+    assert served_recall() >= 0.999
+
+    # batch 1: 15 new docs + a near-dup of doc 3 — rerun resumes the
+    # checkpoint, embeds only the new corpus docs, and the 50% growth
+    # crosses --retrain-growth 0.4: quantizers swap atomically
+    stage("b1", rows([(100 + j, texts[30 + j]) for j in range(15)]
+                     + [(900_001, texts[3] + " another")]))
+    assert main(args) == 0
+    kept2 = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert 900_001 not in kept2
+    new_kept = kept2 - kept
+    assert kept <= kept2 and new_kept <= {100 + j for j in range(15)}
+    assert len(new_kept) / n1 > 0.25  # growth really crossed the trigger
+    assert spark.read.parquet(index).count() == len(kept2)
+    assert os.path.islink(index)  # the retrain swapped a fresh build in
+    assert served_recall() >= 0.999
+    out = capsys.readouterr().out
+    assert "retrained 1" in out
+
+    # third run with nothing new: idempotent no-op, no second retrain
+    assert main(args) == 0
+    assert spark.read.parquet(index).count() == len(kept2)
+    assert "0 new, retrained 0" in capsys.readouterr().out
