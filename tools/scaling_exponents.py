@@ -19,7 +19,11 @@ one-word-edit near duplicates (constant DENSITY, so dup work scales
 with rows, not rows²); embeddings(vec_id, embedding float[64], label).
 
 Usage: python tools/scaling_exponents.py [--sizes 5000,15000,50000]
-Writes one JSON line (also to SCALING.json) — copy the numbers into
+                                         [--queries a,b,c]
+Writes one JSON line and MERGES into SCALING.json (per-query,
+per-size union with exponents recomputed over each query's full
+sorted series) — so a later large-size run extends the recorded
+series instead of clobbering the other queries. Copy the numbers into
 SCALE.md's scaling-exponents section.
 """
 
@@ -119,19 +123,22 @@ def main() -> None:
     sizes = [5000, 15000, 50000]
     if "--sizes" in sys.argv:
         sizes = [int(x) for x in sys.argv[sys.argv.index("--sizes") + 1].split(",")]
+    queries = list(QUERIES)
+    if "--queries" in sys.argv:
+        queries = sys.argv[sys.argv.index("--queries") + 1].split(",")
 
     from meilisync_spark import queries as Q
     from meilisync_spark.session import get_spark
 
     spark = get_spark(app_name="meilisync-spark-scaling")
     work = tempfile.mkdtemp(prefix="mls_scaling_")
-    timings: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    timings: dict[str, dict[int, float]] = {q: {} for q in queries}
     try:
         for n in sizes:
             d = os.path.join(work, f"n{n}")
             os.makedirs(d)
             gen_corpus(n, max(n // 5, 2000), d)
-            for name in QUERIES:
+            for name in queries:
                 fn = Q.REGISTRY[name].fn
                 best = float("inf")
                 for _ in range(2):
@@ -144,20 +151,30 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "SCALING.json")
     out = {"sizes": sizes, "timings": {}, "exponents": {}}
-    for name in QUERIES:
-        ts = timings[name]
-        out["timings"][name] = {str(n): ts[n] for n in sizes}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        out["timings"] = prev.get("timings", {})
+        out["sizes"] = sorted(
+            set(prev.get("sizes", [])) | set(sizes)
+        )
+    for name in queries:
+        merged = dict(out["timings"].get(name, {}))
+        merged.update({str(n): timings[name][n] for n in sizes})
+        out["timings"][name] = merged
+    # exponents over each query's FULL sorted series (merged runs)
+    for name, ts in out["timings"].items():
+        series = sorted((int(k), v) for k, v in ts.items())
         exps = {}
-        for a, b in zip(sizes, sizes[1:]):
-            exps[f"{a}->{b}"] = round(
-                math.log(ts[b] / ts[a]) / math.log(b / a), 3
-            )
+        for (a, ta), (b, tb) in zip(series, series[1:]):
+            exps[f"{a}->{b}"] = round(math.log(tb / ta) / math.log(b / a), 3)
         out["exponents"][name] = exps
     payload = json.dumps(out)
     print(payload)
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING.json"), "w") as fh:
+    with open(path, "w") as fh:
         fh.write(payload + "\n")
 
 
