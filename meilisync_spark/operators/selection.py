@@ -1,0 +1,273 @@
+"""Corpus selection for training-data pipelines: DSIR-style importance
+weighting and token-budget curation.
+
+The reference engine syncs documents verbatim; a 100-TB training
+pipeline additionally has to DECIDE which documents to keep. Two
+published selection shapes are implemented here Spark-first:
+
+- :func:`dsir_weights` — hashed-n-gram importance weights in the shape
+  of DSIR (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): bag-of-hashed-ngram features, a target-vs-
+  raw frequency model with add-one smoothing over the hashed bucket
+  space, one weight per document. The published estimator exponentiates
+  a sum of per-feature log-ratios; cross-engine log-sums are not
+  bit-reproducible (libm vs JVM transcendentals), so the weight here is
+  the LINEARIZED twin — the ratio of the document's smoothed target
+  feature mass to its smoothed raw feature mass, normalized by the
+  corpus-level masses. Every aggregate stays in exact int64; the weight
+  is derived by a fixed three-op IEEE tail (div, mul, div) applied
+  identically in both engines, so the driver value-hash is stable.
+- :func:`dsir_select` — deterministic importance selection: top
+  ``fraction`` of each language partition by weight (total order:
+  weight desc, doc_id asc). The paper's Gumbel-top-k sampler perturbs
+  the sort key with log-transformed uniforms; the transcendental again
+  breaks cross-engine determinism, so selection is by the weight rank
+  itself (the fraction-quantile shape production pipelines use).
+- :func:`budget_select` — token-budget curation: per language, rank
+  documents by an integer fixed-point quality key (distinct-token
+  ratio — the Gopher repetition signal inverted into a selection key)
+  and keep documents while the running token total fits the budget.
+  All-integer, so exact everywhere.
+
+Scale notes (100 TB): the feature-frequency table is bounded by the
+hashed bucket space (``DSIR_BUCKETS`` rows after the groupBy — map-side
+partials absorb the Zipfian feature skew), so the join back to the
+token stream is a guaranteed broadcast; the only wide shuffle is the
+final doc_id aggregation. The two window operators partition by
+``lang`` — at petabyte scale a language is still too wide for one
+window partition, so production would first derive the per-lang weight
+threshold / budget cutoff with ``approxQuantile`` and filter by it
+(same result modulo boundary ties); the exact window form is the
+oracle-checkable contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from meilisync_spark.functions.hashing import portable_hash64, duck_hash64
+from meilisync_spark.operators.text import (
+    duck_shingles,
+    duck_words,
+    shingles_col,
+    words_col,
+)
+from meilisync_spark.sources.parquet import spread
+
+# Hashed feature space (unigrams + word bigrams share it, as in the
+# DSIR reference implementation). 1024 buckets keeps the frequency
+# table broadcastable by construction at any corpus size.
+DSIR_BUCKETS = 1024
+
+# Fixed-point scale for the distinct-token-ratio selection key:
+# n_distinct * SCALE / n_tokens stays exact in int64 for any document
+# below ~9e12 distinct tokens.
+RATIO_SCALE = 1_000_000
+
+DSIR_SELECT_FRACTION = 0.25
+TOKEN_BUDGET = 2_000
+
+
+def _features_col(w: Column) -> Column:
+    """Hashed unigram + word-bigram feature ids (0..DSIR_BUCKETS-1)."""
+    feats = F.concat(w, shingles_col(w, 2))
+    return F.transform(feats, lambda s: F.pmod(portable_hash64(s), F.lit(DSIR_BUCKETS)))
+
+
+def _duck_features(w: str) -> str:
+    return (
+        f"list_transform(list_concat({w}, {duck_shingles(w, 2)}), "
+        f"s -> {duck_hash64('s')} % {DSIR_BUCKETS})"
+    )
+
+
+def dsir_weights(docs: DataFrame, target: Column | None = None) -> DataFrame:
+    """(doc_id, n_feats, t_mass, r_mass, weight) — importance weight of
+    every document against a target distribution.
+
+    ``target`` is a boolean Column over ``docs`` marking the target
+    subset (default: ``lang = 'en'``). Features are hashed unigrams and
+    word bigrams; with add-one smoothing over the ``DSIR_BUCKETS``
+    bucket space the per-document weight is::
+
+        weight = (t_mass / T) / (r_mass / R)
+
+    where ``t_mass = Σ_occurrences (target_count(f) + 1)``, ``r_mass``
+    the raw twin, and ``T = Σ_buckets target_count + B`` / ``R`` the
+    corpus normalizers. Documents with no word tokens have no features
+    and drop out (both engines identically).
+
+    Plan shape: tokenize scan → ONE groupBy(feat) computing raw and
+    target counts together (single shuffle over ≤ B keys, map-side
+    combined) → broadcast join back (B-row side) → groupBy(doc_id).
+    """
+    docs = spread(docs)
+    target = target if target is not None else (F.col("lang") == "en")
+    tok = docs.select(
+        "doc_id",
+        target.cast("long").alias("is_t"),
+        F.explode(_features_col(words_col(F.col("text")))).alias("feat"),
+    )
+    # The frequency table is ≤ DSIR_BUCKETS rows but sits downstream of
+    # the full tokenize+hash scan; without a pin its three consumers
+    # (broadcast join side, both normalizer sums) would each recompute
+    # that scan. Lazy localCheckpoint (the dedup.py pin pattern) keeps
+    # the whole job at the two-pass minimum: one scan builds freq, one
+    # scan streams tokens past it.
+    freq = tok.groupBy("feat").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum("is_t").alias("t_cnt"),
+    ).localCheckpoint(False)
+    tot = freq.agg(
+        (F.sum("t_cnt") + F.lit(DSIR_BUCKETS)).alias("t_tot"),
+        (F.sum("r_cnt") + F.lit(DSIR_BUCKETS)).alias("r_tot"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(freq), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.col("t_cnt") + F.lit(1)).alias("t_mass"),
+            F.sum(F.col("r_cnt") + F.lit(1)).alias("r_mass"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_feats",
+        "t_mass",
+        "r_mass",
+        (
+            F.col("t_mass").cast("double")
+            / F.col("r_mass")
+            * F.col("r_tot")
+            / F.col("t_tot")
+        ).alias("weight"),
+    )
+
+
+def _duck_weights_ctes(target_sql: str = "lang = 'en'") -> str:
+    f = _duck_features("w")
+    return f"""
+    wdocs AS (SELECT doc_id, {target_sql} AS is_t, {duck_words()} AS w
+              FROM documents),
+    tok AS (SELECT doc_id, is_t, unnest({f}) AS feat FROM wdocs),
+    freq AS (SELECT feat, count(*) AS r_cnt,
+                    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+             FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(t_cnt) AS BIGINT) + {DSIR_BUCKETS} AS t_tot,
+                   CAST(sum(r_cnt) AS BIGINT) + {DSIR_BUCKETS} AS r_tot
+            FROM freq),
+    per_doc AS (SELECT doc_id, count(*) AS n_feats,
+                       CAST(sum(t_cnt + 1) AS BIGINT) AS t_mass,
+                       CAST(sum(r_cnt + 1) AS BIGINT) AS r_mass
+                FROM tok JOIN freq USING (feat) GROUP BY 1),
+    weights AS (SELECT doc_id, n_feats, t_mass, r_mass,
+                       CAST(t_mass AS DOUBLE) / r_mass * r_tot / t_tot AS weight
+                FROM per_doc, tot)
+    """
+
+
+def dsir_weights_oracle_sql() -> str:
+    return f"""
+    WITH {_duck_weights_ctes()}
+    SELECT doc_id, n_feats, t_mass, r_mass, weight FROM weights
+    """
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column | None = None,
+    fraction: float = DSIR_SELECT_FRACTION,
+) -> DataFrame:
+    """(doc_id, lang, weight) — the top ``fraction`` of each language
+    by importance weight, doc_id as the total-order tie-break."""
+    w = dsir_weights(docs, target).select("doc_id", "weight")
+    d = docs.join(w, "doc_id").select("doc_id", "lang", "weight")
+    order = Window.partitionBy("lang").orderBy(F.desc("weight"), F.asc("doc_id"))
+    part = Window.partitionBy("lang")
+    return (
+        d.withColumn("rnk", F.row_number().over(order))
+        .withColumn("n", F.count(F.lit(1)).over(part))
+        .where(F.col("rnk") <= F.ceil(F.col("n") * F.lit(fraction)))
+        .select("doc_id", "lang", "weight")
+    )
+
+
+def dsir_select_oracle_sql(fraction: float = DSIR_SELECT_FRACTION) -> str:
+    return f"""
+    WITH {_duck_weights_ctes()},
+    ranked AS (
+        SELECT d.doc_id, d.lang, weights.weight,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY weights.weight DESC, d.doc_id) AS rnk,
+               count(*) OVER (PARTITION BY d.lang) AS n
+        FROM documents d JOIN weights ON d.doc_id = weights.doc_id
+    )
+    SELECT doc_id, lang, weight FROM ranked
+    WHERE rnk <= ceil(n * {fraction})
+    """
+
+
+def budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """(doc_id, lang, n_tokens, cum_tokens) — per language, documents
+    admitted under a token budget in quality order.
+
+    Quality key = fixed-point distinct-token ratio
+    ``floor(n_distinct * RATIO_SCALE / n_tokens)`` (Gopher's repetition
+    signal as a selection key — repetitive documents rank last), doc_id
+    tie-break; a document is kept while the running token total
+    (including itself) fits ``budget``. Zero-token documents have no
+    defined ratio and are excluded on both sides.
+    """
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    ).where(F.col("n_tokens") > 0)
+    key = F.floor(
+        F.col("n_distinct").cast("double") * F.lit(RATIO_SCALE) / F.col("n_tokens")
+    ).alias("qkey")
+    order = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("qkey"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        stats.withColumn("qkey", key)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(order))
+        .where(F.col("cum_tokens") <= F.lit(budget))
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+def budget_select_oracle_sql(budget: int = TOKEN_BUDGET) -> str:
+    w = duck_words()
+    return f"""
+    WITH stats AS (
+        SELECT doc_id, lang,
+               len({w}) AS n_tokens,
+               len(list_distinct({w})) AS n_distinct
+        FROM documents
+        WHERE len({w}) > 0
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(CAST(n_distinct AS DOUBLE) * {RATIO_SCALE} / n_tokens)
+                    AS BIGINT) AS qkey
+        FROM stats
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                        ORDER BY qkey DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_tokens
+        FROM keyed
+    )
+    WHERE cum_tokens <= {budget}
+    """

@@ -2643,6 +2643,45 @@ def q_profile_documents(spark, sf_dir):
     )
 
 
+from meilisync_spark.operators import selection as _sel
+
+
+@register(
+    "dsir_weights",
+    _sel.dsir_weights_oracle_sql(),
+    doc="DSIR-shaped importance weights (Xie et al. 2023): hashed "
+        "unigram+bigram bag features, add-one-smoothed target-vs-raw "
+        "mass ratio per doc (target = lang('en') docs). Integer-exact "
+        "until a fixed 3-op IEEE tail; the 1024-bucket frequency table "
+        "is broadcast by construction.",
+)
+def q_dsir_weights(spark, sf_dir):
+    return _sel.dsir_weights(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dsir_select",
+    _sel.dsir_select_oracle_sql(),
+    doc="Deterministic importance selection: top 25% of each language "
+        "by DSIR weight (weight desc, doc_id tie-break). The window "
+        "form is the contract; at scale the cutoff comes from "
+        "approxQuantile + filter.",
+)
+def q_dsir_select(spark, sf_dir):
+    return _sel.dsir_select(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "budget_select",
+    _sel.budget_select_oracle_sql(),
+    doc="Token-budget curation: per lang, admit docs in fixed-point "
+        "distinct-ratio quality order while the running token total "
+        "fits the budget. All-integer; cumsum window per lang.",
+)
+def q_budget_select(spark, sf_dir):
+    return _sel.budget_select(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry accessors (used by __spark_entry__.py and tests)
 # ---------------------------------------------------------------------------

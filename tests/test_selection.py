@@ -1,0 +1,122 @@
+"""Semantics checks for the corpus-selection operators (DSIR-shaped
+importance weights, importance selection, token-budget curation) on
+tiny hand-built inputs — independent of the DuckDB oracle (which runs
+in test_oracle_parity), these pin the math against a plain Python
+reimplementation and the selection invariants against construction."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from meilisync_spark.operators.selection import (
+    DSIR_BUCKETS,
+    budget_select,
+    dsir_select,
+    dsir_weights,
+)
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def _feats(text: str) -> list[int]:
+    w = re.findall("[a-z]+", text.lower())
+    grams = w + [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+    return [_h64(g) % DSIR_BUCKETS for g in grams]
+
+
+def _py_weights(docs: list[tuple[int, str, str]]) -> dict[int, tuple[int, int, int, float]]:
+    feats = {d: _feats(t) for d, t, _ in docs}
+    r_cnt: dict[int, int] = {}
+    t_cnt: dict[int, int] = {}
+    for d, _, lang in docs:
+        for f in feats[d]:
+            r_cnt[f] = r_cnt.get(f, 0) + 1
+            if lang == "en":
+                t_cnt[f] = t_cnt.get(f, 0) + 1
+    t_tot = sum(t_cnt.values()) + DSIR_BUCKETS
+    r_tot = sum(r_cnt.values()) + DSIR_BUCKETS
+    out = {}
+    for d, _, _lang in docs:
+        if not feats[d]:
+            continue
+        t_mass = sum(t_cnt.get(f, 0) + 1 for f in feats[d])
+        r_mass = sum(r_cnt.get(f, 0) + 1 for f in feats[d])
+        out[d] = (len(feats[d]), t_mass, r_mass, t_mass / r_mass * r_tot / t_tot)
+    return out
+
+
+DOCS = [
+    (1, "spark join shuffle plan spark join", "en"),
+    (2, "spark join shuffle plan table scan", "en"),
+    (3, "fenster tisch stuhl baum fluss", "de"),
+    (4, "spark join shuffle plan spark join", "de"),  # en-like text, de label
+    (5, "mesa silla arbol rio puente", "es"),
+    (6, "", "en"),  # no tokens -> drops out
+]
+
+
+def test_dsir_weights_matches_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in dsir_weights(df).collect()}
+    want = _py_weights(DOCS)
+    assert set(got) == set(want)  # doc 6 absent on both sides
+    for d, (n_feats, t_mass, r_mass, weight) in want.items():
+        r = got[d]
+        assert (r.n_feats, r.t_mass, r.r_mass) == (n_feats, t_mass, r_mass)
+        assert r.weight == pytest.approx(weight, rel=1e-12)
+
+
+def test_dsir_weight_ranks_target_like_text_higher(spark):
+    # doc 4 carries target-vocabulary text under a non-target label —
+    # importance weighting exists exactly to pull such docs forward.
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    w = {r.doc_id: r.weight for r in dsir_weights(df).collect()}
+    assert w[4] > w[3] and w[4] > w[5]
+
+
+def test_dsir_select_takes_ceil_fraction_per_lang(spark):
+    docs = [(i, f"w{i} common word soup", ["en", "de"][i % 2]) for i in range(1, 12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    sel = dsir_select(df, fraction=0.25).collect()
+    by_lang: dict[str, int] = {}
+    for r in sel:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    n = {"en": 6, "de": 5}  # ids 2,4,..10 -> de(5); 1,3,..11 -> en(6)
+    assert by_lang == {lang: math.ceil(0.25 * c) for lang, c in n.items()}
+
+
+def test_budget_select_prefix_semantics(spark):
+    # One lang; distinct-ratio quality order is doc 1 (ratio 1.0),
+    # doc 2 (0.75), doc 3 (0.5), doc 4 (0.33).
+    docs = [
+        (1, "alpha bravo charlie delta", "en"),          # 4 tok, ratio 1.0
+        (2, "echo foxtrot golf golf", "en"),             # 4 tok, ratio .75
+        (3, "hotel hotel india india", "en"),            # 4 tok, ratio .5
+        (4, "kilo kilo kilo", "en"),                     # 3 tok, ratio .33
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.cum_tokens for r in budget_select(df, budget=9).collect()}
+    # prefix in quality order: doc1 (cum 4), doc2 (cum 8) fit; doc3
+    # (cum 12) exceeds; doc4 (cum 15) stays out even though its own 3
+    # tokens would "fit" the leftover — budget admission is a prefix,
+    # not a knapsack.
+    assert got == {1: 4, 2: 8}
+
+
+def test_budget_select_excludes_zero_token_docs(spark):
+    docs = [(1, "alpha bravo", "en"), (2, "", "en"), (3, "12345 !!!", "en")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    assert [r.doc_id for r in budget_select(df, budget=100).collect()] == [1]
+
+
+def test_dsir_freq_join_is_broadcast(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    plan = dsir_weights(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
