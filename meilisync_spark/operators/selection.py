@@ -48,6 +48,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from meilisync_spark.functions.hashing import portable_hash64, duck_hash64
+from meilisync_spark.operators.dedup import dedup_clusters, dedup_clusters_oracle_sql
+from meilisync_spark.operators.sampling import SPLIT_TRAIN, SPLIT_VAL
 from meilisync_spark.operators.text import (
     duck_shingles,
     duck_words,
@@ -270,4 +272,47 @@ def budget_select_oracle_sql(budget: int = TOKEN_BUDGET) -> str:
         FROM keyed
     )
     WHERE cum_tokens <= {budget}
+    """
+
+
+def cluster_safe_split(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, bucket, split) — train/val/test assignment
+    that near-dup clusters cross as a UNIT: the split hash is taken
+    over the cluster representative (min doc_id of the MinHash-LSH
+    connected component), not the document itself. Per-document
+    hashing (:func:`~meilisync_spark.operators.sampling.split_assign`)
+    can land two near-duplicates on opposite sides of the train/test
+    cut — the classic contamination path a held-out set must not have;
+    hashing the component label closes it by construction.
+
+    The hash salt and the 80/90 cut points are shared with
+    ``split_assign``, so a singleton document (cluster_id = its own
+    doc_id) receives the IDENTICAL assignment — adopting the
+    cluster-safe form reshuffles only documents that have near-dups.
+
+    Cost over ``split_assign`` is :func:`dedup_clusters` itself (the
+    guarded LSH graph + diameter-bounded label propagation); the split
+    derivation adds one hash per row, no extra shuffle.
+    """
+    clusters = dedup_clusters(docs)
+    bucket = portable_hash64(F.concat(F.lit("split:"), F.col("cluster_id"))) % 100
+    return clusters.select("doc_id", "cluster_id", bucket.alias("bucket")).select(
+        "doc_id",
+        "cluster_id",
+        "bucket",
+        F.when(F.col("bucket") < SPLIT_TRAIN, "train")
+        .when(F.col("bucket") < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def cluster_safe_split_oracle_sql() -> str:
+    h = duck_hash64("'split:' || cluster_id")
+    return f"""
+    SELECT doc_id, cluster_id, {h} % 100 AS bucket,
+           CASE WHEN {h} % 100 < {SPLIT_TRAIN} THEN 'train'
+                WHEN {h} % 100 < {SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM ({dedup_clusters_oracle_sql()}) c
     """

@@ -2682,6 +2682,19 @@ def q_budget_select(spark, sf_dir):
     return _sel.budget_select(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "cluster_safe_split",
+    _sel.cluster_safe_split_oracle_sql(),
+    doc="Leakage-safe train/val/test split: the split hash is taken "
+        "over the near-dup cluster representative, so duplicate groups "
+        "cross the cut as a unit (no train/test contamination). Same "
+        "salt + cut points as split_assign — singletons keep their "
+        "per-doc assignment.",
+)
+def q_cluster_safe_split(spark, sf_dir):
+    return _sel.cluster_safe_split(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry accessors (used by __spark_entry__.py and tests)
 # ---------------------------------------------------------------------------

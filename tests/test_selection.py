@@ -12,9 +12,11 @@ import re
 
 import pytest
 
+from meilisync_spark.operators.sampling import split_assign
 from meilisync_spark.operators.selection import (
     DSIR_BUCKETS,
     budget_select,
+    cluster_safe_split,
     dsir_select,
     dsir_weights,
 )
@@ -113,6 +115,31 @@ def test_budget_select_excludes_zero_token_docs(spark):
     docs = [(1, "alpha bravo", "en"), (2, "", "en"), (3, "12345 !!!", "en")]
     df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
     assert [r.doc_id for r in budget_select(df, budget=100).collect()] == [1]
+
+
+def test_cluster_safe_split_moves_clusters_as_a_unit(spark):
+    # 14-word base doc; near-dups differ by the last word, so MinHash
+    # bands collide and the three variants form one cluster. Distinct
+    # docs use disjoint vocabularies.
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
+    docs = [
+        (1, base + " november"),
+        (2, base + " oscar"),
+        (3, base + " papa"),
+        (10, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece catorce"),
+        (11, "eins zwei drei vier fuenf sechs sieben acht neun zehn elf zwoelf dreizehn vierzehn"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in cluster_safe_split(df).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11}
+    # the near-dup trio shares one cluster AND one split
+    assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id == 1
+    assert rows[1].split == rows[2].split == rows[3].split
+    # singletons: same assignment as per-doc split_assign (shared salt)
+    per_doc = {r.doc_id: r.split for r in split_assign(df).collect()}
+    for d in (10, 11):
+        assert rows[d].cluster_id == d
+        assert rows[d].split == per_doc[d]
 
 
 def test_dsir_freq_join_is_broadcast(spark):
