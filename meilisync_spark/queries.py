@@ -2772,7 +2772,12 @@ DRIVER_ORDER = [
     # certifies recall 1.0 through the full build-once → store →
     # route → prune → ADC → refine serving lifecycle
     "ann_query_served",
-    "embedding_quantize",
+    # embedding_quantize moved out of the window in round 7 (simple
+    # per-vector transform; similarity keeps cosine_topk, ann_ivf_label,
+    # ann_query_served, label_centroids, semantic_dedup in-window; still
+    # oracle-checked by driver_sim --all) to surface the new corpus-
+    # selection family's flagship row:
+    "dsir_weights",
     "label_centroids",
     "semantic_dedup",
     # multimodal plumbing
