@@ -399,14 +399,17 @@ def minhash_lsh_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> Data
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
     )
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash")
-    pairs = (
+    matched = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    # est_jaccard is a pure function of the pair (one sig per doc), so
+    # computing it BEFORE the dedup lets the distinct shuffle move a
+    # 3-column row instead of two NUM_PERM-element sig arrays — ~10×
+    # less shuffle payload for the up-to-BANDS-fold duplicate pairs.
+    return (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b", (matched / F.lit(NUM_PERM)).alias("est_jaccard"))
         .distinct()
     )
-    matched = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-    return pairs.select("doc_a", "doc_b", (matched / F.lit(NUM_PERM)).alias("est_jaccard"))
 
 
 def _duck_sig_cte(source: str = "documents") -> str:
@@ -567,16 +570,17 @@ def incremental_neardup(
         F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c"),
         "band_idx", "band_hash",
     )
-    pairs = (
-        delta.join(corpus, ["band_idx", "band_hash"])
-        .select("new_doc", "corpus_doc", "sig_n", "sig_c")
-        .distinct()
-    )
     matched = F.size(
         F.filter(F.zip_with("sig_n", "sig_c", lambda x, y: x == y), lambda m: m)
     )
-    return pairs.select(
-        "new_doc", "corpus_doc", (matched / F.lit(NUM_PERM)).alias("est_jaccard")
+    # compute-then-distinct (see minhash_lsh_pairs): the dedup shuffle
+    # carries a 3-column row, not two sig arrays
+    return (
+        delta.join(corpus, ["band_idx", "band_hash"])
+        .select(
+            "new_doc", "corpus_doc", (matched / F.lit(NUM_PERM)).alias("est_jaccard")
+        )
+        .distinct()
     )
 
 
