@@ -131,6 +131,12 @@ HEADLINE = [
     "ann_query_served",
     "bpe_merges",
     "bpe_encode_stats",
+    # round 7 additions
+    "text_embeddings",
+    "dsir_weights",
+    "dsir_select",
+    "budget_select",
+    "cluster_safe_split",
 ]
 
 
