@@ -182,14 +182,30 @@ FP_SHINGLE = 5
 
 def shingles_col(w: Column, n: int) -> Column:
     """Word n-gram shingles as strings; empty array when doc is shorter
-    than one shingle."""
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    than one shingle.
+
+    ``w`` is usually a raw expression (``regexp_extract_all`` over the
+    text), and the naive form ``transform(sequence(..), i ->
+    concat_ws(' ', slice(w, i, n)))`` inlines that expression into the
+    lambda body — higher-order functions are interpreted, so the full
+    tokenizer regex re-runs once PER SHINGLE INDEX per row (~50× per
+    doc; a thread dump at 1M docs showed a task burning minutes inside
+    RegExpExtractAll.nullSafeEval under ArrayTransform). Binding ``w``
+    through a one-element ``transform`` makes it a lambda variable:
+    evaluated exactly once per row by construction, immune to optimizer
+    inlining, for every caller (minhash, Jaccard verify, fingerprint,
+    decontamination)."""
+
+    def shingle(wa: Column) -> Column:
+        return F.when(
+            F.size(wa) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wa) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(wa, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(w), shingle), 1)
 
 
 def duck_shingles(w: str, n: int) -> str:

@@ -119,7 +119,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode runs all 32 task threads in the driver JVM, so this
+        # IS the executor memory: 8g caused a GC/eviction cliff at 1M
+        # docs (localCheckpoint'd band tables stop fitting; old gen
+        # pinned ~90%, minhash_lsh_pairs 27s@500k -> 600s@1M). The test
+        # box has 128 GiB; size the heap like a real executor node.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

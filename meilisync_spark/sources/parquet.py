@@ -93,19 +93,65 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Round-robin repartition when the scan yields too few partitions
-    for a CPU-dense stage (hashing/shingling/vector math).
+def _effective_file_splits(df: DataFrame) -> int | None:
+    """True scan parallelism for a parquet file source, or None when it
+    can't be determined.
 
-    Local single-file parquet with one row group is unsplittable — the
-    scan gives 1 partition and a compute-heavy stage runs on one core.
-    At cluster scale the input has thousands of splits and this is a
-    no-op (the condition is false), so no shuffle is added where the
-    scan already provides parallelism.
+    ``getNumPartitions()`` LIES for big single-row-group files: Spark
+    bin-packs byte ranges (maxSplitBytes = max(openCost, size/cores)),
+    but a parquet task only reads row groups whose START offset falls
+    in its range — a 104 MB one-row-group file plans as ~26 partitions
+    of which 25 are EMPTY and one reads every row. The honest split
+    count is the number of ROW GROUPS. Footers are read only when the
+    file list is small (a local-test shape); many files already prove
+    file-level parallelism, so no footer IO happens at cluster scale.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= 64:
+        return len(files)
+    total = 0
+    for uri in files:
+        if not uri.endswith(".parquet"):
+            return None
+        if uri.startswith("file:"):
+            path = uri[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None  # remote fs: footers unreachable from driver
+        try:
+            total += pq.read_metadata(path).num_row_groups
+        except Exception:
+            return None
+    return total
+
+
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan yields too little REAL
+    parallelism for a CPU-dense stage (hashing/shingling/vector math).
+
+    Local single-file parquet with few row groups is unsplittable — the
+    scan does all its work in one or two tasks regardless of how many
+    byte-range partitions were planned (see _effective_file_splits; the
+    planned-partition count alone once hid a 10× single-task cliff the
+    moment a test file crossed ~64 MB). At cluster scale the input has
+    thousands of files/row groups and this is a no-op, so no shuffle is
+    added where the scan already provides parallelism.
     """
     sc = df.sparkSession.sparkContext
     target = parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    parts = df.rdd.getNumPartitions()
+    eff = _effective_file_splits(df)
+    if eff is not None:
+        parts = min(parts, eff)
+    if parts < max(2, target // 2):
         return df.repartition(target)
     return df
 
