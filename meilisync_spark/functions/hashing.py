@@ -30,7 +30,8 @@ def duck_hash64(expr: str) -> str:
 
 
 def portable_hash32(col: Column) -> Column:
-    """32-bit variant (simhash bit math stays exact in double space)."""
+    """32-bit variant (for callers whose bit math must stay exact in
+    double space; the 60-bit simhash uses integer masks instead)."""
     return F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10).cast("long")
 
 

@@ -28,12 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from meilisync_spark.functions.hashing import (
-    duck_hash32,
-    duck_hash64,
-    portable_hash32,
-    portable_hash64,
-)
+from meilisync_spark.functions.hashing import duck_hash64, portable_hash64
 from meilisync_spark.operators.text import (
     duck_shingles,
     duck_words,
@@ -45,8 +40,9 @@ from meilisync_spark.sources.parquet import spread
 NUM_PERM = 16
 BANDS = 8  # rows per band = NUM_PERM // BANDS = 2
 MH_SHINGLE = 3
-SIMHASH_BITS = 32
-SIM_BANDS = 4  # 8-bit bands over the 32-bit simhash
+SIMHASH_BITS = 60  # stays positive in a signed int64 in both engines
+SIM_BANDS = 4      # 15-bit bands over the 60-bit simhash
+SIM_BAND_BITS = SIMHASH_BITS // SIM_BANDS  # 32768 values per band
 HAMMING_MAX = 6
 
 # minimum estimated Jaccard (matching-signature fraction) for a band
@@ -102,7 +98,11 @@ MH_PERMS: list[tuple[int, int]] = [
 LSH_BUCKET_CAP = 512
 
 
-def _cap_left_side(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+def _cap_left_side(
+    bands: DataFrame,
+    cap: int = LSH_BUCKET_CAP,
+    keys: tuple[str, str] = ("band_idx", "band_hash"),
+) -> DataFrame:
     """Restrict ``bands`` to the rows allowed on the LEFT (doc_a) side
     of the band self-join under the mega-bucket guard: every row of a
     bucket with ≤ cap members, only the representative (min doc_id) row
@@ -119,13 +119,13 @@ def _cap_left_side(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     exchange Catalyst reuses from the groupBy on the same key) degrades
     gracefully — so the join strategy is left to AQE's measured sizes."""
     big = (
-        bands.groupBy("band_idx", "band_hash")
+        bands.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep"))
         .where(F.col("_n") > cap)
-        .select("band_idx", "band_hash", "_rep")
+        .select(*keys, "_rep")
     )
     return (
-        bands.join(big, ["band_idx", "band_hash"], "left")
+        bands.join(big, list(keys), "left")
         .where(F.col("_rep").isNull() | (F.col("doc_id") == F.col("_rep")))
         .drop("_rep")
     )
@@ -815,39 +815,44 @@ def dedup_clusters_verified_oracle_sql(threshold: float = VERIFY_JACCARD) -> str
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _bit(h: Column, j: Column) -> Column:
-    # h < 2^32 and 2^j ≤ 2^31: division by a power of two is exact in
-    # double space, so floor(h / 2^j) % 2 == (h >> j) & 1 — expressible
-    # identically in both engines without shift-by-column support.
-    return F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2
-
-
 def simhash_docs(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash per document over word tokens (with multiplicity).
+    """60-bit SimHash per document over word tokens (with multiplicity).
 
+    60 bits (not 32): with 15-bit bands, two UNRELATED docs collide in
+    a band with p = 2^-15 instead of 2^-8 — at 10^9 docs that is the
+    difference between ~30k-doc incidental band buckets (a quadratic
+    join on every one) and buckets that only exceed the cap when the
+    corpus genuinely floods a template. 60 keeps the value positive in
+    a signed int64 in both engines, and the token hash is the shared
+    60-bit sha256-derived ``portable_hash64``.
+
+    Bit math is integer-only (lambda-var ``bitwiseAND`` against a
+    literal mask array — no float shifts, exact in both engines).
     Same fold shape as minhash_signatures: one sha256 per token, then a
-    single left fold whose accumulator is the 32-slot bit-count vector
+    single left fold whose accumulator is the 60-slot bit-count vector
     (±1 per token per bit). The token-hash array is referenced exactly
-    once — an outer loop over bits would re-hash every token 32×."""
+    once — an outer loop over bits would re-hash every token 60×."""
     docs = spread(docs)
     w = words_col(F.col("text"))
-    th = F.transform(w, lambda t: portable_hash32(F.concat(F.lit("S:"), t)))
-    jarr = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
+    th = F.transform(w, lambda t: portable_hash64(F.concat(F.lit("S:"), t)))
+    masks = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)]
+    )
     init = F.array_repeat(F.lit(0), SIMHASH_BITS)
     counts = F.aggregate(
         th,
         init,
         lambda acc, h: F.zip_with(
-            acc, jarr, lambda c, j: c + F.when(_bit(h, j) == 1, 1).otherwise(-1)
+            acc,
+            masks,
+            lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
     simhash = F.aggregate(
         F.zip_with(
             counts,
-            jarr,
-            lambda c, j: F.when(c > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
@@ -859,8 +864,8 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
 
 
 def _duck_simhash_cte() -> str:
-    th = f"list_transform({duck_words()}, t -> {duck_hash32(chr(39) + 'S:' + chr(39) + ' || t')})"
-    bit = "((h // CAST(power(2, j) AS BIGINT)) % 2)"
+    th = f"list_transform({duck_words()}, t -> {duck_hash64(chr(39) + 'S:' + chr(39) + ' || t')})"
+    bit = "((h >> j) & 1)"
     return f"""
     sims AS (
         SELECT doc_id,
@@ -869,7 +874,7 @@ def _duck_simhash_cte() -> str:
                        CASE WHEN list_reduce(
                                 list_transform(th, h -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END),
                                 (a, x) -> a + x) > 0
-                            THEN CAST(power(2, j) AS BIGINT) ELSE 0 END),
+                            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
                    (a, x) -> a + x) AS simhash
         FROM (SELECT doc_id, {th} AS th FROM documents
               WHERE len({duck_words()}) > 0)
@@ -881,54 +886,77 @@ def simhash_docs_oracle_sql() -> str:
     return f"WITH {_duck_simhash_cte()} SELECT doc_id, simhash FROM sims"
 
 
-def simhash_neardup_pairs(docs: DataFrame) -> DataFrame:
-    """Hamming-near pairs via 8-bit band bucketing: a pair within
-    Hamming ≤ 6 of a 32-bit signature shares ≥1 of 4 bands only
-    heuristically — this is the candidate generator; the Hamming filter
-    verifies. Join keyed on (band_idx, band_val): the only shuffle."""
-    sims = simhash_docs(docs).persist()  # feeds both pair sides
+def simhash_neardup_pairs(
+    docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Hamming-near pairs via 15-bit band bucketing: a pair within
+    Hamming ≤ 6 of a 60-bit signature shares ≥1 of 4 bands only
+    heuristically (pigeonhole guarantees ≤3) — this is the candidate
+    generator; the Hamming filter verifies. Join keyed on
+    (band_idx, band_val): the only shuffle.
+
+    Same mega-bucket star guard as the LSH path (a template flood puts
+    all n copies in one bucket in all 4 bands — without the cap that is
+    an O(n²) join detonation; see the note above ``_cap_left_side``),
+    mirrored verbatim in the oracle. The Hamming filter runs BEFORE the
+    distinct so the dedup shuffle carries only verified near-pairs, not
+    every band collision."""
+    sims = simhash_docs(docs)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("band_val"),
+                F.shiftright(F.col("simhash"), SIM_BAND_BITS * b)
+                .bitwiseAND(F.lit((1 << SIM_BAND_BITS) - 1))
+                .alias("band_val"),
             )
             for b in range(SIM_BANDS)
         ]
     )
-    banded = sims.select("doc_id", "simhash", F.explode(bands).alias("band")).select(
-        "doc_id", "simhash", "band.band_idx", "band.band_val"
+    # lazy localCheckpoint, not .persist(): feeds both join sides and
+    # the guard's bucket-stats aggregate — see minhash_lsh_pairs.
+    banded = (
+        sims.select("doc_id", "simhash", F.explode(bands).alias("band"))
+        .select("doc_id", "simhash", "band.band_idx", "band.band_val")
+        .localCheckpoint(False)
     )
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val")
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val")
+    a = _cap_left_side(banded, bucket_cap, keys=("band_idx", "band_val")).select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val"
+    )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     return (
         a.join(b, ["band_idx", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
 
 
 def simhash_neardup_pairs_oracle_sql() -> str:
+    mask = (1 << SIM_BAND_BITS) - 1
     return f"""
     WITH {_duck_simhash_cte()},
     banded AS (
         SELECT doc_id, simhash, b AS band_idx,
-               (simhash >> (8 * b)) & 255 AS band_val
+               (simhash >> ({SIM_BAND_BITS} * b)) & {mask} AS band_val
         FROM sims, UNNEST(range(0, {SIM_BANDS})) t(b)
     ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        a.simhash AS sim_a, b.simhash AS sim_b
-        FROM banded a JOIN banded b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
+    bstats AS (
+        SELECT band_idx, band_val, count(*) AS n, min(doc_id) AS rep
+        FROM banded GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)::BIT) AS INTEGER) AS hamming
-    FROM pairs WHERE CAST(bit_count(xor(sim_a, sim_b)::BIT) AS INTEGER) <= {HAMMING_MAX}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)::BIT) AS INTEGER) AS hamming
+    FROM banded a
+    JOIN bstats s ON a.band_idx = s.band_idx AND a.band_val = s.band_val
+    JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE {_duck_pair_guard()}
+      AND CAST(bit_count(xor(a.simhash, b.simhash)::BIT) AS INTEGER) <= {HAMMING_MAX}
     """
 
 

@@ -1570,7 +1570,8 @@ def q_simhash_docs(spark, sf_dir):
 
 
 @register("simhash_neardup_pairs", _dedup.simhash_neardup_pairs_oracle_sql(),
-          doc="Hamming≤6 near-dup pairs via 8-bit simhash band bucketing.")
+          doc="Hamming≤6 near-dup pairs via 15-bit simhash band bucketing, "
+              "mega-bucket star guard mirrored in the oracle.")
 def q_simhash_neardup_pairs(spark, sf_dir):
     return _dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 

@@ -30,6 +30,8 @@ from meilisync_spark.operators.dedup import (
     dedup_clusters,
     minhash_lsh_pairs,
     minhash_lsh_pairs_oracle_sql,
+    simhash_neardup_pairs,
+    simhash_neardup_pairs_oracle_sql,
 )
 
 TEMPLATE = (
@@ -220,3 +222,81 @@ def test_cap_left_side_plan_broadcasts_guard(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# SimHash mega-bucket guard (same failure mode as the LSH path: a
+# template flood puts every copy in one (band_idx, band_val) bucket in
+# all 4 bands — unguarded, the band self-join emits O(n²) rows)
+# ---------------------------------------------------------------------------
+
+def test_simhash_mega_bucket_emits_star_not_quadratic(spark):
+    """10k identical docs: every band bucket holds all 10k, far over
+    the cap — the pair set must be the star (rep=0, member): exactly
+    n-1 pairs, every one at hamming 0."""
+    n = 10_000
+    docs = _planted(spark, n)
+    pairs = simhash_neardup_pairs(docs).localCheckpoint(True)
+    template_pairs = pairs.where(F.col("doc_b") < 1_000_000)
+    assert template_pairs.count() == n - 1
+    assert template_pairs.where(F.col("doc_a") != 0).count() == 0
+    assert template_pairs.where(F.col("hamming") != 0).count() == 0
+    # distinct docs collide with nothing at 15-bit bands
+    assert pairs.where(F.col("doc_b") >= 1_000_000).count() == 0
+
+
+def test_simhash_guard_is_noop_below_cap(spark):
+    """Largest bucket under the cap ⇒ the guard changes nothing: all
+    C(n,2) identical-doc pairs survive, capped == uncapped."""
+    n = 200
+    assert n < LSH_BUCKET_CAP
+    docs = _planted(spark, n)
+    capped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(docs).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(docs, bucket_cap=10**9).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) == n * (n - 1) // 2
+
+
+def test_simhash_guard_matches_duckdb_oracle_when_triggered(spark):
+    """On a cap-tripping corpus the oracle (which mirrors the guard
+    predicate) and Spark must agree exactly."""
+    n = LSH_BUCKET_CAP + 60
+    docs = _planted(spark, n)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(docs).collect()
+    }
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = set(map(tuple, con.sql(simhash_neardup_pairs_oracle_sql()).fetchall()))
+    con.close()
+    assert got == exp
+    assert len([p for p in got if p[1] < 1_000_000]) == n - 1
+
+
+def test_simhash_near_dup_lands_within_hamming_max(spark):
+    """Semantic sanity at 60 bits: a long doc and a two-word edit of it
+    still band-collide and verify within HAMMING_MAX (the repeated
+    filler tokens give every bit a wide count margin, so the small edit
+    moves few-to-no bits); an unrelated doc pairs with neither.
+    (sha256 is deterministic, so the hamming value for this fixed
+    fixture is stable — no flake.)"""
+    base = " ".join(
+        f"word{chr(97 + i % 23)} alpha beta gamma delta epsilon"
+        for i in range(20)
+    )
+    edited = base.replace("worda ", "zebra ", 1).replace("wordb ", "walrus ", 1)
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, DISTINCT_DOCS[0])],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert all(3 not in k for k in pairs)
