@@ -78,9 +78,20 @@ def gen_corpus(n_docs: int, n_vecs: int, outdir: str, seed: int = 42) -> None:
             ]
             text = " ".join(words)  # one-word-edit near duplicate
         else:
+            # words = base vocab x 676 letter suffixes (~27k effective
+            # words; suffixes are LETTERS because the tokenizer is
+            # [a-z]+). A bare 40-word vocab has only 64k possible
+            # 3-shingles: at 1M docs the minhash band space saturates
+            # and INCIDENTAL collisions grow ~n^2/64k — the harness
+            # then measures generator pathology, not operator scaling.
+            # Real corpora have effectively unbounded shingle entropy;
+            # ~10^13 here keeps candidate pairs O(planted dups).
             k = int(rng.integers(40, 60))
+            base_ids = rng.integers(0, len(VOCAB), size=k)
+            sufs = rng.integers(0, 676, size=k)
             text = " ".join(
-                VOCAB[int(w)] for w in rng.integers(0, len(VOCAB), size=k)
+                f"{VOCAB[int(w)]}{chr(97 + int(s) // 26)}{chr(97 + int(s) % 26)}"
+                for w, s in zip(base_ids, sufs)
             )
         texts.append(text)
         rows.append(
