@@ -382,6 +382,7 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     from meilisync_spark.operators.ivfpq import (
         ANN_META_FILE,
         add_to_index,
+        collapse_add_batch,
         read_index_vectors,
         rebuild_index,
         retrain_due,
@@ -413,11 +414,32 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         seed_index_vectors(emb, args.index)
         n_new = spark.read.parquet(args.index).count()
     else:
+        # The pre-existing index must have a seeded raw-vector sidecar
+        # before we append to it: against an `ann-build` index (which
+        # seeds nothing), appending only this run's embeddings would
+        # build an INCOMPLETE sidecar, and a later --retrain-growth
+        # rebuild would retrain on it and atomically swap in an index
+        # that silently dropped every originally-indexed vector. PQ is
+        # lossy, so re-deriving the originals from the index is
+        # impossible — failing loudly with the seed hint is the only
+        # safe behavior (same guard as streaming/ann_ingest.py:84).
+        if not os.path.exists(vectors_sidecar_path(args.index)):
+            raise FileNotFoundError(
+                f"{vectors_sidecar_path(args.index)} missing: the index at "
+                f"{args.index} pre-exists but its raw-vector sidecar was "
+                "never seeded (ann-build does not seed one). Seed it with "
+                "the training corpus via seed_index_vectors before running "
+                "the pipeline against this index — appending without the "
+                "seed would make any later retrain silently drop the "
+                "originally-indexed vectors (PQ codes are lossy)"
+            )
         known = spark.read.parquet(args.index).select(
             F.col("vec_id").alias("seen_id")
         )
-        new = emb.join(
-            known, F.col("vec_id") == F.col("seen_id"), "left_anti"
+        # conflict-check before the sidecar append (poison batch must
+        # not pollute the sidecar; see collapse_add_batch)
+        new = collapse_add_batch(
+            emb.join(known, F.col("vec_id") == F.col("seen_id"), "left_anti")
         ).localCheckpoint(True)  # pin: sidecar append + encode reuse it
         n_new = new.count()
         if n_new:

@@ -30,14 +30,26 @@ from the word "est"), so learned subwords never span word boundaries.
 
 Encoding of words NEVER seen at training time applies the trained
 merges to the word's character symbols in rank order
-(:func:`bpe_apply_merges`) — exactly the reference encoder. Rank-order
-single-pass application is equivalent to the classic
-"repeatedly merge the lowest-rank pair present" loop because (a) a
-merge's output symbol can only participate in LATER-rank pairs — any
-merge consuming a symbol was necessarily learned after the merge that
-created it — and (b) merging two symbols never creates a NEW adjacency
-between two pre-existing symbols, so once a rank's turn has passed its
-pair can never reappear. The fold runs over the DISTINCT unseen words
+(:func:`bpe_apply_merges`). Rank-order single-pass application is
+equivalent to the classic "repeatedly merge the lowest-rank pair
+present" loop because (a) a merge's output symbol can only participate
+in LATER-rank pairs — any merge consuming a symbol was necessarily
+learned after the merge that created it — and (b) merging two symbols
+never creates a NEW adjacency between two pre-existing symbols, so
+once a rank's turn has passed its pair can never reappear.
+
+Aliasing caveat to claim (a): when two DISTINCT merges produce the
+same output string — e.g. ``(a, bc)`` at rank 2 and ``(ab, c)`` at
+rank 5 both yielding ``abc`` — a pair consuming that symbol can carry
+a rank earlier than the merge that created this particular occurrence,
+and the classic min-rank loop would still apply it after rank 5 while
+the single pass has moved on. So the equivalence is exact EXCEPT for
+vocabularies containing aliased merge outputs; with such a vocabulary
+the single pass is a deterministic, well-defined segmentation but may
+differ from the iterative loop on words where the aliased symbol
+arises via the later merge. (The pure-python oracle in
+tests/test_bpe.py folds merges in the same rank order, so it verifies
+THIS semantics, not the iterative loop's.) The fold runs over the DISTINCT unseen words
 (vocab-sized, corpus-independent, like training), with the expression
 chain pinned every few merges so lineage depth stays O(1). Seen words —
 all of them, when encoding the training corpus — take their exact

@@ -593,6 +593,40 @@ def _load_meta_dict(index_path: str) -> dict:
         return json.load(fh)
 
 
+def collapse_add_batch(emb: DataFrame) -> DataFrame:
+    """Collapse exact-duplicate ``(vec_id, embedding)`` rows and raise
+    on conflicts — the add-batch sanity gate, shared by
+    :func:`add_to_index`, the streaming ingest and the pipeline CLI so
+    a poison batch fails BEFORE anything (the raw-vector sidecar in
+    particular) is appended.
+
+    Duplicate vec_ids within one batch would both append (the replay
+    anti-join only checks the stored index) and then shadow each other
+    nondeterministically at query time. Two distinct cases:
+    exact-duplicate ROWS (the at-least-once replay of a crash window —
+    bit-identical, so a raise would wedge a checkpointed ``--follow``
+    stream forever on the same batch) collapse silently; the same
+    vec_id carrying DIFFERING embeddings is a caller data bug a replay
+    never produces, and collapsing it would silently discard data —
+    raise. Arrays are orderable in Spark, so min!=max detects a
+    conflict exactly in the same single groupBy. The check is
+    deterministic, so running it again inside :func:`add_to_index`
+    after a caller already collapsed the batch is a cheap no-op shape."""
+    agg = emb.groupBy("vec_id").agg(
+        F.min("embedding").alias("embedding"),
+        F.max("embedding").alias("_mx"),
+    )
+    conflict = agg.where(F.col("embedding") != F.col("_mx")).select("vec_id")
+    bad = [int(r.vec_id) for r in conflict.limit(3).collect()]
+    if bad:
+        raise ValueError(
+            f"vec_ids {bad} appear in one add batch with conflicting "
+            "embeddings — refusing to pick one silently; dedupe the "
+            "batch upstream (exact-duplicate replay rows are fine)"
+        )
+    return agg.drop("_mx")
+
+
 def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) -> int:
     """Append ``(vec_id, embedding)`` rows to a :func:`save_index`
     layout WITHOUT retraining — the FAISS ``add``-after-``train``
@@ -629,29 +663,7 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         raise ValueError(
             f"new vectors have dim {wrong[0]}, index expects {centq.shape[1]}"
         )
-    # duplicate vec_ids WITHIN one batch would both append (the replay
-    # anti-join only checks the stored index) and then shadow each
-    # other nondeterministically at query time. Two distinct cases:
-    # exact-duplicate ROWS (the at-least-once replay of a crash window
-    # — bit-identical, so a raise would wedge a checkpointed --follow
-    # stream forever on the same batch) collapse silently; the same
-    # vec_id carrying DIFFERING embeddings is a caller data bug a
-    # replay never produces, and collapsing it would silently discard
-    # data — raise. Arrays are orderable in Spark, so min!=max detects
-    # a conflict exactly in the same single groupBy.
-    agg = emb.groupBy("vec_id").agg(
-        F.min("embedding").alias("embedding"),
-        F.max("embedding").alias("_mx"),
-    )
-    conflict = agg.where(F.col("embedding") != F.col("_mx")).select("vec_id")
-    bad = [int(r.vec_id) for r in conflict.limit(3).collect()]
-    if bad:
-        raise ValueError(
-            f"vec_ids {bad} appear in one add batch with conflicting "
-            "embeddings — refusing to pick one silently; dedupe the "
-            "batch upstream (exact-duplicate replay rows are fine)"
-        )
-    emb = agg.drop("_mx")
+    emb = collapse_add_batch(emb)
     # pin the encoded batch: the dedup collect, the anti-join and the
     # append would otherwise each replay the two mapInPandas passes
     new = (

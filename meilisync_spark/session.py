@@ -102,6 +102,29 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     return spark
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default: ``SPARK_GRAFT_DRIVER_MEM`` if set, else
+    min(48g, ~40% of the host's MemTotal), floored at 2g. 48g is sized
+    for the 128 GiB bench box (where local[32] task threads make the
+    driver heap the executor memory); a blanket 48g on a smaller host
+    would trade Spark's spill machinery for the OS OOM-killer."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_kb = int(line.split()[1])
+                    break
+            else:
+                return "8g"
+    except OSError:
+        return "8g"
+    gb = max(2, min(48, int(total_kb * 0.40 / 1024 / 1024)))
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "meilisync-spark",
     master: str | None = None,
@@ -122,9 +145,11 @@ def get_spark(
         # Local mode runs all 32 task threads in the driver JVM, so this
         # IS the executor memory: 8g caused a GC/eviction cliff at 1M
         # docs (localCheckpoint'd band tables stop fitting; old gen
-        # pinned ~90%, minhash_lsh_pairs 27s@500k -> 600s@1M). The test
-        # box has 128 GiB; size the heap like a real executor node.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # pinned ~90%, minhash_lsh_pairs 27s@500k -> 600s@1M). Default
+        # scales with the host — min(48g, ~40% of MemTotal) — so a
+        # smaller box gets Spark spill instead of the OS OOM-killer /
+        # a cgroup-limited JVM start failure; the env var always wins.
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -108,17 +108,27 @@ def run_ann_ingest(
     def handle(batch: DataFrame, _bid: int) -> None:
         if retrain_max_growth is not None:
             from meilisync_spark.operators.ivfpq import (
+                collapse_add_batch,
                 read_index_vectors,
                 rebuild_index,
                 retrain_due,
                 vectors_sidecar_path,
             )
 
+            # conflict-check BEFORE the sidecar append: a poison batch
+            # (one vec_id, two different embeddings) must wedge the
+            # stream without polluting the sidecar — otherwise each
+            # retry re-appends the conflicting rows and a later manual
+            # rebuild's dropDuplicates(vec_id) silently picks one, the
+            # exact choice add_to_index's ValueError exists to refuse.
+            # The check is deterministic, so crash-window replays still
+            # pass/fail identically.
+            batch = collapse_add_batch(batch.select("vec_id", "embedding"))
             # sidecar first: if the add commits and we crash before the
             # sidecar write, a later rebuild would lose this batch's
             # raw vectors forever; the reverse order only risks a
             # duplicate append, which read_index_vectors collapses
-            batch.select("vec_id", "embedding").write.mode("append").parquet(
+            batch.write.mode("append").parquet(
                 vectors_sidecar_path(index_path)
             )
             add_to_index(spark, index_path, batch, dedup=dedup)

@@ -636,6 +636,49 @@ def test_cli_ann_add_and_stats(spark, tmp_path, capsys):
     assert "ann-build" in capsys.readouterr().err
 
 
+def test_cli_pipeline_refuses_unseeded_sidecar(spark, tmp_path):
+    """pipeline against a pre-existing index whose raw-vector sidecar
+    was never seeded (e.g. built by ann-build) must fail loudly BEFORE
+    appending anything: appending only this run's embeddings would
+    create an incomplete sidecar, and a later --retrain-growth rebuild
+    would retrain on it and silently drop every originally-indexed
+    vector (PQ is lossy — the originals are unrecoverable)."""
+    import glob
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.operators.ivfpq import save_index
+    from meilisync_spark.operators.similarity import clustered_embeddings
+    from meilisync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = str(tmp_path / "ann")
+    save_index(clustered_embeddings(emb), index)  # no seed_index_vectors
+
+    texts = [
+        r.text
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("text").limit(5).collect()
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    out = str(tmp_path / "stage_b0")
+    spark.createDataFrame(
+        [(i, t, "en", "crawl", len(t)) for i, t in enumerate(texts)], schema
+    ).coalesce(1).write.parquet(out)
+    os.rename(glob.glob(f"{out}/part-*.parquet")[0], f"{src}/b0.parquet")
+
+    with pytest.raises(FileNotFoundError, match="seed_index_vectors"):
+        main(["pipeline", "--source", src, "--corpus", str(tmp_path / "corpus"),
+              "--index", index, "--checkpoint", str(tmp_path / "ckpt")])
+    # nothing was appended to the served index either
+    assert spark.read.parquet(index).where(F.col("vec_id") < 100).count() == \
+        clustered_embeddings(emb).where(F.col("vec_id") < 100).count()
+
+
 def test_cli_pipeline_docs_to_served_index(spark, tmp_path, capsys):
     """The one-command pipeline: two dropped batches stream through
     ingest (near-dups absent from the corpus), every surviving doc's

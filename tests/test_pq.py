@@ -454,6 +454,55 @@ def test_ann_retrain_requires_seeded_sidecar(spark, tmp_path):
         )
 
 
+def test_ann_ingest_poison_batch_leaves_sidecar_clean(spark, tmp_path):
+    """A batch carrying one vec_id with two DIFFERENT embeddings must
+    wedge the stream (that's add_to_index's contract) WITHOUT first
+    appending the conflicting rows to the raw-vector sidecar — each
+    retry would otherwise re-append them, and a later manual
+    rebuild_index would silently pick one via read_index_vectors'
+    dropDuplicates, the exact choice the ValueError exists to refuse."""
+    import glob
+    import os
+
+    import pytest
+
+    from meilisync_spark.operators.ivfpq import (
+        save_index,
+        seed_index_vectors,
+        vectors_sidecar_path,
+    )
+    from meilisync_spark.operators.similarity import clustered_embeddings
+    from meilisync_spark.streaming.ann_ingest import run_ann_ingest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ce = clustered_embeddings(emb).localCheckpoint(False)
+    index = str(tmp_path / "ann")
+    trained = ce.select("vec_id", "embedding")
+    save_index(trained, index)
+    seed_index_vectors(trained, index)
+    n_seeded = spark.read.parquet(vectors_sidecar_path(index)).count()
+
+    v = [float(d) / 64.0 for d in range(64)]
+    v2 = [x + 0.5 for x in v]
+    drop = str(tmp_path / "incoming")
+    os.makedirs(drop)
+    out = str(tmp_path / "stage_poison")
+    spark.createDataFrame(
+        [(666_001, v), (666_001, v2)], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.parquet(out)
+    part = glob.glob(f"{out}/part-*.parquet")[0]
+    os.rename(part, f"{drop}/batch_0.parquet")
+
+    with pytest.raises(Exception, match="conflicting"):
+        run_ann_ingest(
+            spark, drop, index, str(tmp_path / "ckpt"),
+            retrain_max_growth=0.5,
+        )
+    side = spark.read.parquet(vectors_sidecar_path(index))
+    assert side.where(F.col("vec_id") == 666_001).count() == 0
+    assert side.count() == n_seeded
+
+
 def test_ann_ingest_requires_built_index(spark, tmp_path):
     import pytest
 
