@@ -212,6 +212,63 @@ def dsir_select_oracle_sql(fraction: float = DSIR_SELECT_FRACTION) -> str:
     """
 
 
+def dsir_select_scalable(
+    docs: DataFrame,
+    target: Column | None = None,
+    fraction: float = DSIR_SELECT_FRACTION,
+) -> DataFrame:
+    """(doc_id, lang, weight) — the scale-safe twin of
+    :func:`dsir_select`: importance selection by a per-language VALUE
+    threshold instead of a per-language rank window.
+
+    :func:`dsir_select`'s ``Window.partitionBy("lang")`` makes the
+    dominant language ONE task — at 100 TB, English is a single sorted
+    partition. Here the per-lang cut point (the ``1-fraction``
+    percentile of the weight distribution) is derived by aggregation,
+    broadcast back (one row per language), and applied as a filter: the
+    per-document side is never sorted and never windowed. The
+    percentile is exact (bit-identical to the DuckDB oracle's
+    ``quantile_cont``); at 100 TB swap it for ``approx_percentile`` —
+    one mergeable-sketch pass, same plan shape — without touching the
+    filter join (the ``customer_spend_quartiles_scalable`` precedent,
+    queries.py).
+
+    Semantics note (the documented tie/boundary caveat): value
+    thresholding keeps EVERY document at the cut value and admits
+    ~``fraction`` of each language rather than exactly
+    ``ceil(n*fraction)`` — the interpolated percentile can fall between
+    attained weights. Both are standard selection definitions; the
+    rank-window form remains the exact-count contract.
+    """
+    w = dsir_weights(docs, target).select("doc_id", "weight")
+    d = docs.join(w, "doc_id").select("doc_id", "lang", "weight")
+    cuts = d.groupBy("lang").agg(
+        F.percentile("weight", F.lit(1.0 - fraction)).alias("w_cut")
+    )
+    return (
+        d.join(F.broadcast(cuts), "lang")
+        .where(F.col("weight") >= F.col("w_cut"))
+        .select("doc_id", "lang", "weight")
+    )
+
+
+def dsir_select_scalable_oracle_sql(fraction: float = DSIR_SELECT_FRACTION) -> str:
+    return f"""
+    WITH {_duck_weights_ctes()},
+    d AS (
+        SELECT docs.doc_id, docs.lang, weights.weight
+        FROM documents docs JOIN weights ON docs.doc_id = weights.doc_id
+    ),
+    cuts AS (
+        SELECT lang, quantile_cont(weight, {1.0 - fraction}) AS w_cut
+        FROM d GROUP BY lang
+    )
+    SELECT doc_id, d.lang, weight
+    FROM d JOIN cuts ON d.lang = cuts.lang
+    WHERE weight >= w_cut
+    """
+
+
 def budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
     """(doc_id, lang, n_tokens, cum_tokens) — per language, documents
     admitted under a token budget in quality order.
@@ -273,6 +330,96 @@ def budget_select_oracle_sql(budget: int = TOKEN_BUDGET) -> str:
     )
     WHERE cum_tokens <= {budget}
     """
+
+
+def budget_select_scalable(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """(doc_id, lang, n_tokens) — the scale-safe twin of
+    :func:`budget_select`, admitting EXACTLY the same documents without
+    ever running a window over the per-document table.
+
+    The exact form's ``Window.partitionBy("lang")`` running sum makes
+    the dominant language one sorted task. But the quality key is a
+    fixed-point ratio with at most ``RATIO_SCALE + 1`` distinct values,
+    so the running total can be computed over the (lang, qkey) GROUP
+    table — bounded at ≤ 1,000,001 rows per language BY CONSTRUCTION,
+    at any corpus size. Admission then decomposes exactly:
+
+    - every group wholly under budget is admitted in full (a doc's
+      exact-form running total is ≤ its group's cumulative total);
+    - the single boundary group per language (group running total first
+      exceeds the budget) is refined doc-by-doc — the per-doc window
+      runs over THAT GROUP ONLY (filtered before the window; partition
+      = docs sharing one exact ratio value in one language, tiny in
+      practice — adversarially large only if a language's corpus
+      concentrates on one ratio);
+    - groups past the boundary are excluded (their every doc's running
+      total already exceeds the budget — n_tokens > 0 guarantees the
+      prefix property).
+
+    All-integer, so the row set is identical to :func:`budget_select`
+    on both engines (the oracle reuses the exact form's SQL, projected;
+    tests assert set equality against the window form). ``cum_tokens``
+    is not emitted — a per-document global running total is exactly the
+    sequential quantity the scalable form avoids materializing.
+    """
+    docs = spread(docs)
+    w = words_col(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    ).where(F.col("n_tokens") > 0)
+    key = F.floor(
+        F.col("n_distinct").cast("double") * F.lit(RATIO_SCALE) / F.col("n_tokens")
+    ).alias("qkey")
+    # pin: the tokenize+ratio scan feeds both the group table and the
+    # final admission scan — one real pass, not two
+    keyed = stats.select("doc_id", "lang", "n_tokens", key).localCheckpoint(False)
+    grp = keyed.groupBy("lang", "qkey").agg(F.sum("n_tokens").alias("g_tokens"))
+    wg = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("qkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grp.withColumn("cum", F.sum("g_tokens").over(wg))
+    # ≤ one boundary row per language: the first group whose cumulative
+    # total crosses the budget (missing entirely when everything fits)
+    bnd = cum.where(
+        (F.col("cum") - F.col("g_tokens") <= F.lit(budget))
+        & (F.col("cum") > F.lit(budget))
+    ).select(
+        "lang",
+        F.col("qkey").alias("b_qkey"),
+        (F.col("cum") - F.col("g_tokens")).alias("cum_before"),
+    )
+    joined = keyed.join(F.broadcast(bnd), "lang", "left")
+    cols = ["doc_id", "lang", "n_tokens"]
+    full = joined.where(
+        F.col("b_qkey").isNull() | (F.col("qkey") > F.col("b_qkey"))
+    ).select(*cols)
+    wb = (
+        Window.partitionBy("lang", "qkey")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = (
+        joined.where(F.col("qkey") == F.col("b_qkey"))  # filter BEFORE the window
+        .withColumn("in_grp", F.sum("n_tokens").over(wb))
+        .where(F.col("cum_before") + F.col("in_grp") <= F.lit(budget))
+        .select(*cols)
+    )
+    return full.unionByName(part)
+
+
+def budget_select_scalable_oracle_sql(budget: int = TOKEN_BUDGET) -> str:
+    # identical row set to the exact form — the oracle IS the exact
+    # form's SQL with the sequential cum_tokens column projected away
+    return (
+        "SELECT doc_id, lang, n_tokens FROM ("
+        + budget_select_oracle_sql(budget)
+        + ")"
+    )
 
 
 def cluster_safe_split(docs: DataFrame) -> DataFrame:

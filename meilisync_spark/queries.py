@@ -2673,6 +2673,19 @@ def q_dsir_select(spark, sf_dir):
 
 
 @register(
+    "dsir_select_scalable",
+    _sel.dsir_select_scalable_oracle_sql(),
+    doc="Scale-safe DSIR selection: per-lang percentile weight cut "
+        "derived by aggregation, broadcast back (one row per lang), "
+        "applied as a filter — the per-doc side is never sorted or "
+        "windowed (the exact-window form is one task per language at "
+        "100 TB). Value-threshold tie semantics, documented.",
+)
+def q_dsir_select_scalable(spark, sf_dir):
+    return _sel.dsir_select_scalable(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "budget_select",
     _sel.budget_select_oracle_sql(),
     doc="Token-budget curation: per lang, admit docs in fixed-point "
@@ -2681,6 +2694,20 @@ def q_dsir_select(spark, sf_dir):
 )
 def q_budget_select(spark, sf_dir):
     return _sel.budget_select(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "budget_select_scalable",
+    _sel.budget_select_scalable_oracle_sql(),
+    doc="Scale-safe token-budget curation, EXACT same rows as "
+        "budget_select: the running total moves to the (lang, qkey) "
+        "group table (bounded at RATIO_SCALE+1 rows per lang by "
+        "construction), whole under-budget groups admit in full, and "
+        "only the single boundary group per lang is refined doc-by-doc "
+        "after filtering. No window ever touches the per-doc table.",
+)
+def q_budget_select_scalable(spark, sf_dir):
+    return _sel.budget_select_scalable(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2730,15 +2757,20 @@ DRIVER_ORDER = [
     "q3_top_orders",
     "q5_region_revenue",
     "top_customers_per_nation",
-    "hourly_event_stats",
-    "brand_revenue",
+    # Round 8 rotates four long-stable relational rows out of the
+    # window (hourly_event_stats, brand_revenue,
+    # customer_spend_quartiles, event_zscores — all green since rounds
+    # 1-3, each subsumed shape-wise by a row that stays: q5/q1 for
+    # join+agg, top_customers_per_nation + events_trailing_1h for
+    # windows; all four remain oracle-checked by driver_sim --all) so
+    # the driver's own record certifies the round-7 corpus-selection
+    # surface: budget_select, dsir_select_scalable, cluster_safe_split,
+    # text_embeddings (see the selection/similarity entries below).
     "cube_order_stats",
     "pivot_priority_status",
-    "customer_spend_quartiles",
     "events_trailing_1h",
     "asof_purchase_view",
     "event_sessions",
-    "event_zscores",
     # text analysis
     "text_stats",
     "tfidf_top_terms",
@@ -2779,6 +2811,12 @@ DRIVER_ORDER = [
     # oracle-checked by driver_sim --all) to surface the new corpus-
     # selection family's flagship row:
     "dsir_weights",
+    # round-8 rotation: the rest of the corpus-selection family plus
+    # the feature-hash embedder enter the window (slots freed above)
+    "dsir_select_scalable",
+    "budget_select",
+    "cluster_safe_split",
+    "text_embeddings",
     "label_centroids",
     "semantic_dedup",
     # multimodal plumbing

@@ -12,12 +12,16 @@ import re
 
 import pytest
 
+from tests.conftest import SF_SMOKE
+
 from meilisync_spark.operators.sampling import split_assign
 from meilisync_spark.operators.selection import (
     DSIR_BUCKETS,
     budget_select,
+    budget_select_scalable,
     cluster_safe_split,
     dsir_select,
+    dsir_select_scalable,
     dsir_weights,
 )
 
@@ -115,6 +119,93 @@ def test_budget_select_excludes_zero_token_docs(spark):
     docs = [(1, "alpha bravo", "en"), (2, "", "en"), (3, "12345 !!!", "en")]
     df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
     assert [r.doc_id for r in budget_select(df, budget=100).collect()] == [1]
+
+
+def test_budget_select_scalable_identical_rows(spark):
+    """The scalable form must admit EXACTLY the window form's documents
+    — including a boundary group whose docs are only partially admitted
+    (docs 21/22 share qkey; 21 fits, 22 doesn't), a language where
+    everything fits (no boundary row), and a language whose FIRST group
+    already exceeds the budget."""
+    docs = [
+        # en: ratios 1.0 (doc 11), .5 shared by 21/22, .33 (doc 31)
+        (11, "alpha bravo charlie delta", "en"),        # 4 tok, cum 4
+        (21, "echo echo golf golf", "en"),              # 4 tok, cum 8 <= 9
+        (22, "hotel hotel india india", "en"),          # 4 tok, cum 12 > 9
+        (31, "kilo kilo kilo", "en"),                   # past boundary
+        # de: total 5 tokens, all fit -> no boundary row for de
+        (41, "fenster tisch", "de"),
+        (42, "baum fluss berg", "de"),
+        # es: first (only) group alone exceeds the budget -> prefix
+        # within it: 51 (6 tok) fits, 52 (6 tok, cum 12) does not
+        (51, "uno dos tres cuatro cinco seis", "es"),
+        (52, "seis cinco cuatro tres dos uno", "es"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    exact = {(r.doc_id, r.lang, r.n_tokens)
+             for r in budget_select(df, budget=9).collect()}
+    scal = {(r.doc_id, r.lang, r.n_tokens)
+            for r in budget_select_scalable(df, budget=9).collect()}
+    assert exact == scal
+    assert {d for d, _, _ in exact} == {11, 21, 41, 42, 51}
+
+
+def test_budget_select_scalable_matches_on_fixture(spark):
+    """Set equality against the window form on the real documents
+    fixture — every admission case the corpus happens to produce."""
+    from meilisync_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {(r.doc_id, r.lang, r.n_tokens) for r in budget_select(docs).collect()}
+    scal = {(r.doc_id, r.lang, r.n_tokens)
+            for r in budget_select_scalable(docs).collect()}
+    assert exact == scal and len(exact) > 0
+
+
+def test_budget_select_scalable_plan_shape(spark):
+    """The windows in the scalable plan must never run over the raw
+    per-doc table: one window sits above the (lang, qkey) aggregate
+    (bounded at RATIO_SCALE+1 rows per lang by construction), the other
+    above the boundary-group filter. The per-doc admission join is a
+    broadcast of the <=1-row-per-lang boundary table."""
+    from meilisync_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = budget_select_scalable(docs)._jdf.queryExecution().executedPlan().toString()
+    # 3 Window nodes: the (lang,qkey) group cumsum appears twice (the
+    # tiny boundary subtree feeds both union branches) plus the
+    # boundary-group doc refinement — whose input Catalyst turns into
+    # an INNER BroadcastHashJoin on (lang, qkey)=(lang, b_qkey) with
+    # the <=1-row-per-lang boundary table, i.e. the per-doc window only
+    # ever sees the boundary group's docs. No window over the raw
+    # per-doc table anywhere.
+    assert plan.count("Window") == 3
+    assert "b_qkey" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_select_scalable_no_window_and_agrees_when_untied(spark):
+    """The scalable DSIR selection has NO window operator at all (cut
+    point by aggregation, broadcast, filter), and on a tie-free corpus
+    with n*fraction interpolating strictly between attained weights it
+    admits exactly the window form's rows."""
+    docs = [(i, f"w{i} common word soup", ["en", "de"][i % 2])
+            for i in range(1, 12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    exact = {(r.doc_id, r.lang) for r in dsir_select(df, fraction=0.25).collect()}
+    scal_rows = dsir_select_scalable(df, fraction=0.25)
+    scal = {(r.doc_id, r.lang) for r in scal_rows.collect()}
+    # value-threshold vs rank selection agree whenever the interpolated
+    # cut separates rank k from rank k+1 (ties would widen scal)
+    assert exact <= scal
+    w = {r.doc_id: r.weight for r in dsir_weights(df).collect()}
+    if len(set(w.values())) == len(w):
+        assert exact == scal
+    plan = scal_rows._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_cluster_safe_split_moves_clusters_as_a_unit(spark):
