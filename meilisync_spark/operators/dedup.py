@@ -379,36 +379,76 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_bands_slim(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the band table WITHOUT the
+    signature column, for consumers that join bands against bands and
+    only later (or never) need the signatures. At 10⁹ docs the band
+    self-join is the widest shuffle in the whole dedup stack; a band
+    row carrying its 16-slot sig is ~180 B against ~40 B slim, so
+    shipping sigs through that exchange (and holding them in the
+    pinned band table BANDS× over) multiplies both shuffle bytes and
+    pin heap by ~4-5× for data the join key (the band hash IS the
+    band's sig slots) already encodes. Signatures attach afterwards to
+    the UNIQUE surviving pairs via two doc_id joins against the
+    |docs|-row signature table."""
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda b: F.struct(b.alias("band_idx"), _band_hash(F.col("sig"), b).alias("band_hash")),
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Candidate near-duplicate pairs (≥1 shared LSH band) with the
     signature-estimated Jaccard. Shuffle = one self-join keyed on
     (band_idx, band_hash); buckets over ``bucket_cap`` collapse to the
     representative star (see the guard note above _cap_left_side) so a
     template mega-bucket emits O(n) pairs, never O(n²)."""
-    # lazy localCheckpoint: the band table feeds both sides of the
-    # self-join — without a pin the whole shingle+hash pipeline runs
-    # twice (at scale you'd materialize signatures as a table for
-    # exactly this reason). NOT .persist(): cached plans live in the
-    # CacheManager until explicitly unpersisted, and a lazily-returned
-    # result frame has no safe unpersist point — repeated calls in a
-    # long-lived session would accumulate corpus-sized cache entries.
-    # Checkpoint RDDs are released by the ContextCleaner when the frame
-    # is garbage collected.
-    bands = lsh_bands(minhash_signatures(docs)).localCheckpoint(False)
+    # lazy localCheckpoints: the signature table feeds the band build
+    # plus both pair-side sig attachments, and the band table feeds
+    # both sides of the self-join — without pins the whole shingle+hash
+    # pipeline runs once per consumer (at scale you'd materialize
+    # signatures as a table for exactly this reason). NOT .persist():
+    # cached plans live in the CacheManager until explicitly
+    # unpersisted, and a lazily-returned result frame has no safe
+    # unpersist point — repeated calls in a long-lived session would
+    # accumulate corpus-sized cache entries. Checkpoint RDDs are
+    # released by the ContextCleaner when the frame is garbage
+    # collected.
+    sigs = minhash_signatures(docs).localCheckpoint(False)
+    # SLIM self-join (round 8): the band exchange — the widest shuffle
+    # here — moves (doc_id, band_idx, band_hash) rows only; signatures
+    # attach AFTER the distinct, once per unique pair, via two doc_id
+    # joins against the |docs|-row sig table. vs the sig-carrying join:
+    # ~4-5× less band-shuffle payload and pin heap, the pair-dedup
+    # shuffle shrinks to 2 longs per row, and est_jaccard is computed
+    # once per unique pair instead of once per duplicate band
+    # collision. (Subsumes round 7's est-before-distinct ordering.)
+    bands = lsh_bands_slim(sigs).localCheckpoint(False)
     a = _cap_left_side(bands, bucket_cap).select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash")
-    matched = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-    # est_jaccard is a pure function of the pair (one sig per doc), so
-    # computing it BEFORE the dedup lets the distinct shuffle move a
-    # 3-column row instead of two NUM_PERM-element sig arrays — ~10×
-    # less shuffle payload for the up-to-BANDS-fold duplicate pairs.
-    return (
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (matched / F.lit(NUM_PERM)).alias("est_jaccard"))
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    matched = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", (matched / F.lit(NUM_PERM)).alias("est_jaccard"))
     )
 
 
@@ -466,8 +506,11 @@ def minhash_lsh_pairs_oracle_sql() -> str:
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # pins are lazy localCheckpoints, not .persist() — see
-    # minhash_lsh_pairs for the leak rationale
-    bands = lsh_bands(minhash_signatures(docs)).localCheckpoint(False)
+    # minhash_lsh_pairs for the leak rationale. SLIM bands: this path
+    # never reads signatures (verification is exact shingle sets), so
+    # pinning sig-carrying band rows would hold BANDS copies of every
+    # sig in heap for nothing.
+    bands = lsh_bands_slim(minhash_signatures(docs)).localCheckpoint(False)
     cand = (
         _cap_left_side(bands)
         .select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
