@@ -130,10 +130,144 @@ def gen_corpus(n_docs: int, n_vecs: int, outdir: str, seed: int = 42) -> None:
     pq.write_table(emb, os.path.join(outdir, "embeddings.parquet"))
 
 
+def streaming_main(sizes: list[int]) -> None:
+    """The O(batch) claims measured (VERDICT r7 item 5): per-batch cost
+    of the two streaming maintenance loops as the PRE-EXISTING state
+    grows, batch size held constant. A healthy curve is flat — the
+    exponent in INDEX size should sit near 0, not near 1:
+
+    - ``streaming_corpus_ingest_batch``: ingest a fixed 5k-doc batch
+      (near-dedup on) into a corpus index already holding ``n`` docs.
+      The exact-dedup anti-join and the near-dup band probe both read
+      the stored index, but hash-join work is bounded by the batch's
+      own keys.
+    - ``ann_add_batch``: ``run_ann_ingest`` a fixed 2k-vector batch
+      into a served IVF+PQ index already holding ``n`` vectors (the
+      dedup anti-join is pruned to the batch's own cells).
+
+    Each size runs in the shared session (state setup is untimed; the
+    timed span is exactly one availableNow micro-batch drive). Results
+    merge into SCALING.json like the batch series, keyed by the
+    PRE-EXISTING size.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from meilisync_spark.operators.ivfpq import save_index, seed_index_vectors
+    from meilisync_spark.session import get_spark
+    from meilisync_spark.streaming.ann_ingest import run_ann_ingest
+    from meilisync_spark.streaming.corpus_ingest import run_corpus_ingest
+
+    BATCH_DOCS = 5_000
+    BATCH_VECS = 2_000
+    spark = get_spark(app_name="meilisync-spark-scaling-streaming")
+    work = tempfile.mkdtemp(prefix="mls_scaling_stream_")
+    timings: dict[str, dict[int, float]] = {
+        "streaming_corpus_ingest_batch": {},
+        "ann_add_batch": {},
+    }
+    try:
+        for n in sizes:
+            d = os.path.join(work, f"n{n}")
+            os.makedirs(d)
+            # base corpus (seed 42) + a DISJOINT fixed-size batch
+            # (different seed, doc_ids offset past the base) — the
+            # batch must not shrink with near-dedup against itself
+            gen_corpus(n, max(n // 5, BATCH_VECS + 1000), d)
+            bdir = os.path.join(d, "batchsrc")
+            os.makedirs(bdir)
+            gen_corpus(BATCH_DOCS, 10, bdir, seed=7)
+
+            # --- corpus ingest: build state with the base corpus ---
+            drop = os.path.join(d, "incoming")
+            os.makedirs(drop)
+            os.link(os.path.join(d, "documents.parquet"),
+                    os.path.join(drop, "base.parquet"))
+            idx = os.path.join(d, "corpus_idx")
+            ck = os.path.join(d, "ck_ingest")
+            run_corpus_ingest(spark, drop, idx, ck, near_dedup=True,
+                              available_now=True, timeout_sec=600.0)
+            # offset the batch doc_ids past the base corpus
+            t = pq_.read_table(os.path.join(bdir, "documents.parquet"))
+            t = t.set_column(0, "doc_id",
+                             pa.array((t.column("doc_id").to_numpy() + 10_000_000)
+                                      .tolist(), pa.int64()))
+            pq_.write_table(t, os.path.join(drop, "batch.parquet"))
+            t0 = time.perf_counter()
+            run_corpus_ingest(spark, drop, idx, ck, near_dedup=True,
+                              available_now=True, timeout_sec=600.0)
+            timings["streaming_corpus_ingest_batch"][n] = round(
+                time.perf_counter() - t0, 3)
+            print(f"# streaming_corpus_ingest_batch @ {n}: "
+                  f"{timings['streaming_corpus_ingest_batch'][n]}s",
+                  file=sys.stderr)
+
+            # --- ann add: index with n vectors, add a fixed 2k batch ---
+            rng = np.random.default_rng(123)
+            V = rng.standard_normal((n, 64)).astype(np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            base = spark.createDataFrame(
+                [(int(i), v.tolist()) for i, v in enumerate(V)],
+                "vec_id long, embedding array<double>")
+            ann = os.path.join(d, "ann_idx")
+            save_index(base, ann)
+            seed_index_vectors(base, ann)
+            W = rng.standard_normal((BATCH_VECS, 64)).astype(np.float64)
+            W /= np.linalg.norm(W, axis=1, keepdims=True)
+            vdrop = os.path.join(d, "vec_incoming")
+            os.makedirs(vdrop)
+            vt = pa.table({
+                "vec_id": pa.array(range(10_000_000, 10_000_000 + BATCH_VECS),
+                                   pa.int64()),
+                "embedding": pa.array([w.tolist() for w in W],
+                                      pa.list_(pa.float64())),
+            })
+            pq_.write_table(vt, os.path.join(vdrop, "b0.parquet"))
+            t0 = time.perf_counter()
+            run_ann_ingest(spark, vdrop, ann, os.path.join(d, "ck_ann"),
+                           timeout_sec=600.0)
+            timings["ann_add_batch"][n] = round(time.perf_counter() - t0, 3)
+            print(f"# ann_add_batch @ {n}: {timings['ann_add_batch'][n]}s",
+                  file=sys.stderr)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    _merge_and_write(sizes, timings)
+
+
+def _merge_and_write(sizes: list[int], timings: dict[str, dict[int, float]]) -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "SCALING.json")
+    out = {"sizes": sizes, "timings": {}, "exponents": {}}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        out["timings"] = prev.get("timings", {})
+        out["sizes"] = sorted(set(prev.get("sizes", [])) | set(sizes))
+    for name, ts in timings.items():
+        merged = dict(out["timings"].get(name, {}))
+        merged.update({str(n): v for n, v in ts.items()})
+        out["timings"][name] = merged
+    # exponents over each query's FULL sorted series (merged runs)
+    for name, ts in out["timings"].items():
+        series = sorted((int(k), v) for k, v in ts.items())
+        exps = {}
+        for (a, ta), (b, tb) in zip(series, series[1:]):
+            exps[f"{a}->{b}"] = round(math.log(tb / ta) / math.log(b / a), 3)
+        out["exponents"][name] = exps
+    payload = json.dumps(out)
+    print(payload)
+    with open(path, "w") as fh:
+        fh.write(payload + "\n")
+
+
 def main() -> None:
     sizes = [5000, 15000, 50000]
     if "--sizes" in sys.argv:
         sizes = [int(x) for x in sys.argv[sys.argv.index("--sizes") + 1].split(",")]
+    if "--streaming" in sys.argv:
+        streaming_main(sizes)
+        return
     queries = list(QUERIES)
     if "--queries" in sys.argv:
         queries = sys.argv[sys.argv.index("--queries") + 1].split(",")
@@ -162,31 +296,7 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "SCALING.json")
-    out = {"sizes": sizes, "timings": {}, "exponents": {}}
-    if os.path.exists(path):
-        with open(path) as fh:
-            prev = json.load(fh)
-        out["timings"] = prev.get("timings", {})
-        out["sizes"] = sorted(
-            set(prev.get("sizes", [])) | set(sizes)
-        )
-    for name in queries:
-        merged = dict(out["timings"].get(name, {}))
-        merged.update({str(n): timings[name][n] for n in sizes})
-        out["timings"][name] = merged
-    # exponents over each query's FULL sorted series (merged runs)
-    for name, ts in out["timings"].items():
-        series = sorted((int(k), v) for k, v in ts.items())
-        exps = {}
-        for (a, ta), (b, tb) in zip(series, series[1:]):
-            exps[f"{a}->{b}"] = round(math.log(tb / ta) / math.log(b / a), 3)
-        out["exponents"][name] = exps
-    payload = json.dumps(out)
-    print(payload)
-    with open(path, "w") as fh:
-        fh.write(payload + "\n")
+    _merge_and_write(sizes, timings)
 
 
 if __name__ == "__main__":
