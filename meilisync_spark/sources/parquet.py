@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import glob
 import os
+from collections import OrderedDict
 
 import pyarrow.parquet as pq
 import pyarrow.types as patypes
@@ -20,6 +21,7 @@ import pyarrow.types as patypes
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 TABLES = [
     "region",
@@ -133,9 +135,34 @@ def _effective_file_splits(df: DataFrame) -> int | None:
     return total
 
 
+_SPREAD_PIN_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_SPREAD_PIN_CACHE_MAX = 4
+SPREAD_PIN_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _scan_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of a file-backed frame (0 when unknown —
+    callers treat unknown as 'small', falling back to the exchange)."""
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            if uri.startswith("file:"):
+                path = uri[5:]
+                while path.startswith("//"):
+                    path = path[1:]
+            elif uri.startswith("/"):
+                path = uri
+            else:
+                return 0
+            total += os.path.getsize(path)
+        return total
+    except Exception:
+        return 0
+
+
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Round-robin repartition when the scan yields too little REAL
-    parallelism for a CPU-dense stage (hashing/shingling/vector math).
+    """Distribute a scan that yields too little REAL parallelism for a
+    CPU-dense stage (hashing/shingling/vector math).
 
     Local single-file parquet with few row groups is unsplittable — the
     scan does all its work in one or two tasks regardless of how many
@@ -144,16 +171,68 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     moment a test file crossed ~64 MB). At cluster scale the input has
     thousands of files/row groups and this is a no-op, so no shuffle is
     added where the scan already provides parallelism.
+
+    Why the unsplittable-FILE case pins (localCheckpoint) instead of
+    just repartitioning: Catalyst pushes deterministic filters through
+    a repartition exchange into the scan stage — correct and desirable
+    when the scan is parallel (fewer rows shuffled), but on a
+    one-row-group file it fuses the consumer's whole predicate (e.g.
+    the regex-heavy quality gate) into the ONE real scan task, making
+    the filter serial at any corpus size while 31 cores idle (round-8
+    diagnosis: this re-opened the round-7 cliff for every FILTERED
+    consumer; expression-level barriers don't survive the optimizer).
+    The checkpoint RDD is a plan barrier nothing pushes through, so
+    the serial task does only IO+decode+shuffle-write and everything
+    downstream — filters included — runs balanced. SERIALIZED storage
+    (text-heavy rows inflate 3-5× as deserialized JVM objects), and an
+    LRU cache keyed by (app, files, columns) so back-to-back queries
+    over the same pathological file share one pin instead of
+    accumulating block-manager copies. Column pruning into the scan is
+    lost for the pinned file — acceptable: pinning happens only where
+    the alternative is a serial scan, and the cache amortizes it.
     """
     sc = df.sparkSession.sparkContext
     target = parallelism or sc.defaultParallelism
+    threshold = max(2, target // 2)
     parts = df.rdd.getNumPartitions()
     eff = _effective_file_splits(df)
     if eff is not None:
         parts = min(parts, eff)
-    if parts < max(2, target // 2):
+    if parts >= threshold:
+        return df
+    if eff is None or eff >= threshold or _scan_bytes(df) < SPREAD_PIN_MIN_BYTES:
+        # Plain exchange when this is a mid-query frame that merely
+        # lost parallelism (post-limit, post-coalesce — filters above
+        # were already placed relative to real plan nodes), or a SMALL
+        # unsplittable file: a serial scan+filter over <64 MB is
+        # cheap, and pinning it would swap plan shapes (ExistingRDD
+        # for parquet scans) and add eager jobs across every tiny-
+        # fixture test for no measurable win. The cliff the pin exists
+        # for starts where a single row group crosses the ~64 MB split
+        # floor — exactly the size floor used here.
         return df.repartition(target)
-    return df
+    key = (
+        sc.applicationId,
+        tuple(sorted(df.inputFiles())),
+        tuple(df.columns),
+        target,
+    )
+    hit = _SPREAD_PIN_CACHE.get(key)
+    if hit is not None:
+        _SPREAD_PIN_CACHE.move_to_end(key)
+        return hit
+    # MEMORY_AND_DISK is the SERIALIZED level in pyspark 4 (the
+    # deserialized variant is MEMORY_AND_DISK_DESER, the JVM default)
+    pinned = df.repartition(target).localCheckpoint(
+        False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    _SPREAD_PIN_CACHE[key] = pinned
+    while len(_SPREAD_PIN_CACHE) > _SPREAD_PIN_CACHE_MAX:
+        # drop OUR reference only — a caller still holding the evicted
+        # frame keeps it alive; otherwise the ContextCleaner releases
+        # the checkpoint blocks once the frame is collected
+        _SPREAD_PIN_CACHE.popitem(last=False)
+    return pinned
 
 
 def get_count(spark: SparkSession, sf_dir: str, name: str) -> int:

@@ -75,3 +75,56 @@ def test_spread_noop_when_scan_is_parallel(spark, tmp_path):
     out = spread(df, parallelism=8)
     # enough real splits: no exchange added
     assert "Exchange" not in out._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_spread_pins_unsplittable_file_as_plan_barrier(spark, tmp_path, monkeypatch):
+    """Round-8 regression: a repartition alone is DEFEATED for filtered
+    consumers — Catalyst pushes deterministic filters through the
+    exchange into the single real scan task. The cliff case (a BIG
+    unsplittable file) must yield a checkpoint barrier: the consumer's
+    filter stays ABOVE a balanced ExistingRDD scan instead of fusing
+    into the serial file scan."""
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.sources import parquet as P
+
+    monkeypatch.setattr(P, "SPREAD_PIN_MIN_BYTES", 1024 * 1024)
+    p = str(tmp_path / "cliff.parquet")
+    _write(p, 150_000, row_group_size=1_000_000, text_len=300)
+    df = spark.read.parquet(p)
+    out = spread(df, parallelism=8)
+    filtered = out.where(F.length("text") > 10)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # the pin is the scan
+    assert "Scan parquet" not in plan  # no second scan of the file
+    # the filter executes over the checkpoint's 8 partitions, not the
+    # file's single real split
+    assert filtered.rdd.getNumPartitions() == 8
+
+
+def test_spread_pin_cache_shares_across_calls(spark, tmp_path, monkeypatch):
+    """Back-to-back queries over the same pathological file must share
+    ONE pin (the LRU cache), not accumulate block-manager copies."""
+    from meilisync_spark.sources import parquet as P
+
+    monkeypatch.setattr(P, "SPREAD_PIN_MIN_BYTES", 1024 * 1024)
+    p = str(tmp_path / "cached.parquet")
+    _write(p, 150_000, row_group_size=1_000_000, text_len=300)
+    a = spread(spark.read.parquet(p), parallelism=8)
+    b = spread(spark.read.parquet(p), parallelism=8)
+    assert a is b
+    # a different column subset is a different pin (schema differs)
+    c = spread(spark.read.parquet(p).select("doc_id"), parallelism=8)
+    assert c is not a
+
+
+def test_spread_small_unsplittable_file_repartitions_without_pin(spark, tmp_path):
+    """Below the ~64 MB cliff floor a serial scan is cheap: spread must
+    use the plain exchange (no eager checkpoint job, parquet scan kept
+    so pruning/pushdown still reach the file)."""
+    p = str(tmp_path / "small.parquet")
+    _write(p, 50_000, row_group_size=1_000_000)
+    out = spread(spark.read.parquet(p), parallelism=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    assert out.rdd.getNumPartitions() == 8
