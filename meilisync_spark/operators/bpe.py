@@ -176,6 +176,29 @@ def bpe_train(
 
 
 BPE_PIN_EVERY = 4  # fold-chain depth between lineage pins
+# above this many merges the fold chain stops being reasonable (one
+# Catalyst aggregate per merge + an eager pin job every BPE_PIN_EVERY)
+# and bpe_encode_stats switches its OOV path to the classic per-word
+# encoder (bpe_apply_merges_fast) — see the module docstring's
+# equivalence argument for why the two agree on alias-free merge lists
+BPE_FOLD_MAX_MERGES = 64
+
+
+def merges_aliased(
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+) -> list[str]:
+    """Output strings produced by MORE THAN ONE distinct merge — the
+    exact precondition under which single-pass rank-order application
+    (:func:`bpe_apply_merges`) can diverge from the classic iterative
+    lowest-rank loop (:func:`bpe_apply_merges_fast`); empty ⇒ the two
+    encoders agree token-for-token on every input. Cheap (driver-side,
+    |merges| work) — callers that need the fold's oracle semantics at
+    scale should check this at train time."""
+    seen: dict[str, int] = {}
+    for m in merges:
+        out = m[0] + m[1]
+        seen[out] = seen.get(out, 0) + 1
+    return sorted(o for o, c in seen.items() if c > 1)
 
 
 def bpe_apply_merges(
@@ -207,6 +230,74 @@ def bpe_apply_merges(
     return out
 
 
+def bpe_apply_merges_fast(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+) -> DataFrame:
+    """``(word)`` → ``(word, tokens)``: the classic per-word BPE encode
+    loop — repeatedly merge the LOWEST-RANK adjacent pair present
+    (greedy left-to-right non-overlapping within each pass) until no
+    trained pair remains. This is the reference tokenizer algorithm
+    (Sennrich et al. 2016 encoder; same loop as GPT-2's bpe()) and the
+    production form for real vocab sizes: per-word cost is
+    O(passes × len), INDEPENDENT of |merges| — while the fold twin
+    (:func:`bpe_apply_merges`) builds one Catalyst aggregate per merge
+    plus an eager pin job every ``BPE_PIN_EVERY``, which is the right
+    shape only for small merge lists (BPE_PIN_PROBE.json measures the
+    crossover).
+
+    Equivalence: on ALIAS-FREE merge lists (no output string produced
+    by two distinct merges — :func:`merges_aliased` returns []) this
+    agrees token-for-token with the rank-order fold, per the module
+    docstring's argument (a)+(b). On aliased lists THIS encoder is the
+    reference semantics and the fold is the documented approximation
+    (tests/test_bpe.py pins a diverging example both ways).
+
+    Python earns its place here: the loop is data-dependent iteration
+    over a vocab-sized frame (distinct OOV words, never the corpus),
+    Arrow-batched via mapInPandas. Closure binds everything by value —
+    no module globals — so workers need no importable package."""
+    rank_of = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    pair_of = [(m[0], m[1]) for m in merges]
+    eow = EOW  # bind by value into the closure
+
+    def _encode_batches(batches):
+        import pandas as pd
+
+        def enc(word):
+            syms = list(word) + [eow]
+            while len(syms) > 1:
+                best = None
+                for a, b in zip(syms, syms[1:]):
+                    r = rank_of.get((a, b))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                left, right = pair_of[best]
+                merged = left + right
+                out, i = [], 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"word": pdf["word"], "tokens": [enc(w) for w in pdf["word"]]}
+            )
+
+    return words.select("word").mapInPandas(
+        _encode_batches, "word string, tokens array<string>"
+    )
+
+
 def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT) -> DataFrame:
     """(rank, left, right, merged, weighted_count) — the learned merge
     sequence as a frame (what a tokenizer file ships)."""
@@ -224,6 +315,7 @@ def bpe_encode_stats(
     docs: DataFrame,
     n_merges: int = BPE_MERGES_DEFAULT,
     train_docs: DataFrame | None = None,
+    oov_encoder: str = "auto",
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens, compression) — every document
     re-encoded with the trained segmentation: corpus words broadcast-
@@ -237,8 +329,20 @@ def bpe_encode_stats(
 
     ``train_docs`` defaults to ``docs`` (encode the training corpus —
     OOV set empty by construction); pass a separate training corpus to
-    exercise the held-out/OOV encoder."""
+    exercise the held-out/OOV encoder.
+
+    ``oov_encoder``: ``"fold"`` (the JVM rank-order fold,
+    :func:`bpe_apply_merges` — oracle semantics, right for small merge
+    lists), ``"fast"`` (the classic per-word loop,
+    :func:`bpe_apply_merges_fast` — production vocab sizes), or
+    ``"auto"`` (fold up to ``BPE_FOLD_MAX_MERGES`` merges, fast
+    beyond; identical output on alias-free merge lists)."""
     merges, vocab = bpe_train(train_docs if train_docs is not None else docs, n_merges)
+    if oov_encoder == "auto":
+        oov_encoder = "fold" if len(merges) <= BPE_FOLD_MAX_MERGES else "fast"
+    if oov_encoder not in ("fold", "fast"):
+        raise ValueError(f"oov_encoder must be fold|fast|auto, got {oov_encoder!r}")
+    apply_merges = bpe_apply_merges if oov_encoder == "fold" else bpe_apply_merges_fast
     docs = spread(docs)
     words = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("word")
@@ -254,7 +358,7 @@ def bpe_encode_stats(
         .localCheckpoint(True)  # pin: feeds the emptiness probe AND the fold
     )
     if not oov.isEmpty():
-        lookup = lookup.unionByName(bpe_apply_merges(oov, merges))
+        lookup = lookup.unionByName(apply_merges(oov, merges))
     enc = words.join(F.broadcast(lookup), "word", "left")
     per_word = enc.select(
         "doc_id",

@@ -184,3 +184,91 @@ def test_bpe_plans_stay_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # vocab join is broadcast
+
+
+def test_bpe_fast_encoder_matches_fold_on_trained_merges(spark):
+    """The classic per-word lowest-rank loop (production twin) agrees
+    token-for-token with the rank-order fold on REAL trained merges —
+    training can only produce alias-free lists in practice here, and
+    merges_aliased certifies the precondition explicitly."""
+    from meilisync_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_apply_merges_fast,
+        merges_aliased,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    texts = [r.text for r in docs.select("text").collect() if r.text]
+    merges, _ = bpe_train(docs, n_merges=12)
+    assert merges_aliased(merges) == []
+    train_vocab = set(_word_freqs(texts))
+    base = sorted(train_vocab)[:12]
+    held = [a + b for a, b in zip(base, base[1:])] + ["qzxqzxqzx", "a"]
+    held = sorted({w for w in held if w not in train_vocab})
+    wdf = spark.createDataFrame([(w,) for w in held], "word string")
+    fold = {
+        r.word: list(r.tokens) for r in bpe_apply_merges(wdf, merges).collect()
+    }
+    fast = {
+        r.word: list(r.tokens)
+        for r in bpe_apply_merges_fast(wdf, merges).collect()
+    }
+    assert fast == fold
+
+
+def test_bpe_aliased_merges_detected_and_divergence_pinned(spark):
+    """The documented aliasing caveat, exercised both ways: a merge
+    list where two distinct merges yield 'abc' — merges_aliased flags
+    it, the classic loop merges through the late-created symbol while
+    the single-pass fold (whose rank-3 turn has already passed when
+    rank-4 creates 'abc') cannot. The fast encoder is the reference
+    semantics here; the fold is the documented approximation."""
+    from meilisync_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_apply_merges_fast,
+        merges_aliased,
+    )
+
+    merges = [
+        ("a", "b"),    # 0: ab
+        ("b", "c"),    # 1: bc
+        ("a", "bc"),   # 2: abc  <-- alias source
+        ("z", "abc"),  # 3: zabc (consumes abc, rank BEFORE the alias)
+        ("ab", "c"),   # 4: abc  <-- alias: second producer of 'abc'
+    ]
+    assert merges_aliased(merges) == ["abc"]
+    wdf = spark.createDataFrame([("zabc",)], "word string")
+    # fold: rank 0 eats (a,b) first [greedy l-to-r], rank 3 finds no
+    # 'abc' yet, rank 4 creates it too late -> [z, abc, </w>]
+    fold = bpe_apply_merges(wdf, merges).collect()[0].tokens
+    assert list(fold) == ["z", "abc", EOW]
+    # classic loop re-scans: (a,b) -> (ab,c) -> (z,abc) -> [zabc, </w>]
+    fast = bpe_apply_merges_fast(wdf, merges).collect()[0].tokens
+    assert list(fast) == ["zabc", EOW]
+
+
+def test_bpe_encode_stats_oov_encoder_paths_agree(spark):
+    """fold/fast/auto produce identical encode stats on a held-out
+    corpus (alias-free trained merges), and auto picks the fold at
+    small merge counts (plan stays JVM-side)."""
+    train = spark.createDataFrame(
+        [(1, "aa aa aa bb bb abab abab")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(2, "zzz aaaa"), (3, "ababab bbaa")], "doc_id long, text string"
+    )
+    outs = {
+        enc: sorted(
+            (r.doc_id, r.n_words, r.n_tokens, round(r.compression, 9))
+            for r in bpe_encode_stats(
+                docs, 4, train_docs=train, oov_encoder=enc
+            ).collect()
+        )
+        for enc in ("fold", "fast", "auto")
+    }
+    assert outs["fold"] == outs["fast"] == outs["auto"]
+    auto_plan = (
+        bpe_encode_stats(docs, 4, train_docs=train)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in auto_plan  # auto == fold here

@@ -98,7 +98,10 @@ def main() -> None:
     wdf = spark.createDataFrame([(w,) for w in words], "word string") \
         .repartition(32).localCheckpoint(True)
 
+    from meilisync_spark.operators.bpe import bpe_apply_merges_fast
+
     results: dict[int, float] = {p: float("inf") for p in pins}
+    fast_sec = float("inf")
     for _ in range(2):  # interleaved min-of-2
         for p in pins:
             t0 = time.perf_counter()
@@ -108,10 +111,18 @@ def main() -> None:
             dt = time.perf_counter() - t0
             results[p] = min(results[p], dt)
             print(f"# pin_every={p}: {dt:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        bpe_apply_merges_fast(wdf, merges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        fast_sec = min(fast_sec, dt)
+        print(f"# fast (classic loop): {dt:.2f}s", file=sys.stderr)
     payload = {
         "n_merges": len(merges),
         "n_words": len(words),
         "sec_by_pin_every": {str(p): round(v, 2) for p, v in results.items()},
+        "fast_sec": round(fast_sec, 2),
     }
     print(json.dumps(payload))
     with open(os.path.join(ROOT, "BPE_PIN_PROBE.json"), "w") as fh:
