@@ -112,7 +112,14 @@ def gen_corpus(n_docs: int, n_vecs: int, outdir: str, seed: int = 42) -> None:
             "n_chars": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
-    pq.write_table(t, os.path.join(outdir, "documents.parquet"))
+    # realistic row groups (64k rows): pyarrow's default is ONE ~1M-row
+    # group, which no real 100-TB writer produces and which makes the
+    # file unsplittable — the harness would then measure spread()'s
+    # pathological-file pin path instead of operator structure (the
+    # round-8 diagnosis of the phantom 500k->1M superlinearity)
+    pq.write_table(
+        t, os.path.join(outdir, "documents.parquet"), row_group_size=65536
+    )
 
     V = rng.standard_normal((n_vecs, 64)).astype(np.float32)
     V /= np.linalg.norm(V, axis=1, keepdims=True)
@@ -261,6 +268,24 @@ def _merge_and_write(sizes: list[int], timings: dict[str, dict[int, float]]) -> 
         fh.write(payload + "\n")
 
 
+_CELL_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {root!r})
+from meilisync_spark.session import get_spark
+from meilisync_spark.queries import REGISTRY
+
+spark = get_spark(app_name="mls-scaling-cell")
+fn = REGISTRY[{name!r}].fn
+best = float("inf")
+for _ in range({loops}):
+    t0 = time.perf_counter()
+    fn(spark, {d!r}).write.format("noop").mode("overwrite").save()
+    best = min(best, time.perf_counter() - t0)
+    spark.catalog.clearCache()
+print("RESULT " + json.dumps(round(best, 3)))
+"""
+
+
 def main() -> None:
     sizes = [5000, 15000, 50000]
     if "--sizes" in sys.argv:
@@ -272,10 +297,20 @@ def main() -> None:
     if "--queries" in sys.argv:
         queries = sys.argv[sys.argv.index("--queries") + 1].split(",")
 
-    from meilisync_spark import queries as Q
-    from meilisync_spark.session import get_spark
+    # Protocol (round 8): ONE FRESH JVM PER (query, size) CELL.
+    # A shared session contaminates later cells two ways, both caught
+    # by the stage-decomposition probes: localCheckpoint pins from
+    # earlier queries age into the old gen / block manager (the 1M
+    # pipeline cell varied 209-382 s purely by what ran before it),
+    # and JIT warmup from earlier cells speeds SMALL cells more than
+    # large ones, bending the exponent both directions. Cold-per-cell
+    # makes warmup a size-independent constant; construction time
+    # (where AQE executes pinned subtrees eagerly) stays inside the
+    # timed span. min-of-{2} within the cell's own JVM; the second run
+    # benefits from its own pins exactly like a production re-query.
+    import subprocess
 
-    spark = get_spark(app_name="meilisync-spark-scaling")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     work = tempfile.mkdtemp(prefix="mls_scaling_")
     timings: dict[str, dict[int, float]] = {q: {} for q in queries}
     try:
@@ -284,14 +319,19 @@ def main() -> None:
             os.makedirs(d)
             gen_corpus(n, max(n // 5, 2000), d)
             for name in queries:
-                fn = Q.REGISTRY[name].fn
-                best = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    fn(spark, d).write.format("noop").mode("overwrite").save()
-                    best = min(best, time.perf_counter() - t0)
-                    spark.catalog.clearCache()
-                timings[name][n] = round(best, 3)
+                loops = 1 if n >= 500_000 else 2
+                code = _CELL_CHILD.format(root=root, name=name, d=d, loops=loops)
+                p = subprocess.run(
+                    [sys.executable, "-c", code], capture_output=True, text=True
+                )
+                line = [
+                    l for l in p.stdout.splitlines() if l.startswith("RESULT ")
+                ]
+                if not line:
+                    raise RuntimeError(
+                        f"cell {name}@{n} failed:\n{p.stderr[-3000:]}"
+                    )
+                timings[name][n] = json.loads(line[-1][len("RESULT "):])
                 print(f"# {name} @ {n} docs: {timings[name][n]}s", file=sys.stderr)
     finally:
         shutil.rmtree(work, ignore_errors=True)
