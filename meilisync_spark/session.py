@@ -150,6 +150,18 @@ def get_spark(
         # smaller box gets Spark spill instead of the OS OOM-killer /
         # a cgroup-limited JVM start failure; the env var always wins.
         .config("spark.driver.memory", _default_driver_mem())
+        # Dead localCheckpoint blocks release via the ContextCleaner,
+        # which only learns a frame is dead when a JVM GC processes its
+        # weak reference — and a barely-pressured 48g heap can go many
+        # minutes without one. Spark's default periodic-GC interval is
+        # 30 MINUTES: long-lived sessions running checkpoint-pinning
+        # queries back-to-back accumulated gigabytes of dead pins until
+        # the block manager evicted to disk (round-8 diagnosis: the
+        # same 500k-doc pipeline cell measured 44 s or 8+ min of spill
+        # thrash depending on whether a GC happened to run between two
+        # invocations). 2 minutes bounds the dead-pin window at a
+        # negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -282,6 +282,14 @@ for _ in range({loops}):
     fn(spark, {d!r}).write.format("noop").mode("overwrite").save()
     best = min(best, time.perf_counter() - t0)
     spark.catalog.clearCache()
+    # release the finished run's checkpoint pins deterministically:
+    # the ContextCleaner only collects them after a JVM GC notices the
+    # dead weak refs, and an unpressured heap may not GC between runs
+    # (measured: the SAME cell at 44 s or 8+ min of eviction thrash
+    # depending on GC timing) — a forced collection between timed runs
+    # measures the operator, not the cleaner's schedule
+    spark._jvm.System.gc()
+    time.sleep(1.0)
 print("RESULT " + json.dumps(round(best, 3)))
 """
 
@@ -311,15 +319,27 @@ def main() -> None:
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    work = tempfile.mkdtemp(prefix="mls_scaling_")
+    if "--workdir" in sys.argv:
+        work = sys.argv[sys.argv.index("--workdir") + 1]
+        os.makedirs(work, exist_ok=True)
+        clean = False
+    else:
+        work = tempfile.mkdtemp(prefix="mls_scaling_")
+        clean = True
     timings: dict[str, dict[int, float]] = {q: {} for q in queries}
     try:
         for n in sizes:
             d = os.path.join(work, f"n{n}")
-            os.makedirs(d)
-            gen_corpus(n, max(n // 5, 2000), d)
+            if not os.path.isdir(d):
+                os.makedirs(d)
+                gen_corpus(n, max(n // 5, 2000), d)
             for name in queries:
-                loops = 1 if n >= 500_000 else 2
+                # min-of-2 at EVERY size: the first run in a fresh JVM
+                # pays whole-stage-codegen compilation (~10-15 s flat),
+                # so a min-of-1 tier at large sizes would compare warm
+                # small cells against cold large ones — a protocol
+                # discontinuity that once printed exact_dedup exp 2.0
+                loops = 2
                 code = _CELL_CHILD.format(root=root, name=name, d=d, loops=loops)
                 p = subprocess.run(
                     [sys.executable, "-c", code], capture_output=True, text=True
@@ -334,7 +354,8 @@ def main() -> None:
                 timings[name][n] = json.loads(line[-1][len("RESULT "):])
                 print(f"# {name} @ {n} docs: {timings[name][n]}s", file=sys.stderr)
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if clean:
+            shutil.rmtree(work, ignore_errors=True)
 
     _merge_and_write(sizes, timings)
 
