@@ -76,35 +76,65 @@ def stage(name, thunk, out):
 res = {{}}
 docs = load_table(spark, d, "documents")
 
-sigs = D.minhash_signatures(docs)
-stage("sig", lambda: sigs.write.format("noop").mode("overwrite").save(), res)
+# CONSTRUCTION inside each stage thunk: localCheckpoint (even lazy)
+# and AQE plan access execute upstream exchanges at CALL time — a
+# frame built outside the timer silently exports its cost out of the
+# measurement (the round-8 probe bug).
+state = {{}}
 
-bands = D.lsh_bands(D.minhash_signatures(docs)).localCheckpoint(False)
-stage("pin", lambda: bands.count(), res)
 
-big = (
-    bands.groupBy("band_idx", "band_hash")
-    .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep"))
-    .where(F.col("_n") > D.LSH_BUCKET_CAP)
-)
-stage("stats", lambda: big.write.format("noop").mode("overwrite").save(), res)
+def s_sig():
+    D.minhash_signatures(docs).write.format("noop").mode("overwrite").save()
 
-a = D._cap_left_side(bands).select(
-    F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
-    "band_idx", "band_hash")
-b = bands.select(
-    F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
-    "band_idx", "band_hash")
-matched = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                          lambda m: m))
-pairs = (a.join(b, ["band_idx", "band_hash"])
-         .where(F.col("doc_a") < F.col("doc_b"))
-         .select("doc_a", "doc_b", (matched / F.lit(D.NUM_PERM)).alias("est_jaccard"))
-         .distinct())
-stage("join", lambda: pairs.write.format("noop").mode("overwrite").save(), res)
 
-full = D.minhash_lsh_pairs(docs)
-stage("full", lambda: full.write.format("noop").mode("overwrite").save(), res)
+def s_pin():
+    # mirror the CURRENT minhash_lsh_pairs shape (round 8): sig table
+    # pinned, slim (doc_id, band_idx, band_hash) band table pinned
+    state["sigs"] = D.minhash_signatures(docs).localCheckpoint(False)
+    state["bands"] = D.lsh_bands_slim(state["sigs"]).localCheckpoint(False)
+    state["bands"].count()
+
+
+def s_stats():
+    big = (
+        state["bands"].groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep"))
+        .where(F.col("_n") > D.LSH_BUCKET_CAP)
+    )
+    big.write.format("noop").mode("overwrite").save()
+
+
+def s_join():
+    bands, sigs = state["bands"], state["sigs"]
+    a = D._cap_left_side(bands).select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    pairs = (a.join(b, ["band_idx", "band_hash"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b")
+             .distinct())
+    matched = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                              lambda m: m))
+    out = (
+        pairs.join(sigs.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sig").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sig").alias("sig_b")), "doc_b")
+        .select("doc_a", "doc_b",
+                (matched / F.lit(D.NUM_PERM)).alias("est_jaccard"))
+    )
+    out.write.format("noop").mode("overwrite").save()
+
+
+def s_full():
+    D.minhash_lsh_pairs(docs).write.format("noop").mode("overwrite").save()
+
+
+stage("sig", s_sig, res)
+stage("pin", s_pin, res)
+stage("stats", s_stats, res)
+stage("join", s_join, res)
+stage("full", s_full, res)
 
 print("RESULT " + json.dumps({{"n": n, "stages": res}}))
 """
@@ -114,7 +144,13 @@ def main() -> None:
     sizes = [500_000, 1_000_000]
     if "--sizes" in sys.argv:
         sizes = [int(x) for x in sys.argv[sys.argv.index("--sizes") + 1].split(",")]
-    work = tempfile.mkdtemp(prefix="mls_lsh_probe_")
+    if "--workdir" in sys.argv:
+        work = sys.argv[sys.argv.index("--workdir") + 1]
+        os.makedirs(work, exist_ok=True)
+        clean = False
+    else:
+        work = tempfile.mkdtemp(prefix="mls_lsh_probe_")
+        clean = True
     out = []
     try:
         for n in sizes:
@@ -128,9 +164,10 @@ def main() -> None:
                 raise RuntimeError(f"probe at n={n} failed:\n{p.stdout[-2000:]}")
             out.append(json.loads(line[-1][len("RESULT "):]))
     finally:
-        import shutil
+        if clean:
+            import shutil
 
-        shutil.rmtree(work, ignore_errors=True)
+            shutil.rmtree(work, ignore_errors=True)
     payload = {"runs": out}
     if len(out) == 2:
         import math

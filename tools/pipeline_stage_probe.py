@@ -85,53 +85,73 @@ def stage(name, thunk, out):
 res = {{}}
 docs = D.spread(load_table(spark, d, "documents"))
 
-# -- stage 1: quality gate + canonical window, pinned (the pipeline's
-#    own exact_sur construction, dedup.py corpus_pipeline_full)
-kept = docs.where(quality_keep(F.col("text"))).select(
-    "doc_id", "lang", "text",
-    F.sha2(D.normalize_text(F.col("text")), 256).alias("content_hash"),
-)
-w = Window.partitionBy("content_hash").orderBy("doc_id")
-exact_sur = (
-    kept.withColumn("_rn", F.row_number().over(w))
-    .where(F.col("_rn") == 1)
-    .select("doc_id", "lang", "text")
-    .localCheckpoint(False)
-)
-stage("exact", lambda: exact_sur.count(), res)
+# CONSTRUCTION happens INSIDE each stage thunk: localCheckpoint (even
+# eager=False) and any AQE plan execute their upstream exchanges AT
+# CALL TIME, so building a frame outside the timer silently moves its
+# cost out of the measurement (the round-8 probe bug — the first
+# decomposition printed 0.2 s for a 600-CPU-second LSH stage).
+state = {{}}
 
-# -- stage 2: near-dup drop set off the pinned survivors
-near_drop = (
-    D.minhash_lsh_pairs(exact_sur.select("doc_id", "text"))
-    .where(F.col("est_jaccard") >= D.NEAR_DUP_TAU)
-    .select(F.col("doc_b").alias("doc_id"))
-    .distinct()
-    .localCheckpoint(False)
-)
-stage("lsh", lambda: near_drop.count(), res)
 
-# -- stage 3: the independent decontamination subtree
-contaminated = (
-    D.decontaminate(docs)
-    .select(F.col("corpus_doc").alias("doc_id"))
-    .distinct()
-    .localCheckpoint(False)
-)
-stage("decon", lambda: contaminated.count(), res)
+def s_exact():
+    kept = docs.where(quality_keep(F.col("text"))).select(
+        "doc_id", "lang", "text",
+        F.sha2(D.normalize_text(F.col("text")), 256).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    state["exact_sur"] = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(False)
+    )
+    state["exact_sur"].count()
 
-# -- stage 4: anti-joins + packing off the pinned pieces
-near_sur = exact_sur.join(near_drop, "doc_id", "left_anti")
-final = (
-    near_sur.where(~D._eval_flag(F.col("doc_id")))
-    .join(contaminated, "doc_id", "left_anti")
-)
-packed = pack_sequences(final.select("doc_id", "lang", "text"))
-stage("pack", lambda: packed.write.format("noop").mode("overwrite").save(), res)
 
-# -- reference: the unsplit composition (fresh lineage, own pins)
+def s_lsh():
+    state["near_drop"] = (
+        D.minhash_lsh_pairs(state["exact_sur"].select("doc_id", "text"))
+        .where(F.col("est_jaccard") >= D.NEAR_DUP_TAU)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(False)
+    )
+    state["near_drop"].count()
+
+
+def s_decon():
+    state["contaminated"] = (
+        D.decontaminate(docs)
+        .select(F.col("corpus_doc").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(False)
+    )
+    state["contaminated"].count()
+
+
+def s_pack():
+    near_sur = state["exact_sur"].join(state["near_drop"], "doc_id", "left_anti")
+    final = (
+        near_sur.where(~D._eval_flag(F.col("doc_id")))
+        .join(state["contaminated"], "doc_id", "left_anti")
+    )
+    packed = pack_sequences(final.select("doc_id", "lang", "text"))
+    packed.write.format("noop").mode("overwrite").save()
+
+
+stage("exact", s_exact, res)
+stage("lsh", s_lsh, res)
+stage("decon", s_decon, res)
+stage("pack", s_pack, res)
+
+# -- reference: the unsplit composition (fresh lineage, own pins) —
+#    construction inside the thunk, like the scaling harness times it
 if not skip_full:
-    full = D.corpus_pipeline_full(load_table(spark, d, "documents"))
-    stage("full", lambda: full.write.format("noop").mode("overwrite").save(), res)
+    def s_full():
+        full = D.corpus_pipeline_full(load_table(spark, d, "documents"))
+        full.write.format("noop").mode("overwrite").save()
+
+    stage("full", s_full, res)
 
 print("RESULT " + json.dumps({{"n": n, "stages": res}}))
 """
