@@ -1871,22 +1871,32 @@ def q_bpe_encode_stats(spark, sf_dir):
     "bpe_encode_oov_fast",
     None,  # iterative training upstream — fast==fold equality is the suite's gate
     doc="Held-out BPE encode through the PRODUCTION OOV path: train on "
-        "the even-doc_id half, encode the full corpus, the odd half's "
-        "unseen words segmented by bpe_apply_merges_fast (the classic "
-        "lowest-rank loop, Arrow mapInPandas over the distinct OOV "
-        "words — per-word cost independent of |merges|, the form a "
-        "32k-merge production vocab needs). Identical rows to the JVM "
-        "fold on alias-free merges (tests pin both the equality and "
-        "the one aliased-divergence case).",
+        "the corpus with every word starting n-z REMOVED (a word-level "
+        "holdout — doc-level splits leave no OOV on small fixtures "
+        "whose whole vocabulary appears in every half), encode the "
+        "full corpus; the held-out words are segmented by "
+        "bpe_apply_merges_fast (the classic lowest-rank loop, Arrow "
+        "mapInPandas over the distinct OOV words — per-word cost "
+        "independent of |merges|, the form a 32k-merge production "
+        "vocab needs). Identical rows to the JVM fold on alias-free "
+        "merges (tests pin both the equality and the one "
+        "aliased-divergence case).",
     driver_facing=False,
 )
 def q_bpe_encode_oov_fast(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from meilisync_spark.operators.bpe import bpe_encode_stats
+    from meilisync_spark.operators.text import words_col
 
     docs = _t(spark, sf_dir, "documents")
-    train = docs.where(F.col("doc_id") % 2 == 0)
+    train = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(words_col(F.col("text")), lambda w: ~w.rlike("^[n-z]")),
+            " ",
+        ).alias("text"),
+    )
     return bpe_encode_stats(docs, train_docs=train, oov_encoder="fast")
 
 
