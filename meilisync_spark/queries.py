@@ -1900,6 +1900,25 @@ def q_bpe_encode_oov_fast(spark, sf_dir):
     return bpe_encode_stats(docs, train_docs=train, oov_encoder="fast")
 
 
+@register(
+    "layout_report",
+    None,  # footer metadata — DuckDB parquet_metadata() cross-check lives in tests/test_layout.py (path-bound SQL can't use the pre-registered views)
+    doc="Parquet layout doctor: one row per file from a DISTRIBUTED "
+        "footer-only scan (file bytes, row groups, rows, max/avg "
+        "row-group span) plus a needs_rewrite verdict for files whose "
+        "byte-range split plan promises more parallelism than their "
+        "row groups can deliver — the unsplittable-file pathology "
+        "spread() pins around (round 8). Operational tooling for the "
+        "100-TB posture: audit first, rewrite flagged files once, and "
+        "the pin path goes dead for your data.",
+    driver_facing=False,
+)
+def q_layout_report(spark, sf_dir):
+    from meilisync_spark.operators.layout import layout_report
+
+    return layout_report(spark, sf_dir)
+
+
 def _ann_served_cache_dir(sf_dir: str) -> str:
     """Deterministic per-corpus cache dir for the train-once serving
     row: keyed by the embeddings table's path + mtime + size AND the
