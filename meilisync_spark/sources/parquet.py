@@ -140,24 +140,62 @@ _SPREAD_PIN_CACHE_MAX = 4
 SPREAD_PIN_MIN_BYTES = 64 * 1024 * 1024
 
 
+def _local_fs_path(uri: str) -> str | None:
+    """file:/…/local-absolute URI → filesystem path; None for remote."""
+    if uri.startswith("file:"):
+        path = uri[5:]
+        while path.startswith("//"):
+            path = path[1:]
+        return path
+    if uri.startswith("/"):
+        return uri
+    return None
+
+
 def _scan_bytes(df: DataFrame) -> int:
     """Total on-disk bytes of a file-backed frame (0 when unknown —
     callers treat unknown as 'small', falling back to the exchange)."""
     try:
         total = 0
         for uri in df.inputFiles():
-            if uri.startswith("file:"):
-                path = uri[5:]
-                while path.startswith("//"):
-                    path = path[1:]
-            elif uri.startswith("/"):
-                path = uri
-            else:
+            path = _local_fs_path(uri)
+            if path is None:
                 return 0
             total += os.path.getsize(path)
         return total
     except Exception:
         return 0
+
+
+def _pin_cache_key(df: DataFrame, app_id: str, target: int) -> tuple | None:
+    """Collision-safe cache key for a pinned frame, or None when one
+    can't be built (caller pins UNCACHED rather than risk serving the
+    wrong rows).
+
+    Two hazards a naive (files, columns) key has — both real because
+    the public operators accept arbitrary frames: (1) two different
+    PLANS over the same file with identical column lists collide (a
+    filter preserves columns, so spread(docs.where(...)) after
+    spread(docs) would silently receive the unfiltered pin) — covered
+    by Catalyst's canonicalized-plan digest (DataFrame.semanticHash);
+    (2) a file overwritten in place mid-session keeps serving the stale
+    pin — covered by each file's (mtime_ns, size) in the key."""
+    try:
+        digest = df.semanticHash()
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    sig = []
+    for uri in files:
+        path = _local_fs_path(uri)
+        if path is None:
+            return None
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        sig.append((path, st.st_mtime_ns, st.st_size))
+    return (app_id, digest, tuple(sig), tuple(df.columns), target)
 
 
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
@@ -185,9 +223,12 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     the serial task does only IO+decode+shuffle-write and everything
     downstream — filters included — runs balanced. SERIALIZED storage
     (text-heavy rows inflate 3-5× as deserialized JVM objects), and an
-    LRU cache keyed by (app, files, columns) so back-to-back queries
-    over the same pathological file share one pin instead of
-    accumulating block-manager copies. Column pruning into the scan is
+    LRU cache keyed by (app, canonicalized-plan digest, per-file
+    mtime+size, columns) — see _pin_cache_key — so back-to-back
+    queries over the same pathological file share one pin instead of
+    accumulating block-manager copies, while differently-FILTERED
+    frames over the same file and in-place-overwritten files never
+    collide. Column pruning into the scan is
     lost for the pinned file — acceptable: pinning happens only where
     the alternative is a serial scan, and the cache amortizes it.
     """
@@ -211,21 +252,20 @@ def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
         # for starts where a single row group crosses the ~64 MB split
         # floor — exactly the size floor used here.
         return df.repartition(target)
-    key = (
-        sc.applicationId,
-        tuple(sorted(df.inputFiles())),
-        tuple(df.columns),
-        target,
-    )
-    hit = _SPREAD_PIN_CACHE.get(key)
-    if hit is not None:
-        _SPREAD_PIN_CACHE.move_to_end(key)
-        return hit
+    key = _pin_cache_key(df, sc.applicationId, target)
+    if key is not None:
+        hit = _SPREAD_PIN_CACHE.get(key)
+        if hit is not None:
+            _SPREAD_PIN_CACHE.move_to_end(key)
+            return hit
     # MEMORY_AND_DISK is the SERIALIZED level in pyspark 4 (the
     # deserialized variant is MEMORY_AND_DISK_DESER, the JVM default)
     pinned = df.repartition(target).localCheckpoint(
         False, storageLevel=StorageLevel.MEMORY_AND_DISK
     )
+    if key is None:
+        # no collision-safe key ⇒ pin uncached (correctness over reuse)
+        return pinned
     _SPREAD_PIN_CACHE[key] = pinned
     while len(_SPREAD_PIN_CACHE) > _SPREAD_PIN_CACHE_MAX:
         # drop OUR reference only — a caller still holding the evicted

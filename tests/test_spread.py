@@ -128,3 +128,47 @@ def test_spread_small_unsplittable_file_repartitions_without_pin(spark, tmp_path
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" not in plan
     assert out.rdd.getNumPartitions() == 8
+
+
+def test_spread_pin_cache_distinguishes_filtered_frames(spark, tmp_path, monkeypatch):
+    """ADVICE r8 (medium): a filter preserves the column list, so a
+    (files, columns) cache key would hand spread(df.where(...)) the
+    UNFILTERED pin — silent wrong results. The canonicalized-plan
+    digest in the key must keep them apart."""
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.sources import parquet as P
+
+    monkeypatch.setattr(P, "SPREAD_PIN_MIN_BYTES", 1024 * 1024)
+    p = str(tmp_path / "filtered.parquet")
+    _write(p, 150_000, row_group_size=1_000_000, text_len=300)
+    full = spread(spark.read.parquet(p), parallelism=8)
+    part = spread(
+        spark.read.parquet(p).where(F.col("doc_id") < 1000), parallelism=8
+    )
+    assert part is not full
+    assert part.count() == 1000
+    assert full.count() == 150_000
+
+
+def test_spread_pin_cache_invalidates_on_file_overwrite(spark, tmp_path, monkeypatch):
+    """ADVICE r8 (medium): overwriting the file in place mid-session
+    must not keep serving the stale pin — (mtime_ns, size) is in the
+    key."""
+    import os as _os
+
+    from meilisync_spark.sources import parquet as P
+
+    monkeypatch.setattr(P, "SPREAD_PIN_MIN_BYTES", 1024 * 1024)
+    p = str(tmp_path / "overwrite.parquet")
+    _write(p, 150_000, row_group_size=1_000_000, text_len=300)
+    a = spread(spark.read.parquet(p), parallelism=8)
+    assert a.count() == 150_000
+    _write(p, 140_000, row_group_size=1_000_000, text_len=300)
+    # bump mtime defensively: same-second rewrites are resolved by
+    # st_mtime_ns on this fs, but make the test airtight
+    st = _os.stat(p)
+    _os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    b = spread(spark.read.parquet(p), parallelism=8)
+    assert b is not a
+    assert b.count() == 140_000
