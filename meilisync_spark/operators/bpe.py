@@ -175,6 +175,137 @@ def bpe_train(
     return merges, vocab
 
 
+def _train_merges_indexed(
+    word_freqs: dict[str, int], n_merges: int
+) -> tuple[list[tuple[str, str, int]], dict[str, list[str]]]:
+    """In-process BPE trainer over a weighted word table — the indexed
+    form of the Sennrich et al. 2016 learner: pair→count and
+    pair→containing-words indexes maintained incrementally, argmax via
+    a lazy-deletion heap ordered (count DESC, left ASC, right ASC) —
+    the same total order as :func:`bpe_train`'s Catalyst argmax, so the
+    two produce identical merge sequences (tests pin this on the
+    fixture and under hypothesis).
+
+    Cost: O(total_symbols) setup, then per merge O(words containing
+    the winning pair × their length) re-segmentation plus O(log heap)
+    argmax — NOT a pass over the vocab per merge, which is what makes
+    32k-merge vocabs train in minutes. Lazy deletion: every count
+    change pushes a fresh heap entry; a popped entry is valid only if
+    its count still matches the live index (stale entries — higher
+    from decrements, lower from increments — are discarded at the
+    top), so the surviving top is the true argmax."""
+    import heapq
+
+    words = sorted(word_freqs)  # deterministic idx assignment
+    segs = [list(w) + [EOW] for w in words]
+    freqs = [word_freqs[w] for w in words]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, (seg, f) in enumerate(zip(segs, freqs)):
+        for p in zip(seg, seg[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(i)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, l, r = heap[0]
+            if pair_counts.get((l, r), 0) != -negc:
+                heapq.heappop(heap)  # stale
+                continue
+            best = (l, r, -negc)
+            break
+        if best is None or best[2] < 2:
+            break
+        left, right, c = best
+        merges.append((left, right, c))
+        touched = pair_words.pop((left, right), set())
+        del pair_counts[(left, right)]
+        changed: set[tuple[str, str]] = set()
+        for i in touched:
+            seg, f = segs[i], freqs[i]
+            for p in zip(seg, seg[1:]):
+                if p in pair_counts:
+                    pair_counts[p] -= f
+                    changed.add(p)
+                pw = pair_words.get(p)
+                if pw is not None:
+                    pw.discard(i)
+            # greedy left-to-right non-overlapping replacement — the
+            # same rule as _apply_merge's fold
+            out: list[str] = []
+            j, n = 0, len(seg)
+            while j < n:
+                if j + 1 < n and seg[j] == left and seg[j + 1] == right:
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(seg[j])
+                    j += 1
+            segs[i] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(i)
+                changed.add(p)
+        for p in changed:
+            c2 = pair_counts.get(p, 0)
+            if c2 > 0:
+                heapq.heappush(heap, (-c2, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return merges, {w: segs[i] for i, w in enumerate(words)}
+
+
+def bpe_train_fast(
+    docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Production-scale BPE training: same contract as
+    :func:`bpe_train` — returns ``(merges, trained_vocab)``, merge
+    sequence identical token-for-token — but trains all merges
+    IN-PROCESS over the collected weighted word table instead of one
+    sequential Catalyst job per merge.
+
+    Why this is the right distribution boundary (the
+    ``kmeans_centroids`` / ``pq_codebooks`` pattern,
+    operators/kmeans.py:40): the corpus is scanned ONCE, distributed,
+    to build ``weighted_vocab`` — a frame bounded by |distinct words|,
+    not |corpus| (Heaps' law: ~a few million rows even at 100 TB of
+    text, i.e. driver-sized by construction the way k-means' k×dim
+    centroid matrix is). Training then iterates |merges| times over
+    that bounded table; doing those iterations as distributed jobs
+    buys no parallelism worth one scheduler round-trip each, and at a
+    production 32k-merge vocab the per-merge job latency alone (~0.13
+    s) is hours. The indexed in-process learner
+    (:func:`_train_merges_indexed`) touches only words containing the
+    winning pair per merge — minutes for 32k merges (SCALE.md, BPE
+    trainer row). The trained-vocab frame is then rebuilt
+    DISTRIBUTED — merges broadcast in a mapInPandas closure over the
+    vocab frame — so nothing vocab-sized ships driver→cluster.
+
+    ``bpe_train`` (the Catalyst fold loop) remains the cross-engine
+    oracle twin for small merge counts; tests assert the two agree
+    merge-for-merge and token-for-token on the fixture and under
+    hypothesis-generated corpora."""
+    wf = weighted_vocab(docs).localCheckpoint(True)  # one corpus scan
+    word_freqs = {r.word: r.freq for r in wf.select("word", "freq").collect()}
+    merges, _ = _train_merges_indexed(word_freqs, n_merges)
+    # Rebuild the trained vocab distributed. Rank-order single-pass
+    # application (what training itself did to every word) is the fold
+    # semantics; the fast per-word encoder replicates it exactly on
+    # alias-free merge lists (module docstring (a)+(b)). With aliased
+    # outputs the fast encoder could diverge from the training-time
+    # segmentation, so fall back to the fold — aliased lists are rare
+    # and the fold stays correct at any size, just slower.
+    enc = bpe_apply_merges_fast if not merges_aliased(merges) else bpe_apply_merges
+    vocab = wf.select("word", "freq").join(
+        enc(wf.select("word"), merges), "word"
+    ).select("word", "freq", "tokens")
+    return merges, vocab
+
+
 BPE_PIN_EVERY = 4  # fold-chain depth between lineage pins
 # above this many merges the fold chain stops being reasonable (one
 # Catalyst aggregate per merge + an eager pin job every BPE_PIN_EVERY)
@@ -298,10 +429,30 @@ def bpe_apply_merges_fast(
     )
 
 
-def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT) -> DataFrame:
+def _train(docs: DataFrame, n_merges: int, trainer: str):
+    """Trainer dispatch: ``"catalyst"`` (:func:`bpe_train`, the
+    declarative fold loop — the cross-engine oracle form, one job per
+    merge), ``"driver"`` (:func:`bpe_train_fast`, in-process over the
+    bounded weighted-word table — production merge counts), or
+    ``"auto"`` (catalyst up to BPE_FOLD_MAX_MERGES, driver beyond).
+    The two produce IDENTICAL merges and vocab (tests pin it), so auto
+    is a pure cost switch — no semantics boundary, unlike the encoder
+    aliasing case below."""
+    if trainer == "auto":
+        trainer = "catalyst" if n_merges <= BPE_FOLD_MAX_MERGES else "driver"
+    if trainer not in ("catalyst", "driver"):
+        raise ValueError(f"trainer must be catalyst|driver|auto, got {trainer!r}")
+    return (bpe_train if trainer == "catalyst" else bpe_train_fast)(docs, n_merges)
+
+
+def bpe_merge_table(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES_DEFAULT,
+    trainer: str = "auto",
+) -> DataFrame:
     """(rank, left, right, merged, weighted_count) — the learned merge
     sequence as a frame (what a tokenizer file ships)."""
-    merges, _ = bpe_train(docs, n_merges)
+    merges, _ = _train(docs, n_merges, trainer)
     spark = docs.sparkSession
     rows = [
         (i + 1, l, r, l + r, c) for i, (l, r, c) in enumerate(merges)
@@ -311,11 +462,27 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT) -> Data
     )
 
 
+def _pick_oov_encoder(
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+) -> str:
+    """auto-mode encoder choice. On an ALIASED merge list the fold and
+    the classic loop genuinely differ, so a purely count-based switch
+    would flip a vocabulary's segmentation the moment it crosses
+    BPE_FOLD_MAX_MERGES (ADVICE r8, silent semantics flip): aliased
+    lists always take ``fast`` (the classic reference loop), count
+    only arbitrates the alias-free case where the two are provably
+    identical."""
+    if merges_aliased(merges):
+        return "fast"
+    return "fold" if len(merges) <= BPE_FOLD_MAX_MERGES else "fast"
+
+
 def bpe_encode_stats(
     docs: DataFrame,
     n_merges: int = BPE_MERGES_DEFAULT,
     train_docs: DataFrame | None = None,
     oov_encoder: str = "auto",
+    trainer: str = "auto",
 ) -> DataFrame:
     """(doc_id, n_words, n_tokens, compression) — every document
     re-encoded with the trained segmentation: corpus words broadcast-
@@ -336,10 +503,22 @@ def bpe_encode_stats(
     lists), ``"fast"`` (the classic per-word loop,
     :func:`bpe_apply_merges_fast` — production vocab sizes), or
     ``"auto"`` (fold up to ``BPE_FOLD_MAX_MERGES`` merges, fast
-    beyond; identical output on alias-free merge lists)."""
-    merges, vocab = bpe_train(train_docs if train_docs is not None else docs, n_merges)
+    beyond; identical output on alias-free merge lists). On a merge
+    list with ALIASED outputs the two encoders can differ, so a
+    count-based switch would silently change segmentation at the
+    64-merge boundary (ADVICE r8) — auto therefore consults
+    :func:`merges_aliased` and, when non-empty, picks ``"fast"`` (the
+    classic reference loop) REGARDLESS of merge count, so the
+    segmentation of a given vocabulary never depends on its size.
+
+    ``trainer``: see :func:`_train` — a pure cost switch (identical
+    merges/vocab either way), defaulting to the Catalyst fold for
+    small merge counts and the in-process indexed learner beyond."""
+    merges, vocab = _train(
+        train_docs if train_docs is not None else docs, n_merges, trainer
+    )
     if oov_encoder == "auto":
-        oov_encoder = "fold" if len(merges) <= BPE_FOLD_MAX_MERGES else "fast"
+        oov_encoder = _pick_oov_encoder(merges)
     if oov_encoder not in ("fold", "fast"):
         raise ValueError(f"oov_encoder must be fold|fast|auto, got {oov_encoder!r}")
     apply_merges = bpe_apply_merges if oov_encoder == "fold" else bpe_apply_merges_fast

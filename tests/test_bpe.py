@@ -272,3 +272,82 @@ def test_bpe_encode_stats_oov_encoder_paths_agree(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in auto_plan  # auto == fold here
+
+
+def test_bpe_train_fast_matches_catalyst_trainer_on_fixture(spark):
+    """The production in-process trainer (indexed learner over the
+    collected weighted-word table) must be bit-exact vs the Catalyst
+    fold trainer: same merges (count desc / left asc / right asc
+    argmax), same final vocab segmentation."""
+    from meilisync_spark.operators.bpe import bpe_train_fast
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    merges_c, vocab_c = bpe_train(docs, n_merges=12)
+    merges_f, vocab_f = bpe_train_fast(docs, n_merges=12)
+    assert merges_f == merges_c
+    got_c = {r.word: list(r.tokens) for r in vocab_c.collect()}
+    got_f = {r.word: list(r.tokens) for r in vocab_f.collect()}
+    assert got_f == got_c
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=12
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_bpe_train_fast_matches_python_reference_adversarial(spark, words):
+    """The indexed learner's lazy-deletion heap must survive the same
+    tie-heavy overlapping-run corpora as the Catalyst trainer: stale
+    heap entries from decremented AND incremented pairs, early stop,
+    within-word repeated pairs."""
+    from meilisync_spark.operators.bpe import bpe_train_fast
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges, vocab = bpe_train_fast(docs, n_merges=6)
+    py_merges, py_vocab = _py_bpe(_word_freqs([text]), 6)
+    assert [(l, r, c) for l, r, c in merges] == py_merges
+    got = {r.word: list(r.tokens) for r in vocab.collect()}
+    assert got == py_vocab
+
+
+def test_indexed_trainer_pure_python_deep_merges():
+    """Driver-side unit check at a depth the fold trainer never runs:
+    256 merges over a zipf-ish synthetic vocab, indexed learner vs the
+    naive reference — exercises long merge chains where a pair's count
+    INCREASES after a merge (stale low heap entries)."""
+    from meilisync_spark.operators.bpe import _train_merges_indexed
+
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    wf: dict[str, int] = {}
+    for i in range(400):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10)))
+        wf[w] = wf.get(w, 0) + rng.randint(1, 50)
+    merges, vocab = _train_merges_indexed(wf, 256)
+    py_merges, py_vocab = _py_bpe(wf, 256)
+    assert merges == py_merges
+    assert vocab == py_vocab
+
+
+def test_pick_oov_encoder_never_flips_on_aliased_lists():
+    """ADVICE r8: auto must not change an aliased vocabulary's
+    segmentation at the BPE_FOLD_MAX_MERGES boundary — aliased lists
+    pick 'fast' at ANY count; alias-free lists switch purely on cost."""
+    from meilisync_spark.operators.bpe import (
+        BPE_FOLD_MAX_MERGES,
+        _pick_oov_encoder,
+    )
+
+    aliased = [("a", "b"), ("b", "c"), ("a", "bc"), ("ab", "c")]
+    assert _pick_oov_encoder(aliased) == "fast"  # small count, still fast
+    pad = [(f"x{i}", f"y{i}") for i in range(BPE_FOLD_MAX_MERGES + 10)]
+    assert _pick_oov_encoder(aliased + pad) == "fast"
+    clean_small = [("a", "b"), ("c", "d")]
+    assert _pick_oov_encoder(clean_small) == "fold"
+    assert _pick_oov_encoder(pad) == "fast"
