@@ -437,10 +437,19 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
             F.col("vec_id").alias("seen_id")
         )
         # conflict-check before the sidecar append (poison batch must
-        # not pollute the sidecar; see collapse_add_batch)
-        new = collapse_add_batch(
-            emb.join(known, F.col("vec_id") == F.col("seen_id"), "left_anti")
-        ).localCheckpoint(True)  # pin: sidecar append + encode reuse it
+        # not pollute the sidecar; see collapse_add_batch). Pin the
+        # anti-join FIRST: the conflict gate's eager collect would
+        # otherwise run the whole text_embeddings pipeline once and the
+        # pin a second time — the two mapInPandas embedding passes are
+        # the expensive part, so the gate was doubling the embed cost
+        # (ADVICE r8). Ordering is unchanged: collapse still raises
+        # before anything is appended.
+        candidates = emb.join(
+            known, F.col("vec_id") == F.col("seen_id"), "left_anti"
+        ).localCheckpoint(True)
+        new = collapse_add_batch(candidates).localCheckpoint(
+            True
+        )  # pin: sidecar append + encode reuse it
         n_new = new.count()
         if n_new:
             # sidecar first (crash window re-appends; read collapses),
@@ -486,6 +495,58 @@ def cmd_compact(args: argparse.Namespace) -> int:
     spark = get_spark("meilisync-spark-compact")
     n = compact_table(spark, args.index, target_file_bytes=args.target_bytes)
     print(f"compacted {args.index}: {n} files")
+    return 0
+
+
+def cmd_doctor(args: argparse.Namespace) -> int:
+    """Parquet layout doctor (operators/layout.py): audit every file's
+    row-group layout for scan-serialization pathology; with --rewrite,
+    execute the verdict (atomic in-place bounded-row-group rewrite),
+    re-audit, and verify the pin path went dead. Exit codes: 0 = clean
+    (or rewritten clean), 2 = flagged files remain (audit-only run),
+    1 = a rewrite failed to clear the audit."""
+    from meilisync_spark.operators.layout import layout_report, layout_rewrite
+    from meilisync_spark.sources import parquet as P
+
+    spark = get_spark("meilisync-spark-doctor")
+    rep = layout_report(spark, args.path, table=args.table).collect()
+    flagged = [r for r in rep if r.needs_rewrite]
+    for r in rep:
+        mark = "REWRITE" if r.needs_rewrite else "ok"
+        print(
+            f"{mark:8s} {r.file}: {r.file_bytes} B, {r.row_groups} row "
+            f"groups, max group {r.max_rg_bytes} B"
+        )
+    if not flagged:
+        print("layout clean")
+        return 0
+    if not args.rewrite:
+        print(f"{len(flagged)} file(s) need rewrite (re-run with --rewrite)")
+        return 2
+    done = layout_rewrite(spark, args.path, table=args.table).collect()
+    for r in done:
+        print(f"rewrote {r.file}: {r.rows} rows @ {r.row_group_rows} rows/group")
+    # re-audit must come back clean, and a fresh scan of the rewritten
+    # data must not take spread()'s unsplittable-file pin path
+    still = [
+        r.file
+        for r in layout_report(spark, args.path, table=args.table).collect()
+        if r.needs_rewrite
+    ]
+    if still:
+        print(f"REWRITE FAILED to clear: {still}")
+        return 1
+    from meilisync_spark.operators.layout import _list_files
+
+    rewritten = {r.file for r in done}
+    pins_before = len(P._SPREAD_PIN_CACHE)
+    for f in _list_files(args.path, args.table):
+        if os.path.basename(f) in rewritten:
+            P.spread(spark.read.parquet(f))
+    if len(P._SPREAD_PIN_CACHE) != pins_before:
+        print("REWRITE left a file spread() still pins")
+        return 1
+    print(f"rewrote {len(done)} file(s); audit clean; spread pin path dead")
     return 0
 
 
@@ -730,6 +791,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="target bytes per output file (default 128 MiB)",
     )
     cp.set_defaults(fn=cmd_compact)
+
+    dr = sub.add_parser(
+        "doctor",
+        help="audit parquet row-group layout for unsplittable-scan "
+        "pathology; --rewrite fixes flagged files in place (atomic)",
+    )
+    dr.add_argument("--path", required=True, help="table dir or data dir")
+    dr.add_argument("--table", default=None, help="audit only <table>.parquet")
+    dr.add_argument(
+        "--rewrite", action="store_true",
+        help="rewrite flagged files with bounded row groups, then re-audit",
+    )
+    dr.set_defaults(fn=cmd_doctor)
 
     ab = sub.add_parser(
         "ann-build", help="train + persist the servable IVF+PQ vector index"
