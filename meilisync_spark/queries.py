@@ -1881,7 +1881,7 @@ def q_bpe_encode_stats(spark, sf_dir):
         "vocab needs). Identical rows to the JVM fold on alias-free "
         "merges (tests pin both the equality and the one "
         "aliased-divergence case).",
-    driver_facing=False,
+    driver_facing=True,
 )
 def q_bpe_encode_oov_fast(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -1904,14 +1904,15 @@ def q_bpe_encode_oov_fast(spark, sf_dir):
     "layout_report",
     None,  # footer metadata — DuckDB parquet_metadata() cross-check lives in tests/test_layout.py (path-bound SQL can't use the pre-registered views)
     doc="Parquet layout doctor: one row per file from a DISTRIBUTED "
-        "footer-only scan (file bytes, row groups, rows, max/avg "
-        "row-group span) plus a needs_rewrite verdict for files whose "
-        "byte-range split plan promises more parallelism than their "
-        "row groups can deliver — the unsplittable-file pathology "
-        "spread() pins around (round 8). Operational tooling for the "
-        "100-TB posture: audit first, rewrite flagged files once, and "
-        "the pin path goes dead for your data.",
-    driver_facing=False,
+        "footer-only scan (file bytes, row groups, rows, max row-group "
+        "rows and max compressed row-group span) plus a needs_rewrite "
+        "verdict for files whose byte-range split plan promises more "
+        "parallelism than their row groups can deliver — the "
+        "unsplittable-file pathology spread() pins around (round 8). "
+        "Operational tooling for the 100-TB posture: audit first, "
+        "`doctor --rewrite` flagged files once (atomic in-place, "
+        "round 9), and the pin path goes dead for your data.",
+    driver_facing=True,
 )
 def q_layout_report(spark, sf_dir):
     from meilisync_spark.operators.layout import layout_report
@@ -2804,8 +2805,15 @@ DRIVER_ORDER = [
     # auto dispatch; wal2json_roundtrip, maxwell_roundtrip and
     # canal_roundtrip stay oracle-checked by driver_sim --all.
     "wal2json_v2_roundtrip",
-    # relational coverage: joins, aggs, grouping sets, windows, pivot
-    "q1_pricing_summary",
+    # relational coverage: joins, aggs, grouping sets, windows, pivot.
+    # Round 9 rotates three long-stable rows out of the window
+    # (q1_pricing_summary, tfidf_top_terms, multimodal_resize — all
+    # green since rounds 1-2, shape-subsumed by rows that stay:
+    # cube_order_stats for grouped agg, text_stats+vocab_encode for
+    # text scoring, multimodal_meta/frames for the Arrow binary
+    # plumbing; all three remain oracle-checked by driver_sim --all)
+    # so the driver's own record certifies the round-8 surface:
+    # budget_select_scalable, bpe_encode_oov_fast, layout_report.
     "q3_top_orders",
     "q5_region_revenue",
     "top_customers_per_nation",
@@ -2823,9 +2831,12 @@ DRIVER_ORDER = [
     "events_trailing_1h",
     "asof_purchase_view",
     "event_sessions",
-    # text analysis
+    # text analysis — bpe_encode_oov_fast enters in round 9: the
+    # production OOV encoder (classic lowest-rank loop over distinct
+    # unseen words) certified by the driver's own comparator, not just
+    # the local suite
     "text_stats",
-    "tfidf_top_terms",
+    "bpe_encode_oov_fast",
     "vocab_encode",
     # dedup
     "exact_dedup",
@@ -2867,13 +2878,21 @@ DRIVER_ORDER = [
     # the feature-hash embedder enter the window (slots freed above)
     "dsir_select_scalable",
     "budget_select",
+    # round-9 rotation: the scale-safe budget twin joins its window
+    # form so the driver certifies BOTH contracts (exact-window rows ==
+    # scalable rows is the operator's own test; here each is hash-
+    # checked against the same SQL oracle independently)
+    "budget_select_scalable",
     "cluster_safe_split",
     "text_embeddings",
     "label_centroids",
     "semantic_dedup",
+    # operational tooling: the layout doctor's audit row (rows-only —
+    # footer metadata; the DuckDB parquet_metadata cross-check lives in
+    # tests/test_layout.py)
+    "layout_report",
     # multimodal plumbing
     "multimodal_meta",
-    "multimodal_resize",
     "multimodal_frames",
     # structured streaming
     "streaming_cdc_apply",
