@@ -1,0 +1,260 @@
+"""Decompose the streaming corpus-ingest per-batch constant (VERDICT
+r8 item 2): SCALING.json proved the 5k-doc batch cost is O(batch) in
+index size (exponent ~0.00) but ~44 s ABSOLUTE — this probe breaks one
+availableNow batch into its stages to find where those seconds live.
+
+Method: build the pre-existing state (base corpus ingested, near-dedup
+on), copy it, then (a) time `run_corpus_ingest` end-to-end on the copy
+— the number SCALING.json records — and (b) replay the SAME batch
+through a stage-instrumented replica of `run_corpus_ingest.handle`'s
+body on the original. The replica's stage boundaries are the eager
+pins/actions the real batch fn performs (construction INSIDE each
+timed span — the round-8 lesson: localCheckpoint/AQE execute upstream
+exchanges at call time), so the staged sum approximates the handled
+batch minus streaming-harness overhead (schema read, checkpoint
+commit, source listing), which is reported as the difference.
+
+Writes INGEST_STAGE_PROBE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.scaling_exponents import gen_corpus  # noqa: E402
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--state-docs", type=int, default=500_000)
+    ap.add_argument("--batch-docs", type=int, default=5_000)
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "INGEST_STAGE_PROBE.json")
+    )
+    args = ap.parse_args()
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.operators.dedup import (
+        NEAR_DUP_TAU,
+        lsh_bands,
+        minhash_signatures,
+    )
+    from meilisync_spark.session import get_spark
+    from meilisync_spark.streaming import corpus_ingest as CI
+    from meilisync_spark.streaming.corpus_ingest import (
+        BAND_BUCKET_COL,
+        DOC_COLS,
+        HASH_BUCKET_COL,
+        _bb,
+        _est_jaccard,
+        _hb,
+        _read_parquet_if_exists,
+        _with_hash,
+        ingest_batch,
+        run_corpus_ingest,
+    )
+
+    spark = get_spark(app_name="ingest-stage-probe")
+    work = tempfile.mkdtemp(prefix="mls_ingest_probe_")
+    stages: dict[str, float] = {}
+    try:
+        d = os.path.join(work, "state")
+        os.makedirs(d)
+        gen_corpus(args.state_docs, 10, d)
+        bdir = os.path.join(work, "batchsrc")
+        os.makedirs(bdir)
+        gen_corpus(args.batch_docs, 10, bdir, seed=7)
+
+        drop = os.path.join(work, "incoming")
+        os.makedirs(drop)
+        os.link(
+            os.path.join(d, "documents.parquet"),
+            os.path.join(drop, "base.parquet"),
+        )
+        idx = os.path.join(work, "corpus_idx")
+        ck = os.path.join(work, "ck")
+        run_corpus_ingest(
+            spark, drop, idx, ck, near_dedup=True,
+            available_now=True, timeout_sec=1200.0,
+        )
+        # disjoint batch: offset ids past the base corpus
+        t = pq_.read_table(os.path.join(bdir, "documents.parquet"))
+        t = t.set_column(
+            0, "doc_id",
+            pa.array(
+                (t.column("doc_id").to_numpy() + 10_000_000).tolist(),
+                pa.int64(),
+            ),
+        )
+        batch_file = os.path.join(drop, "batch.parquet")
+        pq_.write_table(t, batch_file)
+
+        # ---- (a) end-to-end on a copy of the state ----
+        work2 = os.path.join(work, "copy")
+        os.makedirs(work2)
+        idx2 = os.path.join(work2, "corpus_idx")
+        ck2 = os.path.join(work2, "ck")
+        shutil.copytree(idx, idx2)
+        shutil.copytree(idx + "_bands", idx2 + "_bands")
+        shutil.copytree(ck, ck2)
+        drop2 = os.path.join(work2, "incoming")
+        os.makedirs(drop2)
+        os.link(os.path.join(d, "documents.parquet"),
+                os.path.join(drop2, "base.parquet"))
+        os.link(batch_file, os.path.join(drop2, "batch.parquet"))
+        # the copied checkpoint references the ORIGINAL drop dir paths;
+        # keep the same source path by reusing `drop` for the copy run
+        # — instead copy checkpoint-free: replay base is avoided by
+        # pointing the copied run at a fresh checkpoint with only the
+        # batch file visible
+        shutil.rmtree(ck2)
+        shutil.rmtree(drop2)
+        os.makedirs(drop2)
+        os.link(batch_file, os.path.join(drop2, "batch.parquet"))
+        t0 = time.perf_counter()
+        run_corpus_ingest(
+            spark, drop2, idx2, ck2, near_dedup=True,
+            available_now=True, timeout_sec=1200.0,
+        )
+        end_to_end = round(time.perf_counter() - t0, 3)
+
+        # ---- (b) stage-instrumented replica on the original ----
+        def span(name):
+            class _S:
+                def __enter__(self):
+                    self.t0 = time.perf_counter()
+
+                def __exit__(self, *a):
+                    stages[name] = round(time.perf_counter() - self.t0, 3)
+
+            return _S()
+
+        batch = spark.read.parquet(batch_file)
+        with span("hash_pin"):
+            hashed = _with_hash(batch).localCheckpoint(True)
+        with span("index_open"):
+            index = _read_parquet_if_exists(spark, idx)
+        with span("touched_hb_collect"):
+            touched = [
+                r[0]
+                for r in hashed.select(_hb(F.col("content_hash")))
+                .distinct()
+                .collect()
+            ]
+        index = index.where(F.col(HASH_BUCKET_COL).isin(touched))
+        with span("exact_fresh_pin"):
+            fresh = ingest_batch(
+                hashed, index, False, prehashed=True
+            ).localCheckpoint(True)
+        with span("sigs_pin"):
+            sigs = minhash_signatures(
+                fresh.select("doc_id", "text")
+            ).localCheckpoint(True)
+        withsig = fresh.join(sigs, "doc_id", "left")
+        bands = lsh_bands(sigs)
+        with span("band_index_open_prune"):
+            band_index = _read_parquet_if_exists(spark, idx + "_bands")
+            touched_bb = [
+                r[0]
+                for r in bands.select(_bb(F.col("band_hash")))
+                .distinct()
+                .collect()
+            ]
+            band_index = band_index.where(
+                F.col(BAND_BUCKET_COL).isin(touched_bb)
+            )
+        with span("probe_survivors_pin"):
+            rhs = (
+                bands.select(
+                    "band_idx", "band_hash", F.col("sig").alias("sig_b"),
+                    "doc_id",
+                )
+                .groupBy("band_idx", "band_hash", "sig_b")
+                .agg(F.min("doc_id").alias("doc_b"))
+            )
+            self_pairs = bands.select(
+                "doc_id", "sig", "band_idx", "band_hash"
+            ).join(rhs, ["band_idx", "band_hash"]).where(
+                F.col("doc_b") < F.col("doc_id")
+            )
+            near_in_batch = (
+                self_pairs.where(
+                    _est_jaccard("sig", "sig_b") >= NEAR_DUP_TAU
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            grouped = (
+                band_index.select(
+                    "band_idx", "band_hash", F.col("sig").alias("sig_c"),
+                    "doc_id",
+                )
+                .groupBy("band_idx", "band_hash", "sig_c")
+                .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+            )
+            reps = grouped.select(
+                "band_idx", "band_hash", "sig_c",
+                F.explode(
+                    F.array_distinct(F.array("_mn", "_mx"))
+                ).alias("doc_c"),
+            )
+            probe = bands.join(
+                reps, ["band_idx", "band_hash"]
+            ).where(F.col("doc_c") != F.col("doc_id"))
+            near_corpus = (
+                probe.where(_est_jaccard("sig", "sig_c") >= NEAR_DUP_TAU)
+                .select("doc_id")
+                .distinct()
+            )
+            dropped = near_in_batch.union(near_corpus)
+            survivors = withsig.join(
+                dropped, "doc_id", "left_anti"
+            ).localCheckpoint(True)
+        with span("bands_append"):
+            (
+                bands.withColumn(BAND_BUCKET_COL, _bb(F.col("band_hash")))
+                .write.mode("append")
+                .partitionBy(BAND_BUCKET_COL)
+                .parquet(idx + "_bands")
+            )
+        with span("corpus_append"):
+            (
+                survivors.select("content_hash", *DOC_COLS)
+                .withColumn(HASH_BUCKET_COL, _hb(F.col("content_hash")))
+                .write.mode("append")
+                .partitionBy(HASH_BUCKET_COL)
+                .parquet(idx)
+            )
+
+        out = {
+            "state_docs": args.state_docs,
+            "batch_docs": args.batch_docs,
+            "end_to_end_sec": end_to_end,
+            "stages": stages,
+            "staged_sum_sec": round(sum(stages.values()), 3),
+            "harness_overhead_sec": round(
+                end_to_end - sum(stages.values()), 3
+            ),
+        }
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
