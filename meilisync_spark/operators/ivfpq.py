@@ -682,9 +682,19 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         # lineage reads the same directory the write appends into
     n = new.count()
     if n:
-        new.select("vec_id", "codes", "cluster").write.mode("append").partitionBy(
-            "cluster"
-        ).parquet(index_path)
+        # cluster the rows by their partition key before the write so
+        # each cluster= directory gets ONE new file per batch, not one
+        # per (write task, directory) — the same small-files /
+        # file-open amplification fixed on the corpus-ingest appends
+        # (INGEST_STAGE_PROBE.json: the unclustered form spent 24 s of
+        # a 40 s batch opening ~8k tiny files)
+        (
+            new.select("vec_id", "codes", "cluster")
+            .repartition(F.col("cluster"))
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(index_path)
+        )
     return int(n)
 
 

@@ -382,8 +382,18 @@ def run_corpus_ingest(
             # every future near-duplicate of it is permanently invisible
             # to the probe.
             if bands_bucketed:
+                # repartition on the bucket key BEFORE the partitioned
+                # write: without it every write task holds rows for
+                # nearly every bb= directory (a 5k-doc batch carries
+                # 40k band hashes ≈ all 256 buckets), so a 32-task
+                # write opens ~32x256 ≈ 8k tiny files — measured 24 s
+                # of the 40 s batch constant (INGEST_STAGE_PROBE.json)
+                # and a file-count explosion that compounds per batch.
+                # Hash-clustering by bb makes it one file per touched
+                # directory; the extra exchange is O(batch) band rows.
                 (
                     new_bands.withColumn(BAND_BUCKET_COL, _bb(F.col("band_hash")))
+                    .repartition(F.col(BAND_BUCKET_COL))
                     .write.mode("append")
                     .partitionBy(BAND_BUCKET_COL)
                     .parquet(bands_path)
@@ -396,9 +406,16 @@ def run_corpus_ingest(
 
     def _append(rows: DataFrame, bucketed: bool) -> None:
         if bucketed:
-            rows.withColumn(HASH_BUCKET_COL, _hb(F.col("content_hash"))).write.mode(
-                "append"
-            ).partitionBy(HASH_BUCKET_COL).parquet(index_path)
+            # same task-per-bucket clustering as the bands append: one
+            # file per touched hb= directory instead of one per
+            # (task, directory)
+            (
+                rows.withColumn(HASH_BUCKET_COL, _hb(F.col("content_hash")))
+                .repartition(F.col(HASH_BUCKET_COL))
+                .write.mode("append")
+                .partitionBy(HASH_BUCKET_COL)
+                .parquet(index_path)
+            )
         else:
             rows.write.mode("append").parquet(index_path)
 

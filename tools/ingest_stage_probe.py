@@ -226,6 +226,7 @@ def main() -> None:
         with span("bands_append"):
             (
                 bands.withColumn(BAND_BUCKET_COL, _bb(F.col("band_hash")))
+                .repartition(F.col(BAND_BUCKET_COL))
                 .write.mode("append")
                 .partitionBy(BAND_BUCKET_COL)
                 .parquet(idx + "_bands")
@@ -234,6 +235,7 @@ def main() -> None:
             (
                 survivors.select("content_hash", *DOC_COLS)
                 .withColumn(HASH_BUCKET_COL, _hb(F.col("content_hash")))
+                .repartition(F.col(HASH_BUCKET_COL))
                 .write.mode("append")
                 .partitionBy(HASH_BUCKET_COL)
                 .parquet(idx)
