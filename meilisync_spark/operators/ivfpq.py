@@ -306,7 +306,16 @@ def ivfpq_persist_index(emb: DataFrame, index_path: str):
     codebooks (the query-side half of the index; at scale these few KB
     ship alongside the table as metadata)."""
     idx, books = ivfpq_index(emb)
-    idx.write.mode("overwrite").partitionBy("cluster").parquet(index_path)
+    # cluster rows by the partition key first: one file per cluster=
+    # directory instead of one per (write task, directory) — fewer
+    # footer opens on every pruned read-back (same amplification as
+    # the append path, see add_to_index)
+    (
+        idx.repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(index_path)
+    )
     return books
 
 
@@ -449,7 +458,13 @@ def save_index(emb: DataFrame, index_path: str, *, kcells: int | None = None) ->
     import os
 
     idx, books, centq = ivfpq_index(emb, with_centroids=True, kcells=kcells)
-    idx.write.mode("overwrite").partitionBy("cluster").parquet(index_path)
+    # one file per cluster= directory (see ivfpq_persist_index)
+    (
+        idx.repartition(F.col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(index_path)
+    )
     spark = emb.sparkSession
     trained_cells = {
         str(int(r.cluster)): int(r["count"])
