@@ -348,6 +348,7 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         args.checkpoint,
         apply_quality=args.quality,
         near_dedup=args.near_dedup,
+        bloom_prefilter=not args.no_bloom,
         available_now=not args.follow,
         processing_interval=args.interval,
         # --follow means tail until killed; the default 180 s timeout is
@@ -401,6 +402,7 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         os.path.join(args.checkpoint, "ingest"),
         apply_quality=args.quality,
         near_dedup=not args.no_near_dedup,
+        bloom_prefilter=not args.no_bloom,
         available_now=True,
     )
     docs = spark.read.parquet(args.corpus).select("doc_id", "text")
@@ -749,6 +751,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--near-dedup", dest="near_dedup", action="store_true",
         help="also drop MinHash near-duplicates vs the stored band index",
     )
+    ig.add_argument(
+        "--no-bloom", action="store_true",
+        help="disable the band-index Bloom sidecar (same results, "
+             "slower probe; removes the sidecar so it can't go stale)",
+    )
     ig.add_argument("--follow", action="store_true", help="keep tailing")
     ig.add_argument("--interval", default=None, help="processing trigger, e.g. '5 seconds'")
     ig.set_defaults(fn=cmd_ingest)
@@ -766,6 +773,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument(
         "--no-near-dedup", action="store_true",
         help="skip MinHash near-dedup (exact dedup always applies)",
+    )
+    pl.add_argument(
+        "--no-bloom", action="store_true",
+        help="disable the band-index Bloom sidecar (same results, "
+             "slower probe; removes the sidecar so it can't go stale)",
     )
     pl.add_argument(
         "--retrain-growth", dest="retrain_growth", type=float, default=None,

@@ -1,0 +1,121 @@
+"""Bloom sidecar: the one-sided-error contract, persistence, the
+distributed build == driver build equivalence, and sizing math."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from meilisync_spark.functions import bloom as B
+
+
+def _rand_hashes(n, seed):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64),
+        rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64),
+    )
+
+
+def test_no_false_negatives_ever():
+    bl = B.BloomSidecar(n_bits=1 << 16)
+    h1, h2 = _rand_hashes(5000, 1)
+    bl.add_hashes(h1, h2)
+    assert bl.contains_hashes(h1, h2).all()
+
+
+def test_fpp_sane_on_non_members():
+    # 1000 keys in a 2^16-bit filter: m/n = 65 ⇒ fpp well under 1%
+    bl = B.BloomSidecar(n_bits=1 << 16)
+    h1, h2 = _rand_hashes(1000, 2)
+    bl.add_hashes(h1, h2)
+    q1, q2 = _rand_hashes(20000, 3)
+    rate = bl.contains_hashes(q1, q2).mean()
+    assert rate < 0.01, f"fpp {rate} too high for m/n=65"
+
+
+def test_empty_filter_rejects_everything():
+    bl = B.BloomSidecar(n_bits=1 << 12)
+    q1, q2 = _rand_hashes(1000, 4)
+    assert not bl.contains_hashes(q1, q2).any()
+    assert bl.contains_hashes(np.array([], np.int64), np.array([], np.int64)).shape == (0,)
+
+
+def test_save_load_roundtrip(tmp_path):
+    bl = B.BloomSidecar(n_bits=1 << 14)
+    h1, h2 = _rand_hashes(300, 5)
+    bl.add_hashes(h1, h2)
+    p = os.path.join(tmp_path, "idx_bloom.bin")
+    bl.save(p)
+    back = B.BloomSidecar.load(p)
+    assert back is not None
+    assert back.n_bits == bl.n_bits and back.k == bl.k
+    assert back.n_added == 300
+    assert (back.bits == bl.bits).all()
+    assert back.contains_hashes(h1, h2).all()
+
+
+def test_load_absent_is_none(tmp_path):
+    assert B.BloomSidecar.load(os.path.join(tmp_path, "nope.bin")) is None
+
+
+def test_load_corrupt_is_loud(tmp_path):
+    p = os.path.join(tmp_path, "bad.bin")
+    with open(p, "wb") as fh:
+        fh.write(b'{"magic": "MLSBLOOM", "version": 1, "n_bits": 4096, "k": 7, "n_added": 1}\n')
+        fh.write(b"short")
+    with pytest.raises(ValueError, match="bitmap"):
+        B.BloomSidecar.load(p)
+
+
+def test_non_power_of_two_rejected():
+    with pytest.raises(ValueError, match="power of two"):
+        B.BloomSidecar(n_bits=1000)
+
+
+def test_size_for_targets_one_percent():
+    # 14M keys at 1%: the 2^27 default floor is exactly the design point
+    assert B.size_for(1_000) == B.DEFAULT_BITS  # floor wins for small n
+    big = B.size_for(100_000_000)
+    assert big > B.DEFAULT_BITS and big & (big - 1) == 0
+    assert B.size_for(10**12) == 1 << 33  # cap
+
+
+def test_projected_fpp_monotone():
+    bl = B.BloomSidecar(n_bits=1 << 16)
+    f0 = bl.projected_fpp()
+    h1, h2 = _rand_hashes(2000, 6)
+    bl.add_hashes(h1, h2)
+    assert bl.projected_fpp() > f0
+    assert bl.projected_fpp(extra_keys=10_000) > bl.projected_fpp()
+
+
+def test_distributed_build_equals_driver_build(spark):
+    df = spark.range(0, 4000, 1, 8).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 101).alias("b")
+    )
+    dist = B.build_from_df(df, ["a", "b"], n_bits=1 << 16)
+    drv = B.BloomSidecar(n_bits=1 << 16)
+    B.add_df(drv, df, ["a", "b"])
+    assert dist.n_added == drv.n_added == 4000
+    assert (dist.bits == drv.bits).all()
+
+
+def test_maybe_contains_marks_members_and_rejects_fresh(spark):
+    keys = spark.range(0, 500, 1, 4).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    bl = B.build_from_df(keys, ["a", "b"], n_bits=1 << 16)
+    members = B.maybe_contains(keys, bl, ["a", "b"])
+    assert members.where(~F.col("maybe_seen")).count() == 0
+    fresh = spark.range(10_000, 10_500).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    marked = B.maybe_contains(fresh, bl, ["a", "b"])
+    # one-sided: the occasional false positive is allowed, most must be
+    # cleanly rejected at m/n = 131
+    assert marked.where(F.col("maybe_seen")).count() <= 5
+    # the original columns survive the map
+    assert set(marked.columns) == {"a", "b", "maybe_seen"}

@@ -47,6 +47,7 @@ def main() -> None:
     import pyarrow.parquet as pq_
     from pyspark.sql import functions as F
 
+    from meilisync_spark.functions import bloom as _bloom
     from meilisync_spark.operators.dedup import (
         NEAR_DUP_TAU,
         lsh_bands,
@@ -109,6 +110,9 @@ def main() -> None:
         ck2 = os.path.join(work2, "ck")
         shutil.copytree(idx, idx2)
         shutil.copytree(idx + "_bands", idx2 + "_bands")
+        if os.path.exists(idx + "_bands" + CI.BLOOM_SUFFIX):
+            shutil.copy2(idx + "_bands" + CI.BLOOM_SUFFIX,
+                         idx2 + "_bands" + CI.BLOOM_SUFFIX)
         shutil.copytree(ck, ck2)
         drop2 = os.path.join(work2, "incoming")
         os.makedirs(drop2)
@@ -165,16 +169,33 @@ def main() -> None:
             ).localCheckpoint(True)
         withsig = fresh.join(sigs, "doc_id", "left")
         bands = lsh_bands(sigs)
+        with span("bloom_load"):
+            bloom = _bloom.BloomSidecar.load(idx + "_bands" + CI.BLOOM_SUFFIX)
         with span("band_index_open_prune"):
             band_index = _read_parquet_if_exists(spark, idx + "_bands")
-            touched_bb = [
-                r[0]
-                for r in bands.select(_bb(F.col("band_hash")))
-                .distinct()
-                .collect()
-            ]
-            band_index = band_index.where(
-                F.col(BAND_BUCKET_COL).isin(touched_bb)
+            if bloom is not None:
+                # the production path: only bloom-positive bands can
+                # exist in the index — prune to THEIR buckets
+                cand = _bloom.maybe_contains(
+                    bands.select(*CI.BAND_KEY), bloom, CI.BAND_KEY
+                ).where(F.col("maybe_seen"))
+                touched_bb = [
+                    r[0]
+                    for r in cand.select(_bb(F.col("band_hash")))
+                    .distinct()
+                    .collect()
+                ]
+            else:
+                touched_bb = [
+                    r[0]
+                    for r in bands.select(_bb(F.col("band_hash")))
+                    .distinct()
+                    .collect()
+                ]
+            band_index = (
+                band_index.where(F.col(BAND_BUCKET_COL).isin(touched_bb))
+                if touched_bb
+                else band_index.limit(0)
             )
         with span("probe_survivors_pin"):
             rhs = (
@@ -223,6 +244,10 @@ def main() -> None:
             survivors = withsig.join(
                 dropped, "doc_id", "left_anti"
             ).localCheckpoint(True)
+        with span("bloom_update_save"):
+            if bloom is not None:
+                _bloom.add_df(bloom, bands, CI.BAND_KEY)
+                bloom.save(idx + "_bands" + CI.BLOOM_SUFFIX)
         with span("bands_append"):
             (
                 bands.withColumn(BAND_BUCKET_COL, _bb(F.col("band_hash")))
