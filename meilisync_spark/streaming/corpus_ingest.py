@@ -100,6 +100,7 @@ N_BAND_BUCKETS = 256
 # distributed scan; past BLOOM_REBUILD_FPP projected false-positive
 # rate it is rebuilt larger (correctness never depends on fpp).
 BAND_KEY = ["band_idx", "band_hash"]
+HASH_KEY = ["content_hash"]
 BLOOM_SUFFIX = "_bloom.bin"
 BLOOM_REBUILD_FPP = 0.05
 
@@ -149,6 +150,55 @@ def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
             if os.path.isdir(real) and not os.listdir(real):
                 return None
         raise
+
+
+def _load_bloom(sidecar: str, index: DataFrame | None, key: list[str],
+                enabled: bool) -> "_bloom.BloomSidecar | None":
+    """Load an index's Bloom sidecar, restoring the safe-superset
+    invariant on every path: absent-with-index → distributed rebuild
+    from the index itself; saturated (projected fpp past the rebuild
+    bar) → larger rebuild; DISABLED → remove the file — rows appended
+    while the prefilter is off would make a kept sidecar silently
+    stale, i.e. false negatives on re-enable. Present ⟹ maintained."""
+    if not enabled:
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
+        return None
+    bloom = _bloom.BloomSidecar.load(sidecar)
+    if index is None:
+        # no index yet (fresh bloom) — or an index deleted out from
+        # under its sidecar, whose stale bits are the safe error side
+        return bloom if bloom is not None else _bloom.BloomSidecar()
+    if bloom is None or (
+        bloom.projected_fpp() > BLOOM_REBUILD_FPP
+        and bloom.n_bits < _bloom.size_for(10**12)
+    ):
+        n = index.count()
+        if bloom is not None:
+            n = max(n, bloom.n_added)
+        bloom = _bloom.build_from_df(index, key, _bloom.size_for(2 * n))
+    return bloom
+
+
+def _prune_by_bloom(index: DataFrame, bloom, batch_keys: DataFrame,
+                    key: list[str], bucketed: bool, bucket_col: str,
+                    bucket_of) -> DataFrame | None:
+    """The definitely-new fast path: only bloom-positive batch keys can
+    exist in the index (no-false-negative contract), so the probe read
+    prunes to THEIR buckets — or disappears entirely (None) when the
+    whole batch is new. Flat legacy layouts get the all-or-nothing
+    shortcut."""
+    cand = _bloom.maybe_contains(
+        batch_keys.select(*key), bloom, key
+    ).where(F.col("maybe_seen"))
+    if bucketed:
+        touched = [r[0] for r in cand.select(bucket_of()).distinct().collect()]
+        if not touched:
+            return None
+        return index.where(F.col(bucket_col).isin(touched))
+    if not cand.limit(1).collect():
+        return None
+    return index
 
 
 def ingest_batch(
@@ -310,14 +360,15 @@ def run_corpus_ingest(
     that verify as near-duplicates of the stored corpus — the full
     continuous-dedup pipeline (exact + near, both O(batch) probes).
 
-    ``bloom_prefilter`` (default on) keeps a Bloom sidecar beside the
-    band index (``<index_path>_bands_bloom.bin``) so bands that are
-    definitely new skip the index probe entirely; semantics are
-    IDENTICAL either way (one-sided error + exact verify), only the
-    probe cost changes. Switching it off on an index that has the
-    sidecar is safe (the file just goes stale and is rebuilt if ever
-    re-enabled); turning it on for a legacy index triggers one
-    distributed rebuild scan."""
+    ``bloom_prefilter`` (default on) keeps Bloom sidecars beside both
+    indexes — ``<index_path>_bloom.bin`` over the corpus's content
+    hashes and ``<index_path>_bands_bloom.bin`` over the band keys —
+    so a batch of definitely-new text skips BOTH index probes
+    entirely; semantics are IDENTICAL either way (one-sided error +
+    exact verify/anti-join on the maybes), only the probe cost
+    changes. Switching it off removes the sidecars (kept ones would go
+    stale = false negatives on re-enable); turning it on for a legacy
+    index triggers one distributed rebuild scan per sidecar."""
     schema = spark.read.parquet(docs_path).schema
     if os.path.isfile(docs_path):
         # file source needs a directory basePath — stage a one-symlink
@@ -336,6 +387,7 @@ def run_corpus_ingest(
 
     bands_path = index_path.rstrip("/") + "_bands"
     bloom_file = bands_path + BLOOM_SUFFIX
+    corpus_bloom_file = index_path.rstrip("/") + BLOOM_SUFFIX
 
     def _read_if_exists(path: str) -> DataFrame | None:
         return _read_parquet_if_exists(spark, path)
@@ -364,75 +416,46 @@ def run_corpus_ingest(
         hashed = _with_hash(batch).localCheckpoint(True)
         index = _read_if_exists(index_path)
         bucketed = _is_bucketed(index_path, HASH_BUCKET_COL, index)
-        if index is not None and bucketed:
-            # prune the probe to the hash buckets this batch touches —
-            # partition pruning on the hb= directory key bounds the
-            # seen-hash scan by |touched buckets|, not |corpus|
-            touched = [
-                r[0]
-                for r in hashed.select(_hb(F.col("content_hash")))
-                .distinct()
-                .collect()
-            ]
-            index = index.where(F.col(HASH_BUCKET_COL).isin(touched))
+        # the corpus index's own sidecar: a batch of all-new text skips
+        # the exact-dedup anti-join's index read entirely (same
+        # contract as the band sidecar below — loaded/rebuilt/removed
+        # by _load_bloom, written BEFORE the corpus append)
+        corpus_bloom = _load_bloom(
+            corpus_bloom_file, index, HASH_KEY, bloom_prefilter
+        )
+        if index is not None:
+            if corpus_bloom is not None:
+                index = _prune_by_bloom(
+                    index, corpus_bloom, hashed, HASH_KEY, bucketed,
+                    HASH_BUCKET_COL, lambda: _hb(F.col("content_hash")),
+                )
+            elif bucketed:
+                # no bloom: prune the probe to the hash buckets this
+                # batch touches — partition pruning on the hb= directory
+                # key bounds the seen-hash scan by |touched buckets|,
+                # not |corpus|
+                touched = [
+                    r[0]
+                    for r in hashed.select(_hb(F.col("content_hash")))
+                    .distinct()
+                    .collect()
+                ]
+                index = index.where(F.col(HASH_BUCKET_COL).isin(touched))
         fresh = ingest_batch(hashed, index, apply_quality, prehashed=True)
         if near_dedup:
             band_index = _read_if_exists(bands_path)
             bands_bucketed = _is_bucketed(bands_path, BAND_BUCKET_COL, band_index)
-            bloom = None
-            if not bloom_prefilter:
-                # a sidecar left behind while bands append WITHOUT bloom
-                # updates would go stale — and a stale filter means
-                # false negatives (missed near-dups) if ever re-enabled.
-                # Present ⟹ maintained, so the off path removes it; the
-                # on path rebuilds from the band index when absent.
-                if os.path.exists(bloom_file):
-                    os.remove(bloom_file)
-            else:
-                bloom = _bloom.BloomSidecar.load(bloom_file)
-                if bloom is None and band_index is None:
-                    bloom = _bloom.BloomSidecar(_bloom.DEFAULT_BITS)
-                elif bloom is None or (
-                    bloom.projected_fpp() > BLOOM_REBUILD_FPP
-                    and bloom.n_bits < _bloom.size_for(10**12)
-                ):
-                    # legacy index without a sidecar, a deleted sidecar,
-                    # or a saturating filter: ONE distributed scan of the
-                    # band index restores the safe-superset invariant
-                    # (sized with 2x headroom; O(index), rare by design)
-                    n = band_index.count()
-                    if bloom is not None:
-                        n = max(n, bloom.n_added)
-                    bloom = _bloom.build_from_df(
-                        band_index, BAND_KEY, _bloom.size_for(2 * n)
-                    )
+            bloom = _load_bloom(bloom_file, band_index, BAND_KEY, bloom_prefilter)
 
             def load_band_index(batch_bands: DataFrame) -> DataFrame | None:
                 if band_index is None:
                     return None
                 if bloom is not None:
-                    # definitely-new fast path: only bloom-positive bands
-                    # can exist in the index (no-false-negative contract)
-                    cand = _bloom.maybe_contains(
-                        batch_bands.select(*BAND_KEY), bloom, BAND_KEY
-                    ).where(F.col("maybe_seen"))
-                    if bands_bucketed:
-                        touched_bb = [
-                            r[0]
-                            for r in cand.select(_bb(F.col("band_hash")))
-                            .distinct()
-                            .collect()
-                        ]
-                        if not touched_bb:
-                            return None
-                        return band_index.where(
-                            F.col(BAND_BUCKET_COL).isin(touched_bb)
-                        )
-                    # flat legacy layout: the empty-candidate shortcut
-                    # still skips the whole index scan
-                    if not cand.limit(1).collect():
-                        return None
-                    return band_index
+                    return _prune_by_bloom(
+                        band_index, bloom, batch_bands, BAND_KEY,
+                        bands_bucketed, BAND_BUCKET_COL,
+                        lambda: _bb(F.col("band_hash")),
+                    )
                 if not bands_bucketed:
                     return band_index  # pre-bucketing flat layout
                 # prune to the batch's band buckets: ≤ BANDS·|batch|
@@ -498,11 +521,25 @@ def run_corpus_ingest(
                 )
             else:
                 new_bands.write.mode("append").parquet(bands_path)
-            _append(survivors.select("content_hash", *DOC_COLS), bucketed)
+            _append(
+                survivors.select("content_hash", *DOC_COLS),
+                bucketed, corpus_bloom,
+            )
         else:
-            _append(fresh, bucketed)
+            if corpus_bloom is not None:
+                # pin before the bloom add collects its hashes, or the
+                # anti-join pipeline runs once for the add and again
+                # for the write
+                fresh = fresh.localCheckpoint(True)
+            _append(fresh, bucketed, corpus_bloom)
 
-    def _append(rows: DataFrame, bucketed: bool) -> None:
+    def _append(rows: DataFrame, bucketed: bool, corpus_bloom=None) -> None:
+        if corpus_bloom is not None:
+            # bloom BEFORE the corpus append — the same one-sided crash
+            # window as the band sidecar: extra bits on replay, never
+            # missing ones
+            _bloom.add_df(corpus_bloom, rows, HASH_KEY)
+            corpus_bloom.save(corpus_bloom_file)
         if bucketed:
             # same task-per-bucket clustering as the bands append: one
             # file per touched hb= directory instead of one per

@@ -13,6 +13,7 @@ from meilisync_spark.functions import bloom as B
 from meilisync_spark.streaming.corpus_ingest import (
     BAND_KEY,
     BLOOM_SUFFIX,
+    HASH_KEY,
     run_corpus_ingest,
 )
 
@@ -59,6 +60,14 @@ def test_bloom_sidecar_exists_and_covers_every_stored_band(spark, tmp_path):
     )
     assert marked.count() > 0
     assert marked.where("NOT maybe_seen").count() == 0
+    # and the corpus index's own sidecar covers every stored hash
+    cbloom = B.BloomSidecar.load(idx + BLOOM_SUFFIX)
+    assert cbloom is not None
+    cmarked = B.maybe_contains(
+        spark.read.parquet(idx).select(*HASH_KEY), cbloom, HASH_KEY
+    )
+    assert cmarked.count() > 0
+    assert cmarked.where("NOT maybe_seen").count() == 0
 
 
 def test_bloom_on_off_retention_identical(spark, tmp_path):
@@ -144,6 +153,7 @@ def test_bloom_off_removes_stale_sidecar_then_on_rebuilds(spark, tmp_path):
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       bloom_prefilter=False, max_files_per_trigger=1)
     assert not os.path.exists(sidecar)
+    assert not os.path.exists(idx + BLOOM_SUFFIX)  # corpus sidecar too
     # re-enable: near-dup of the while-off doc must still be dropped
     _ship(spark, src, 2, [(5, NEAR_A, "en", "s0", len(NEAR_A))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
