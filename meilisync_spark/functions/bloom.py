@@ -271,33 +271,303 @@ def build_from_df(df: DataFrame, cols: list[str], n_bits: int,
     return bloom
 
 
-def maybe_contains(df: DataFrame, bloom: BloomSidecar, cols: list[str],
-                   out_col: str = "maybe_seen") -> DataFrame:
-    """df + a boolean column: False = key definitely never added (skip
-    the exact probe), True = maybe (probe decides). Arrow-batched gather
-    against the broadcast bitmap."""
+def _mark_with_filters(df: DataFrame, filters: list, cols: list[str],
+                       out_col: str, cache_token=None) -> DataFrame:
+    """df + a boolean column: False = key definitely in none of the
+    filters (skip the exact probe), True = maybe (probe decides).
+    Arrow-batched gather against the broadcast bitmaps; ``cache_token``
+    (when set) reuses the FIRST filter's broadcast across calls — the
+    main bitmap of a LoggedBloom only changes at folds, so re-shipping
+    it per micro-batch would make broadcast serialization an
+    index-size-dependent per-batch cost."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(
-        (bloom.bits.tobytes(), bloom.n_bits, bloom.k)
-    )
+    bcs = []
+    for i, fl in enumerate(filters):
+        token = cache_token if (i == 0 and cache_token is not None) else None
+        bcs.append(_broadcast_bits(spark, fl, token))
     hashed = df.select("*", *bloom_hash_cols(*[F.col(c) for c in cols]))
     out_schema = hashed.drop("_bh1", "_bh2").schema.add(out_col, "boolean")
 
     def _test(batches: Iterator) -> Iterator:
-        raw, nb, kk = bc.value
-        bits = np.frombuffer(raw, dtype=np.uint8)
+        views = [
+            (np.frombuffer(bc.value[0], dtype=np.uint8), bc.value[1], bc.value[2])
+            for bc in bcs
+        ]
         for pdf in batches:
             h1 = pdf["_bh1"].to_numpy(dtype=np.int64)
             h2 = pdf["_bh2"].to_numpy(dtype=np.int64)
             res = pdf.drop(columns=["_bh1", "_bh2"])
             if len(h1):
-                pos = _positions(h1.view(np.uint64), h2.view(np.uint64), nb, kk)
-                byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
-                hit = ((byte >> (pos & np.uint64(7)).astype(np.uint8))
-                       & np.uint8(1)).all(axis=1)
+                hit = np.zeros(len(h1), dtype=bool)
+                u1, u2 = h1.view(np.uint64), h2.view(np.uint64)
+                for bits, nb, kk in views:
+                    pos = _positions(u1, u2, nb, kk)
+                    byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+                    hit |= ((byte >> (pos & np.uint64(7)).astype(np.uint8))
+                            & np.uint8(1)).all(axis=1)
             else:
                 hit = np.zeros(0, dtype=bool)
             res[out_col] = hit
             yield res
 
     return hashed.mapInPandas(_test, out_schema)
+
+
+# (applicationId, token) → Broadcast of (bits bytes, n_bits, k); tiny
+# LRU — one entry per sidecar a session actively probes
+_BC_CACHE: dict = {}
+_BC_CACHE_MAX = 4
+
+
+def _broadcast_bits(spark, bloom: BloomSidecar, token):
+    if token is not None:
+        key = (spark.sparkContext.applicationId, token)
+        hit = _BC_CACHE.get(key)
+        if hit is not None:
+            return hit
+    bc = spark.sparkContext.broadcast(
+        (bloom.bits.tobytes(), bloom.n_bits, bloom.k)
+    )
+    if token is not None:
+        while len(_BC_CACHE) >= _BC_CACHE_MAX:
+            _BC_CACHE.pop(next(iter(_BC_CACHE)))
+        _BC_CACHE[(spark.sparkContext.applicationId, token)] = bc
+    return bc
+
+
+def maybe_contains(df: DataFrame, bloom: BloomSidecar, cols: list[str],
+                   out_col: str = "maybe_seen") -> DataFrame:
+    """Single-filter membership mark (see _mark_with_filters)."""
+    return _mark_with_filters(df, [bloom], cols, out_col)
+
+
+FOLD_KEYS = 2_000_000  # fold the delta log into the main filter past this
+
+
+class LoggedBloom:
+    """Main filter + append-only delta log of raw key hashes — the
+    per-batch maintenance shape that holds at index scale.
+
+    Rewriting (and re-broadcasting) a right-sized main bitmap every
+    micro-batch is itself an index-size-dependent cost: at 2M stored
+    docs the band filter is already 64 MB, and a 10⁹-doc index wants
+    gigabits. So batches never touch the main file — they append one
+    small .npy of raw (h1, h2) pairs to ``<prefix>_bloom_log/``
+    (atomic tmp+rename; O(batch) bytes). Membership = main bitmap OR a
+    small delta bitmap built driver-side from the log pairs; the main
+    bitmap's broadcast is cached across batches (it only changes at
+    folds). When the log passes FOLD_KEYS, its pairs fold into the
+    main bitmap in O(log) driver work — and if the main filter would
+    saturate, it is rebuilt right-sized from the INDEX plus the log
+    (index ∪ log covers every key ever appended, because the log is
+    written before the index rows it covers).
+
+    Crash windows, all one-sided: log append is atomic (a lost tmp
+    file means the batch's index rows never landed either); a fold
+    crash between main-save and log-delete leaves keys covered twice;
+    a rebuild reads index ∪ log so it can never drop a covered key.
+    """
+
+    def __init__(self, prefix: str, main: BloomSidecar,
+                 pairs: np.ndarray, main_token=None):
+        self.prefix = prefix
+        self.main = main
+        self.pairs = pairs  # (N, 2) int64 delta-log key hashes
+        self._main_token = main_token
+
+    # --- paths ---
+
+    @staticmethod
+    def _main_path(prefix: str) -> str:
+        return prefix + "_bloom.bin"
+
+    @staticmethod
+    def _log_dir(prefix: str) -> str:
+        return prefix + "_bloom_log"
+
+    # --- lifecycle ---
+
+    @classmethod
+    def load(cls, prefix: str) -> "LoggedBloom | None":
+        """None iff neither the main file nor a non-empty log exists."""
+        mp, ld = cls._main_path(prefix), cls._log_dir(prefix)
+        main = BloomSidecar.load(mp)
+        chunks = []
+        if os.path.isdir(ld):
+            for name in sorted(os.listdir(ld)):
+                if name.endswith(".npy"):
+                    chunks.append(np.load(os.path.join(ld, name)))
+        if main is None and not chunks:
+            return None
+        pairs = (
+            np.concatenate(chunks) if chunks
+            else np.empty((0, 2), dtype=np.int64)
+        )
+        if main is None:
+            main = BloomSidecar()
+        token = None
+        if os.path.exists(mp):
+            st = os.stat(mp)
+            token = (mp, st.st_mtime_ns, st.st_size)
+        return cls(prefix, main, pairs, token)
+
+    @classmethod
+    def fresh(cls, prefix: str) -> "LoggedBloom":
+        return cls(prefix, BloomSidecar(),
+                   np.empty((0, 2), dtype=np.int64))
+
+    @classmethod
+    def from_main(cls, prefix: str, main: BloomSidecar) -> "LoggedBloom":
+        """Wrap a just-rebuilt main filter (e.g. the legacy-index
+        recovery scan) and persist it immediately — the safe-superset
+        invariant must survive a crash before the first fold."""
+        main.save(cls._main_path(prefix))
+        return cls(prefix, main, np.empty((0, 2), dtype=np.int64))
+
+    @classmethod
+    def remove(cls, prefix: str) -> None:
+        """The disabled path: present ⟹ maintained, so take both parts
+        away rather than let them go stale."""
+        mp, ld = cls._main_path(prefix), cls._log_dir(prefix)
+        if os.path.exists(mp):
+            os.remove(mp)
+        if os.path.isdir(ld):
+            import shutil
+
+            shutil.rmtree(ld)
+
+    # --- queries ---
+
+    def n_keys(self) -> int:
+        return self.main.n_added + len(self.pairs)
+
+    def projected_fpp(self, extra_keys: int = 0) -> float:
+        return self.main.projected_fpp(len(self.pairs) + extra_keys)
+
+    def mark(self, df: DataFrame, cols: list[str],
+             out_col: str = "maybe_seen") -> DataFrame:
+        filters = [self.main]
+        if len(self.pairs):
+            delta = BloomSidecar(
+                n_bits=size_for(len(self.pairs), fpp=1e-4,
+                                floor_bits=1 << 17)
+            )
+            delta.add_hashes(self.pairs[:, 0], self.pairs[:, 1])
+            filters.append(delta)
+        return _mark_with_filters(df, filters, cols, out_col,
+                                  cache_token=self._main_token)
+
+    # --- writes ---
+
+    def record_batch(self, df: DataFrame, cols: list[str],
+                     index: DataFrame | None, target_fpp: float,
+                     rebuild_bar: float) -> None:
+        """The one write entry point, bloom-first by contract. Trickle
+        batches (< FOLD_KEYS keys) append to the log — O(batch) bytes,
+        main untouched; when the accumulated log passes FOLD_KEYS it
+        folds. BULK batches (a backfill landing ≥ FOLD_KEYS keys at
+        once) never collect their keys: the delta bitmap is built
+        distributed (build_from_df) and OR-ed into the main
+        driver-side — traffic bounded by bitmap size, not rows — with
+        a right-sized growth rebuild first when the merged filter
+        would saturate."""
+        n_batch = df.count()
+        if n_batch == 0:
+            return
+        if n_batch < FOLD_KEYS:
+            self.append_df(df, cols)
+            self.fold_if_due(index, cols, target_fpp, rebuild_bar)
+            return
+        grow = (
+            self.main.projected_fpp(len(self.pairs) + n_batch) > rebuild_bar
+            and self.main.n_bits < size_for(10**12)
+        )
+        nbits = (
+            size_for(int(1.25 * (self.n_keys() + n_batch)), fpp=target_fpp)
+            if grow
+            else self.main.n_bits
+        )
+        delta = build_from_df(df, cols, nbits)
+        if nbits != self.main.n_bits:
+            main = (
+                build_from_df(index, cols, nbits)
+                if index is not None
+                else BloomSidecar(n_bits=nbits)
+            )
+            if len(self.pairs):
+                main.add_hashes(self.pairs[:, 0], self.pairs[:, 1])
+            self.main = main
+        self.main.bits |= delta.bits
+        self.main.n_added += delta.n_added
+        self._save_main_and_clear_log()
+
+    def append_df(self, df: DataFrame, cols: list[str]) -> None:
+        """O(batch): collect the batch keys' hash pairs into one log
+        file. Never touches the main bitmap."""
+        hashed = df.select(*bloom_hash_cols(*[F.col(c) for c in cols]))
+        try:
+            tbl = hashed.toArrow()
+            pairs = np.stack(
+                [
+                    tbl.column("_bh1").to_numpy(zero_copy_only=False),
+                    tbl.column("_bh2").to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ).astype(np.int64, copy=False)
+        except Exception:
+            rows = hashed.collect()
+            pairs = np.array(
+                [(r[0], r[1]) for r in rows], dtype=np.int64
+            ).reshape(-1, 2)
+        if not len(pairs):
+            return
+        ld = self._log_dir(self.prefix)
+        os.makedirs(ld, exist_ok=True)
+        import uuid
+
+        tmp = os.path.join(ld, f"._{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as fh:
+            np.save(fh, pairs)
+        os.replace(tmp, os.path.join(ld, f"{uuid.uuid4().hex}.npy"))
+        self.pairs = (
+            np.concatenate([self.pairs, pairs]) if len(self.pairs) else pairs
+        )
+
+    def fold_if_due(self, index: DataFrame | None, key: list[str],
+                    target_fpp: float, rebuild_bar: float,
+                    force: bool = False) -> None:
+        """Past FOLD_KEYS log pairs (or on ``force``), fold them into
+        the main bitmap (O(log) driver work). If the folded filter
+        would sit past the rebuild bar, rebuild the main right-sized
+        from index ∪ log first. Fold order: save main, then delete log
+        files — a crash between covers keys twice, never zero times."""
+        if not force and len(self.pairs) < FOLD_KEYS:
+            return
+        if (
+            self.main.projected_fpp(len(self.pairs)) > rebuild_bar
+            and self.main.n_bits < size_for(10**12)
+        ):
+            n = self.n_keys()
+            nbits = size_for(int(1.25 * n), fpp=target_fpp)
+            if index is not None:
+                main = build_from_df(index, key, nbits)
+            else:
+                main = BloomSidecar(n_bits=nbits)
+            self.main = main
+        self.main.add_hashes(self.pairs[:, 0], self.pairs[:, 1])
+        self._save_main_and_clear_log()
+
+    def _save_main_and_clear_log(self) -> None:
+        """Fold order: save main, then delete log files — a crash
+        between covers keys twice, never zero times."""
+        ld = self._log_dir(self.prefix)
+        folded = (
+            [n for n in os.listdir(ld) if n.endswith(".npy")]
+            if os.path.isdir(ld)
+            else []
+        )
+        self.main.save(self._main_path(self.prefix))
+        for name in folded:
+            os.remove(os.path.join(ld, name))
+        self.pairs = np.empty((0, 2), dtype=np.int64)
+        self._main_token = None  # next load re-tokens the new file

@@ -84,25 +84,32 @@ N_HASH_BUCKETS = 64
 BAND_BUCKET_COL = "bb"
 N_BAND_BUCKETS = 256
 
-# Bloom sidecar over the band index's (band_idx, band_hash) keys: the
-# near-dup probe's "definitely new" fast path. Bands the filter rejects
-# cannot exist in the index (no-false-negative contract, maintained by
-# the bloom-BEFORE-bands write order below), so the index probe — its
-# directory open, bucket scan and join — runs only over bloom-positive
-# bands. A steady-state trickle batch is almost all new text: measured
-# at 500k stored docs, the probe side of the batch drops from ~7 s to
-# the bloom test's O(batch) mapInPandas (INGEST_STAGE_PROBE.json). The
-# sidecar is a SIBLING FILE of the bands dir (never inside it — a
-# foreign file in the parquet dir would break the empty-dir recovery
-# probe in _read_parquet_if_exists) and summarizes KEYS, not files, so
-# compaction/rebucketing of the band index never invalidates it. An
-# absent sidecar (legacy index, deleted file) is rebuilt with one
-# distributed scan; past BLOOM_REBUILD_FPP projected false-positive
-# rate it is rebuilt larger (correctness never depends on fpp).
+# Bloom sidecars over the band index's (band_idx, band_hash) keys and
+# the corpus index's content hashes: the probes' "definitely new" fast
+# path. Keys the filter rejects cannot exist in the index (no-false-
+# negative contract, maintained by the bloom-BEFORE-rows write order
+# below), so the index probes — directory opens, bucket scans, joins —
+# run only over bloom-positive keys. Each sidecar is a LoggedBloom
+# (functions/bloom.py): a main bitmap file plus an append-only delta
+# log, both SIBLINGS of the parquet dir (never inside it — a foreign
+# file would break the empty-dir recovery probe in
+# _read_parquet_if_exists), summarizing KEYS, not files, so
+# compaction/rebucketing never invalidates them. An absent sidecar
+# (legacy index, deleted file) is rebuilt with one distributed scan;
+# past BLOOM_REBUILD_FPP projected false-positive rate the main bitmap
+# is rebuilt larger at a fold (correctness never depends on fpp).
 BAND_KEY = ["band_idx", "band_hash"]
 HASH_KEY = ["content_hash"]
-BLOOM_SUFFIX = "_bloom.bin"
-BLOOM_REBUILD_FPP = 0.05
+# The prefilter's value is BUCKET pruning, and buckets degenerate long
+# before per-key fpp looks bad: a 5k-doc batch carries ~40k band keys,
+# so even 1% fpp yields ~400 false-positive bands landing in ~200 of
+# the 256 bb= directories — a near-full probe PLUS bloom overhead
+# (measured at 2M state docs: 18.3 s vs 13.7 s without the filter).
+# Keeping expected false positives per batch in the single digits
+# needs fpp ≈ 10/40k: rebuild past 0.2% projected, size rebuilds for
+# 0.05% (m ≈ 21n bits at k=7; the pow-2 rounding gives headroom).
+BLOOM_REBUILD_FPP = 0.002
+BLOOM_TARGET_FPP = 5e-4
 
 
 def _hb(content_hash):
@@ -152,32 +159,33 @@ def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
-def _load_bloom(sidecar: str, index: DataFrame | None, key: list[str],
-                enabled: bool) -> "_bloom.BloomSidecar | None":
-    """Load an index's Bloom sidecar, restoring the safe-superset
-    invariant on every path: absent-with-index → distributed rebuild
-    from the index itself; saturated (projected fpp past the rebuild
-    bar) → larger rebuild; DISABLED → remove the file — rows appended
-    while the prefilter is off would make a kept sidecar silently
-    stale, i.e. false negatives on re-enable. Present ⟹ maintained."""
+def _load_bloom(prefix: str, index: DataFrame | None, key: list[str],
+                enabled: bool) -> "_bloom.LoggedBloom | None":
+    """Load an index's Bloom sidecar (main bitmap + delta log),
+    restoring the safe-superset invariant on every path: absent-with-
+    index → distributed rebuild from the index itself (persisted
+    immediately); saturated (projected fpp past the rebuild bar) →
+    forced fold with a right-sized rebuild from index ∪ log; DISABLED
+    → remove both parts — rows appended while the prefilter is off
+    would make a kept sidecar silently stale, i.e. false negatives on
+    re-enable. Present ⟹ maintained."""
     if not enabled:
-        if os.path.exists(sidecar):
-            os.remove(sidecar)
+        _bloom.LoggedBloom.remove(prefix)
         return None
-    bloom = _bloom.BloomSidecar.load(sidecar)
-    if index is None:
-        # no index yet (fresh bloom) — or an index deleted out from
-        # under its sidecar, whose stale bits are the safe error side
-        return bloom if bloom is not None else _bloom.BloomSidecar()
-    if bloom is None or (
-        bloom.projected_fpp() > BLOOM_REBUILD_FPP
-        and bloom.n_bits < _bloom.size_for(10**12)
-    ):
+    lb = _bloom.LoggedBloom.load(prefix)
+    if lb is None:
+        if index is None:
+            return _bloom.LoggedBloom.fresh(prefix)
         n = index.count()
-        if bloom is not None:
-            n = max(n, bloom.n_added)
-        bloom = _bloom.build_from_df(index, key, _bloom.size_for(2 * n))
-    return bloom
+        main = _bloom.build_from_df(
+            index, key,
+            _bloom.size_for(int(1.25 * n), fpp=BLOOM_TARGET_FPP),
+        )
+        return _bloom.LoggedBloom.from_main(prefix, main)
+    if lb.projected_fpp() > BLOOM_REBUILD_FPP:
+        lb.fold_if_due(index, key, BLOOM_TARGET_FPP, BLOOM_REBUILD_FPP,
+                       force=True)
+    return lb
 
 
 def _prune_by_bloom(index: DataFrame, bloom, batch_keys: DataFrame,
@@ -188,9 +196,9 @@ def _prune_by_bloom(index: DataFrame, bloom, batch_keys: DataFrame,
     prunes to THEIR buckets — or disappears entirely (None) when the
     whole batch is new. Flat legacy layouts get the all-or-nothing
     shortcut."""
-    cand = _bloom.maybe_contains(
-        batch_keys.select(*key), bloom, key
-    ).where(F.col("maybe_seen"))
+    cand = bloom.mark(batch_keys.select(*key), key).where(
+        F.col("maybe_seen")
+    )
     if bucketed:
         touched = [r[0] for r in cand.select(bucket_of()).distinct().collect()]
         if not touched:
@@ -386,8 +394,9 @@ def run_corpus_ingest(
     src = stream.parquet(docs_path)
 
     bands_path = index_path.rstrip("/") + "_bands"
-    bloom_file = bands_path + BLOOM_SUFFIX
-    corpus_bloom_file = index_path.rstrip("/") + BLOOM_SUFFIX
+    # LoggedBloom sidecar prefixes: <prefix>_bloom.bin + <prefix>_bloom_log/
+    bands_bloom_prefix = bands_path
+    corpus_bloom_prefix = index_path.rstrip("/")
 
     def _read_if_exists(path: str) -> DataFrame | None:
         return _read_parquet_if_exists(spark, path)
@@ -421,8 +430,9 @@ def run_corpus_ingest(
         # contract as the band sidecar below — loaded/rebuilt/removed
         # by _load_bloom, written BEFORE the corpus append)
         corpus_bloom = _load_bloom(
-            corpus_bloom_file, index, HASH_KEY, bloom_prefilter
+            corpus_bloom_prefix, index, HASH_KEY, bloom_prefilter
         )
+        index_full = index  # unpruned: sidecar rebuilds must scan it all
         if index is not None:
             if corpus_bloom is not None:
                 index = _prune_by_bloom(
@@ -445,7 +455,9 @@ def run_corpus_ingest(
         if near_dedup:
             band_index = _read_if_exists(bands_path)
             bands_bucketed = _is_bucketed(bands_path, BAND_BUCKET_COL, band_index)
-            bloom = _load_bloom(bloom_file, band_index, BAND_KEY, bloom_prefilter)
+            bloom = _load_bloom(
+                bands_bloom_prefix, band_index, BAND_KEY, bloom_prefilter
+            )
 
             def load_band_index(batch_bands: DataFrame) -> DataFrame | None:
                 if band_index is None:
@@ -487,11 +499,13 @@ def run_corpus_ingest(
             # a near-duplicate), so its bits land first: a crash after
             # the bloom save leaves extra bits — false positives the
             # exact probe resolves — never missing ones. The add is
-            # O(batch): two hash longs per band row collected and set
-            # driver-side.
+            # Trickle batches log two hash longs per band row (one
+            # atomic file, O(batch) bytes); bulk backfills merge a
+            # distributed delta bitmap instead. Main rewrites only at
+            # folds/growth.
             if bloom is not None:
-                _bloom.add_df(bloom, new_bands, BAND_KEY)
-                bloom.save(bloom_file)
+                bloom.record_batch(new_bands, BAND_KEY, band_index,
+                                   BLOOM_TARGET_FPP, BLOOM_REBUILD_FPP)
             # bands append BEFORE the corpus append. A
             # crash between the two leaves dangling band rows, which are
             # harmless — the replayed doc is excluded from matching its
@@ -523,7 +537,7 @@ def run_corpus_ingest(
                 new_bands.write.mode("append").parquet(bands_path)
             _append(
                 survivors.select("content_hash", *DOC_COLS),
-                bucketed, corpus_bloom,
+                bucketed, corpus_bloom, index_full,
             )
         else:
             if corpus_bloom is not None:
@@ -531,15 +545,16 @@ def run_corpus_ingest(
                 # anti-join pipeline runs once for the add and again
                 # for the write
                 fresh = fresh.localCheckpoint(True)
-            _append(fresh, bucketed, corpus_bloom)
+            _append(fresh, bucketed, corpus_bloom, index_full)
 
-    def _append(rows: DataFrame, bucketed: bool, corpus_bloom=None) -> None:
+    def _append(rows: DataFrame, bucketed: bool, corpus_bloom=None,
+                index_full: DataFrame | None = None) -> None:
         if corpus_bloom is not None:
             # bloom BEFORE the corpus append — the same one-sided crash
             # window as the band sidecar: extra bits on replay, never
             # missing ones
-            _bloom.add_df(corpus_bloom, rows, HASH_KEY)
-            corpus_bloom.save(corpus_bloom_file)
+            corpus_bloom.record_batch(rows, HASH_KEY, index_full,
+                                      BLOOM_TARGET_FPP, BLOOM_REBUILD_FPP)
         if bucketed:
             # same task-per-bucket clustering as the bands append: one
             # file per touched hb= directory instead of one per

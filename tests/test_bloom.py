@@ -103,6 +103,73 @@ def test_distributed_build_equals_driver_build(spark):
     assert (dist.bits == drv.bits).all()
 
 
+def test_logged_bloom_append_load_mark_roundtrip(spark, tmp_path):
+    prefix = os.path.join(tmp_path, "idx_bands")
+    lb = B.LoggedBloom.fresh(prefix)
+    keys = spark.range(0, 400, 1, 4).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    lb.append_df(keys, ["a", "b"])
+    # the log survives a reload (no main bitmap was ever written)
+    back = B.LoggedBloom.load(prefix)
+    assert back is not None and len(back.pairs) == 400
+    assert back.mark(keys, ["a", "b"]).where("NOT maybe_seen").count() == 0
+    fresh = spark.range(50_000, 50_400).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    assert back.mark(fresh, ["a", "b"]).where("maybe_seen").count() <= 4
+
+
+def test_logged_bloom_fold_grows_saturated_main(spark, tmp_path):
+    prefix = os.path.join(tmp_path, "idx")
+    # a deliberately tiny main so the log saturates it instantly
+    lb = B.LoggedBloom(prefix, B.BloomSidecar(n_bits=1 << 12),
+                       np.empty((0, 2), dtype=np.int64))
+    keys = spark.range(0, 3000, 1, 4).select(
+        F.col("id").alias("a"), (F.col("id") + 7).alias("b")
+    )
+    lb.append_df(keys, ["a", "b"])
+    lb.fold_if_due(None, ["a", "b"], target_fpp=5e-4, rebuild_bar=0.002,
+                   force=True)
+    assert lb.main.n_bits > 1 << 12  # grew
+    assert len(lb.pairs) == 0  # log folded away
+    back = B.LoggedBloom.load(prefix)
+    assert back.main.n_bits == lb.main.n_bits
+    assert back.mark(keys, ["a", "b"]).where("NOT maybe_seen").count() == 0
+
+
+def test_logged_bloom_bulk_batch_merges_distributed(spark, tmp_path, monkeypatch):
+    """A batch at/over FOLD_KEYS takes the distributed path: delta
+    bitmap built executor-side, OR-ed into main, log untouched-empty —
+    and membership still covers every key."""
+    monkeypatch.setattr(B, "FOLD_KEYS", 1000)
+    prefix = os.path.join(tmp_path, "bulk")
+    lb = B.LoggedBloom.fresh(prefix)
+    keys = spark.range(0, 5000, 1, 8).select(
+        F.col("id").alias("a"), (F.col("id") * 11).alias("b")
+    )
+    lb.record_batch(keys, ["a", "b"], None, target_fpp=5e-4,
+                    rebuild_bar=0.002)
+    assert len(lb.pairs) == 0
+    assert lb.main.n_added == 5000
+    assert os.path.exists(B.LoggedBloom._main_path(prefix))
+    back = B.LoggedBloom.load(prefix)
+    assert back.mark(keys, ["a", "b"]).where("NOT maybe_seen").count() == 0
+
+
+def test_logged_bloom_remove_deletes_both_parts(spark, tmp_path):
+    prefix = os.path.join(tmp_path, "idx")
+    lb = B.LoggedBloom.fresh(prefix)
+    keys = spark.range(0, 10).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    lb.append_df(keys, ["a", "b"])
+    lb.main.save(B.LoggedBloom._main_path(prefix))
+    assert B.LoggedBloom.load(prefix) is not None
+    B.LoggedBloom.remove(prefix)
+    assert B.LoggedBloom.load(prefix) is None
+
+
 def test_maybe_contains_marks_members_and_rejects_fresh(spark):
     keys = spark.range(0, 500, 1, 4).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")

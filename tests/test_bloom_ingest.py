@@ -1,7 +1,8 @@
 """Bloom sidecar × streaming near-dedup: semantics must be IDENTICAL
 with the prefilter on or off (one-sided error + exact verify), the
-sidecar must never miss a stored band key (the false-negative hazard),
-and the legacy/off/saturated paths must all recover to that invariant."""
+sidecar (main bitmap + delta log) must never miss a stored key (the
+false-negative hazard), and the legacy/off/saturated/fold paths must
+all recover to that invariant."""
 from __future__ import annotations
 
 import glob
@@ -12,7 +13,6 @@ import numpy as np
 from meilisync_spark.functions import bloom as B
 from meilisync_spark.streaming.corpus_ingest import (
     BAND_KEY,
-    BLOOM_SUFFIX,
     HASH_KEY,
     run_corpus_ingest,
 )
@@ -46,25 +46,25 @@ def _ingest(spark, tmp, name, **kw):
     return src, idx, ck
 
 
-def test_bloom_sidecar_exists_and_covers_every_stored_band(spark, tmp_path):
+def test_bloom_sidecar_exists_and_covers_every_stored_key(spark, tmp_path):
     src, idx, ck = _ingest(spark, tmp_path, "cov")
     _ship(spark, src, 0, [(1, A, "en", "s0", len(A))])
     _ship(spark, src, 1, [(3, OTHER, "en", "s1", len(OTHER))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       max_files_per_trigger=1)
-    bloom = B.BloomSidecar.load(idx + "_bands" + BLOOM_SUFFIX)
+    bloom = B.LoggedBloom.load(idx + "_bands")
     assert bloom is not None
     # THE invariant: every key present in the band index tests positive
-    marked = B.maybe_contains(
-        spark.read.parquet(idx + "_bands").select(*BAND_KEY), bloom, BAND_KEY
+    marked = bloom.mark(
+        spark.read.parquet(idx + "_bands").select(*BAND_KEY), BAND_KEY
     )
     assert marked.count() > 0
     assert marked.where("NOT maybe_seen").count() == 0
     # and the corpus index's own sidecar covers every stored hash
-    cbloom = B.BloomSidecar.load(idx + BLOOM_SUFFIX)
+    cbloom = B.LoggedBloom.load(idx)
     assert cbloom is not None
-    cmarked = B.maybe_contains(
-        spark.read.parquet(idx).select(*HASH_KEY), cbloom, HASH_KEY
+    cmarked = cbloom.mark(
+        spark.read.parquet(idx).select(*HASH_KEY), HASH_KEY
     )
     assert cmarked.count() > 0
     assert cmarked.where("NOT maybe_seen").count() == 0
@@ -90,8 +90,8 @@ def test_bloom_on_off_retention_identical(spark, tmp_path):
         )
     assert results[True] == results[False] == [1]
     # and only the bloom run leaves a sidecar
-    assert os.path.exists(str(tmp_path / "eq_True_idx") + "_bands" + BLOOM_SUFFIX)
-    assert not os.path.exists(str(tmp_path / "eq_False_idx") + "_bands" + BLOOM_SUFFIX)
+    assert B.LoggedBloom.load(str(tmp_path / "eq_True_idx") + "_bands") is not None
+    assert B.LoggedBloom.load(str(tmp_path / "eq_False_idx") + "_bands") is None
 
 
 def test_legacy_index_without_sidecar_rebuilds_and_blocks(spark, tmp_path):
@@ -102,34 +102,36 @@ def test_legacy_index_without_sidecar_rebuilds_and_blocks(spark, tmp_path):
     _ship(spark, src, 0, [(1, A, "en", "s0", len(A))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       bloom_prefilter=False, max_files_per_trigger=1)
-    assert not os.path.exists(idx + "_bands" + BLOOM_SUFFIX)
+    assert B.LoggedBloom.load(idx + "_bands") is None
     _ship(spark, src, 1, [(2, NEAR_A, "en", "s0", len(NEAR_A)),
                           (3, OTHER, "en", "s1", len(OTHER))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       max_files_per_trigger=1)
     got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
     assert got == [1, 3]  # 2 dropped against batch-0's (pre-bloom) bands
-    bloom = B.BloomSidecar.load(idx + "_bands" + BLOOM_SUFFIX)
+    bloom = B.LoggedBloom.load(idx + "_bands")
     assert bloom is not None
-    marked = B.maybe_contains(
-        spark.read.parquet(idx + "_bands").select(*BAND_KEY), bloom, BAND_KEY
+    # the legacy rebuild persisted a main bitmap immediately
+    assert os.path.exists(B.LoggedBloom._main_path(idx + "_bands"))
+    marked = bloom.mark(
+        spark.read.parquet(idx + "_bands").select(*BAND_KEY), BAND_KEY
     )
     assert marked.where("NOT maybe_seen").count() == 0
 
 
 def test_all_ones_bloom_is_pure_overhead_not_wrong(spark, tmp_path):
     """False positives are the allowed error side: a fully saturated
-    filter (every test positive) must leave results exactly as without
-    a filter — the exact probe decides."""
+    main filter (every test positive) must leave results exactly as
+    without a filter — the exact probe decides."""
     src, idx, ck = _ingest(spark, tmp_path, "sat")
     _ship(spark, src, 0, [(1, A, "en", "s0", len(A))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       max_files_per_trigger=1)
-    sidecar = idx + "_bands" + BLOOM_SUFFIX
-    bl = B.BloomSidecar.load(sidecar)
-    # saturate: every bit set, counter untouched (so no rebuild fires)
-    bl.bits = np.full_like(bl.bits, 0xFF)
-    bl.save(sidecar)
+    lb = B.LoggedBloom.load(idx + "_bands")
+    # saturate: every bit of the main bitmap set, counter untouched
+    # (so no rebuild fires)
+    lb.main.bits = np.full_like(lb.main.bits, 0xFF)
+    lb.main.save(B.LoggedBloom._main_path(idx + "_bands"))
     _ship(spark, src, 1, [(2, NEAR_A, "en", "s0", len(NEAR_A)),
                           (3, OTHER, "en", "s1", len(OTHER))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
@@ -145,42 +147,64 @@ def test_bloom_off_removes_stale_sidecar_then_on_rebuilds(spark, tmp_path):
     _ship(spark, src, 0, [(1, OTHER, "en", "s1", len(OTHER))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       max_files_per_trigger=1)
-    sidecar = idx + "_bands" + BLOOM_SUFFIX
-    assert os.path.exists(sidecar)
+    assert B.LoggedBloom.load(idx + "_bands") is not None
     # batch 1 lands with the prefilter off: sidecar must go away, or a
     # re-enable would miss doc 4's bands (false negatives)
     _ship(spark, src, 1, [(4, A, "en", "s0", len(A))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       bloom_prefilter=False, max_files_per_trigger=1)
-    assert not os.path.exists(sidecar)
-    assert not os.path.exists(idx + BLOOM_SUFFIX)  # corpus sidecar too
+    assert B.LoggedBloom.load(idx + "_bands") is None
+    assert B.LoggedBloom.load(idx) is None  # corpus sidecar too
     # re-enable: near-dup of the while-off doc must still be dropped
     _ship(spark, src, 2, [(5, NEAR_A, "en", "s0", len(NEAR_A))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       max_files_per_trigger=1)
     got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
     assert got == [1, 4]
-    assert os.path.exists(sidecar)
+    assert B.LoggedBloom.load(idx + "_bands") is not None
 
 
 def test_crash_after_bloom_before_bands_is_false_positive_only(spark, tmp_path):
-    """The extended crash order (bloom → bands → corpus): simulate the
-    new window by pre-adding a batch's band keys to the sidecar WITHOUT
-    appending its rows, then replaying. The replayed doc must ingest
-    normally — its bloom-positive bands find no index rows."""
+    """The extended crash order (bloom log → bands → corpus): simulate
+    the new window by appending a batch's band keys to the sidecar log
+    WITHOUT appending its rows, then replaying. The replayed doc must
+    ingest normally — its bloom-positive bands find no index rows."""
     src, idx, ck = _ingest(spark, tmp_path, "crash")
     _ship(spark, src, 0, [(1, OTHER, "en", "s1", len(OTHER))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       max_files_per_trigger=1)
-    sidecar = idx + "_bands" + BLOOM_SUFFIX
-    bl = B.BloomSidecar.load(sidecar)
+    lb = B.LoggedBloom.load(idx + "_bands")
     from meilisync_spark.operators.dedup import lsh_bands, minhash_signatures
 
     doc2 = spark.createDataFrame([(2, A)], "doc_id long, text string")
-    B.add_df(bl, lsh_bands(minhash_signatures(doc2)), BAND_KEY)
-    bl.save(sidecar)  # ← the crash point: bits live, rows never landed
+    lb.append_df(lsh_bands(minhash_signatures(doc2)), BAND_KEY)
+    # ← the crash point: log bits live, band rows never landed
     _ship(spark, src, 1, [(2, A, "en", "s0", len(A))])
     run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
                       max_files_per_trigger=1)
     got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
     assert got == [1, 2]
+
+
+def test_fold_moves_log_into_main_and_keeps_coverage(spark, tmp_path, monkeypatch):
+    """Force FOLD_KEYS=1 so every batch folds: the log empties, the
+    main bitmap carries the keys, coverage holds, and a near-dup of a
+    pre-fold doc is still dropped."""
+    monkeypatch.setattr(B, "FOLD_KEYS", 1)
+    src, idx, ck = _ingest(spark, tmp_path, "fold")
+    _ship(spark, src, 0, [(1, A, "en", "s0", len(A))])
+    _ship(spark, src, 1, [(2, NEAR_A, "en", "s0", len(NEAR_A)),
+                          (3, OTHER, "en", "s1", len(OTHER))])
+    run_corpus_ingest(spark, src, idx, ck, near_dedup=True,
+                      max_files_per_trigger=1)
+    got = sorted(r.doc_id for r in spark.read.parquet(idx).collect())
+    assert got == [1, 3]
+    lb = B.LoggedBloom.load(idx + "_bands")
+    assert lb is not None
+    assert len(lb.pairs) == 0  # every batch folded
+    assert lb.main.n_added > 0
+    assert os.path.exists(B.LoggedBloom._main_path(idx + "_bands"))
+    marked = lb.mark(
+        spark.read.parquet(idx + "_bands").select(*BAND_KEY), BAND_KEY
+    )
+    assert marked.where("NOT maybe_seen").count() == 0
