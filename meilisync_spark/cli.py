@@ -38,6 +38,7 @@ from meilisync_spark.streaming.pipeline import (
 from meilisync_spark.operators.compaction import compact_last_wins
 
 from pyspark.sql import functions as F
+from meilisync_spark.pin import SER as _SER
 
 
 def _settings(args: argparse.Namespace) -> Settings:
@@ -411,7 +412,7 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     )
     retrained = 0
     if not os.path.exists(os.path.join(args.index, ANN_META_FILE)):
-        emb = emb.localCheckpoint(True)  # feeds train AND the sidecar seed
+        emb = emb.localCheckpoint(True, storageLevel=_SER)  # feeds train AND the sidecar seed
         save_index(emb, args.index)
         seed_index_vectors(emb, args.index)
         n_new = spark.read.parquet(args.index).count()
@@ -448,9 +449,9 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         # before anything is appended.
         candidates = emb.join(
             known, F.col("vec_id") == F.col("seen_id"), "left_anti"
-        ).localCheckpoint(True)
+        ).localCheckpoint(True, storageLevel=_SER)
         new = collapse_add_batch(candidates).localCheckpoint(
-            True
+            True, storageLevel=_SER
         )  # pin: sidecar append + encode reuse it
         n_new = new.count()
         if n_new:

@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 
 from meilisync_spark.operators.text import words_col
 from meilisync_spark.sources.parquet import spread
+from meilisync_spark.pin import SER as _SER
 
 BPE_MERGES_DEFAULT = 24
 EOW = "</w>"
@@ -157,7 +158,7 @@ def bpe_train(
     and a fold-apply — then the frame is pinned (localCheckpoint) so
     iteration k+1's lineage doesn't nest k fold expressions deep.
     Stops early when no pair occurs at least twice."""
-    vocab = weighted_vocab(docs).localCheckpoint(True)
+    vocab = weighted_vocab(docs).localCheckpoint(True, storageLevel=_SER)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         counts = (
@@ -171,7 +172,7 @@ def bpe_train(
         merges.append((best.l, best.r, int(best.c)))
         vocab = vocab.withColumn(
             "tokens", _apply_merge(F.col("tokens"), best.l, best.r)
-        ).localCheckpoint(True)
+        ).localCheckpoint(True, storageLevel=_SER)
     return merges, vocab
 
 
@@ -289,7 +290,7 @@ def bpe_train_fast(
     oracle twin for small merge counts; tests assert the two agree
     merge-for-merge and token-for-token on the fixture and under
     hypothesis-generated corpora."""
-    wf = weighted_vocab(docs).localCheckpoint(True)  # one corpus scan
+    wf = weighted_vocab(docs).localCheckpoint(True, storageLevel=_SER)  # one corpus scan
     word_freqs = {r.word: r.freq for r in wf.select("word", "freq").collect()}
     merges, _ = _train_merges_indexed(word_freqs, n_merges)
     # Rebuild the trained vocab distributed. Rank-order single-pass
@@ -357,7 +358,7 @@ def bpe_apply_merges(
             "tokens", _apply_merge(F.col("tokens"), left, right)
         )
         if (i + 1) % pin_every == 0 and (i + 1) < len(merges):
-            out = out.localCheckpoint(True)
+            out = out.localCheckpoint(True, storageLevel=_SER)
     return out
 
 
@@ -534,7 +535,7 @@ def bpe_encode_stats(
         words.select("word")
         .distinct()
         .join(lookup.select("word"), "word", "left_anti")
-        .localCheckpoint(True)  # pin: feeds the emptiness probe AND the fold
+        .localCheckpoint(True, storageLevel=_SER)  # pin: feeds the emptiness probe AND the fold
     )
     if not oov.isEmpty():
         lookup = lookup.unionByName(apply_merges(oov, merges))

@@ -47,6 +47,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meilisync_spark.operators.apply import apply_changes
+from meilisync_spark.pin import SER as _SER
 
 BUCKET_COL = "bucket"
 DEFAULT_NUM_BUCKETS = 64
@@ -269,7 +270,7 @@ def apply_changes_bucketed(
     changes = changes.withColumn(BUCKET_COL, bucket_expr(pk, num_buckets))
     # localCheckpoint: the batch is read twice (bucket list + merge) and
     # must not recompute from the stream source
-    changes = changes.localCheckpoint(eager=True)
+    changes = changes.localCheckpoint(eager=True, storageLevel=_SER)
 
     if not os.path.exists(index_path):
         cols = change_payload if payload_cols is None else payload_cols

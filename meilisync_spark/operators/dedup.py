@@ -35,7 +35,9 @@ from meilisync_spark.operators.text import (
     shingles_col,
     words_col,
 )
+from meilisync_spark.pin import pin
 from meilisync_spark.sources.parquet import spread
+from meilisync_spark.pin import SER as _SER
 
 NUM_PERM = 16
 BANDS = 8  # rows per band = NUM_PERM // BANDS = 2
@@ -418,7 +420,7 @@ def minhash_lsh_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> Data
     # accumulate corpus-sized cache entries. Checkpoint RDDs are
     # released by the ContextCleaner when the frame is garbage
     # collected.
-    sigs = minhash_signatures(docs).localCheckpoint(False)
+    sigs = pin(minhash_signatures(docs))
     # SLIM self-join (round 8): the band exchange — the widest shuffle
     # here — moves (doc_id, band_idx, band_hash) rows only; signatures
     # attach AFTER the distinct, once per unique pair, via two doc_id
@@ -427,7 +429,7 @@ def minhash_lsh_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> Data
     # shuffle shrinks to 2 longs per row, and est_jaccard is computed
     # once per unique pair instead of once per duplicate band
     # collision. (Subsumes round 7's est-before-distinct ordering.)
-    bands = lsh_bands_slim(sigs).localCheckpoint(False)
+    bands = pin(lsh_bands_slim(sigs))
     a = _cap_left_side(bands, bucket_cap).select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
@@ -510,7 +512,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # never reads signatures (verification is exact shingle sets), so
     # pinning sig-carrying band rows would hold BANDS copies of every
     # sig in heap for nothing.
-    bands = lsh_bands_slim(minhash_signatures(docs)).localCheckpoint(False)
+    bands = lsh_bands_slim(minhash_signatures(docs)).localCheckpoint(False, storageLevel=_SER)
     cand = (
         _cap_left_side(bands)
         .select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
@@ -528,7 +530,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     sh = spread(docs).select(
         "doc_id",
         F.array_distinct(shingles_col(words_col(F.col("text")), MH_SHINGLE)).alias("sh"),
-    ).localCheckpoint(False)  # feeds both pair sides
+    ).localCheckpoint(False, storageLevel=_SER)  # feeds both pair sides
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -699,14 +701,14 @@ def connected_components(
     # round's join+groupBy handles |subgraph| rows, not |corpus|.
     # checkpointed so the isolated branch (materialized by the caller
     # after edges/pairs are unpersisted) never re-derives the edge set
-    touched = edges.select(F.col("doc_a").alias("doc_id")).distinct().localCheckpoint(True)
+    touched = edges.select(F.col("doc_a").alias("doc_id")).distinct().localCheckpoint(True, storageLevel=_SER)
     isolated = nodes.join(touched, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
     labels = nodes.join(touched, "doc_id", "left_semi").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
-    labels = labels.localCheckpoint(True)
+    labels = labels.localCheckpoint(True, storageLevel=_SER)
 
     def _step(labels: DataFrame) -> DataFrame:
         neigh = (
@@ -724,7 +726,7 @@ def connected_components(
                     F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(True)
+            .localCheckpoint(True, storageLevel=_SER)
         )
 
     converged = False
@@ -961,7 +963,7 @@ def simhash_neardup_pairs(
     banded = (
         sims.select("doc_id", "simhash", F.explode(bands).alias("band"))
         .select("doc_id", "simhash", "band.band_idx", "band.band_val")
-        .localCheckpoint(False)
+        .localCheckpoint(False, storageLevel=_SER)
     )
     a = _cap_left_side(banded, bucket_cap, keys=("band_idx", "band_val")).select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val"
@@ -1202,7 +1204,7 @@ def corpus_pipeline_full(docs: DataFrame) -> DataFrame:
         kept.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("doc_id", "lang", "text")
-        .localCheckpoint(False)
+        .localCheckpoint(False, storageLevel=_SER)
     )
     near_drop = (
         minhash_lsh_pairs(exact_sur.select("doc_id", "text"))

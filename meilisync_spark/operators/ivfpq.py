@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from meilisync_spark.pin import SER as _SER
 from meilisync_spark.operators.pq import (
     N_QUERIES,
     _quantize,
@@ -89,7 +90,7 @@ def ivfpq_index(
         kmeans_centroids,
     )
 
-    emb = emb.localCheckpoint(False)
+    emb = emb.localCheckpoint(False, storageLevel=_SER)
     books = pq_codebooks(emb)
     centq = kmeans_centroids(emb, k=kcells or K_DEFAULT)
     idx = pq_encode(emb, books).join(assign_cells(emb, centq), "vec_id")
@@ -230,7 +231,7 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
     # pin the twin: every Lloyd pass of both quantizer trainings (and
     # the brute-force recall denominator) re-reads this frame — without
     # the pin each of those jobs replays the scan+map lineage
-    ce = clustered_embeddings(emb).localCheckpoint(False)
+    ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
     cells = kmeans_labels(ce)
 
     # cell centroids on the k-means fixed-point lattice, exact means
@@ -259,7 +260,7 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
     residual = (
         _residual_frame(ce, cells, cents)
         .select("vec_id", "embedding")
-        .localCheckpoint(False)
+        .localCheckpoint(False, storageLevel=_SER)
     )
     for variant, frame in (("raw", ce), ("residual", residual)):
         # m=16 (4-dim subspaces): double the code budget to 16 bytes so
@@ -287,7 +288,7 @@ def ivfpq_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
     # pin the twin: every Lloyd pass of both quantizer trainings (and
     # the brute-force recall denominator) re-reads this frame — without
     # the pin each of those jobs replays the scan+map lineage
-    ce = clustered_embeddings(emb).localCheckpoint(False)
+    ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
     return _recall_against_brute(ce, ivfpq_topk(ce, k), k)
 
 
@@ -413,7 +414,7 @@ def ivfpq_persisted_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
     # pin the twin: every Lloyd pass of both quantizer trainings (and
     # the brute-force recall denominator) re-reads this frame — without
     # the pin each of those jobs replays the scan+map lineage
-    ce = clustered_embeddings(emb).localCheckpoint(False)
+    ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
     work = tempfile.mkdtemp(prefix="mls_ivfpq_")
     try:
         topk = ivfpq_persisted_topk(spark, ce, f"{work}/index", k)
@@ -684,7 +685,7 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
     new = (
         pq_encode(emb, books)
         .join(assign_cells(emb, centq), "vec_id")
-        .localCheckpoint(True)
+        .localCheckpoint(True, storageLevel=_SER)
     )
     if dedup:
         touched = sorted(
@@ -693,7 +694,7 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         seen = _dedup_probe(spark, index_path, touched)
         new = new.join(
             seen, F.col("vec_id") == F.col("seen_id"), "left_anti"
-        ).localCheckpoint(True)  # pin BEFORE the append: the anti-join
+        ).localCheckpoint(True, storageLevel=_SER)  # pin BEFORE the append: the anti-join
         # lineage reads the same directory the write appends into
     n = new.count()
     if n:
@@ -842,7 +843,7 @@ def ivfpq_incremental_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
     )
 
     # pin the twin: quantizer training iterates passes over it
-    ce = clustered_embeddings(emb).localCheckpoint(False)
+    ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
     base = ce.where(F.col("vec_id") % 4 != 3)
     work = tempfile.mkdtemp(prefix="mls_ivfpq_incr_")
     try:
@@ -911,7 +912,7 @@ def ann_query_served(spark, emb: DataFrame, cache_dir: str, k: int = 5) -> DataF
     1.0), not merely that k rows came back."""
     from meilisync_spark.operators.similarity import clustered_embeddings
 
-    ce = clustered_embeddings(emb).localCheckpoint(False)
+    ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
     _build_served_cache(ce, cache_dir)
     queries = [
         (int(r.vec_id), list(r.embedding))
@@ -961,7 +962,7 @@ def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5) -> DataFrame:
         clustered_embeddings,
     )
 
-    ce = clustered_embeddings(emb).localCheckpoint(False)
+    ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
     work = tempfile.mkdtemp(prefix="mls_nprobe_")
     rows = []
     try:

@@ -34,6 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from meilisync_spark.sources.parquet import SPREAD_PIN_MIN_BYTES
+from meilisync_spark.pin import SER as _SER
 
 # a row group whose byte span exceeds the split target caps scan
 # parallelism below what byte-range planning assumes (Spark default
@@ -257,4 +258,4 @@ def layout_rewrite(
         flagged, "path string, rows long, file_bytes long"
     ).repartition(min(len(flagged), spark.sparkContext.defaultParallelism))
     # eager: the rewrite is a side effect, run it exactly once
-    return work.mapInPandas(_rewrite, schema).localCheckpoint(True)
+    return work.mapInPandas(_rewrite, schema).localCheckpoint(True, storageLevel=_SER)

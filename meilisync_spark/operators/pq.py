@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from meilisync_spark.pin import SER as _SER
 
 PQ_QUANT = 1 << 20  # fixed-point quantum, shared with operators/kmeans.py
 PQ_M = 8            # subspaces (64-dim fixture → 8 components each)
@@ -276,7 +277,7 @@ def pq_rerank_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
     # pin the twin: every Lloyd pass of both quantizer trainings (and
     # the brute-force recall denominator) re-reads this frame — without
     # the pin each of those jobs replays the scan+map lineage
-    ce = clustered_embeddings(emb).localCheckpoint(False)
+    ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
     books = pq_codebooks(ce)
     return _recall_against_brute(ce, pq_topk_rerank(ce, books, k), k)
 

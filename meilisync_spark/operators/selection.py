@@ -57,6 +57,7 @@ from meilisync_spark.operators.text import (
     words_col,
 )
 from meilisync_spark.sources.parquet import spread
+from meilisync_spark.pin import SER as _SER
 
 # Hashed feature space (unigrams + word bigrams share it, as in the
 # DSIR reference implementation). 1024 buckets keeps the frequency
@@ -121,7 +122,7 @@ def dsir_weights(docs: DataFrame, target: Column | None = None) -> DataFrame:
     freq = tok.groupBy("feat").agg(
         F.count(F.lit(1)).alias("r_cnt"),
         F.sum("is_t").alias("t_cnt"),
-    ).localCheckpoint(False)
+    ).localCheckpoint(False, storageLevel=_SER)
     tot = freq.agg(
         (F.sum("t_cnt") + F.lit(DSIR_BUCKETS)).alias("t_tot"),
         (F.sum("r_cnt") + F.lit(DSIR_BUCKETS)).alias("r_tot"),
@@ -375,7 +376,7 @@ def budget_select_scalable(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataF
     ).alias("qkey")
     # pin: the tokenize+ratio scan feeds both the group table and the
     # final admission scan — one real pass, not two
-    keyed = stats.select("doc_id", "lang", "n_tokens", key).localCheckpoint(False)
+    keyed = stats.select("doc_id", "lang", "n_tokens", key).localCheckpoint(False, storageLevel=_SER)
     grp = keyed.groupBy("lang", "qkey").agg(F.sum("n_tokens").alias("g_tokens"))
     wg = (
         Window.partitionBy("lang")

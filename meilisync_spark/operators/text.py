@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from meilisync_spark.functions.hashing import portable_hash64, duck_hash64
 from meilisync_spark.sources.parquet import spread
+from meilisync_spark.pin import SER as _SER
 
 WORDS_RE = "[a-z]+"
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -421,7 +422,7 @@ def vocab_encode(docs: DataFrame, min_count: int = 1) -> DataFrame:
     ranged = (
         vocab.repartitionByRange(F.desc("cnt"), F.asc("word"))
         .withColumn("_p", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_SER)
     )
     sizes = ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("_n"))
     woff = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)

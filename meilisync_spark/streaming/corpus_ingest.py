@@ -60,6 +60,7 @@ from meilisync_spark.operators.dedup import (
 )
 from meilisync_spark.operators.text import quality_keep
 from meilisync_spark.streaming.pipeline import _start_and_await
+from meilisync_spark.pin import SER as _SER
 
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
@@ -276,7 +277,7 @@ def drop_near_dups(fresh: DataFrame, load_band_index):
     # the in-batch self-probe, the corpus probe AND the touched-bucket
     # collect — without the checkpoint the sha256-per-shingle pipeline
     # re-runs for each
-    sigs = minhash_signatures(fresh.select("doc_id", "text")).localCheckpoint(True)
+    sigs = minhash_signatures(fresh.select("doc_id", "text")).localCheckpoint(True, storageLevel=_SER)
     withsig = fresh.join(sigs, "doc_id", "left")
     bands = lsh_bands(sigs)
     # MEGA-BUCKET GUARD, exactness-preserving form. Both probes only ask
@@ -422,7 +423,7 @@ def run_corpus_ingest(
         # hash the batch ONCE and pin it: the touched-bucket collect,
         # the in-batch dedup and the anti-join all consume this frame —
         # unpinned, the sha256 scan re-runs per consumer
-        hashed = _with_hash(batch).localCheckpoint(True)
+        hashed = _with_hash(batch).localCheckpoint(True, storageLevel=_SER)
         index = _read_if_exists(index_path)
         bucketed = _is_bucketed(index_path, HASH_BUCKET_COL, index)
         # the corpus index's own sidecar: a batch of all-new text skips
@@ -490,9 +491,9 @@ def run_corpus_ingest(
             # docs included — see drop_near_dups for why), so it comes
             # from the probe's own pinned band table, not the survivors
             survivors, new_bands = drop_near_dups(
-                fresh.localCheckpoint(True), load_band_index
+                fresh.localCheckpoint(True, storageLevel=_SER), load_band_index
             )
-            survivors = survivors.localCheckpoint(True)
+            survivors = survivors.localCheckpoint(True, storageLevel=_SER)
             # CRASH ORDER, extended: bloom BEFORE bands BEFORE corpus.
             # The sidecar must never miss a key whose band row exists
             # (a false negative would skip the exact probe and re-admit
@@ -544,7 +545,7 @@ def run_corpus_ingest(
                 # pin before the bloom add collects its hashes, or the
                 # anti-join pipeline runs once for the add and again
                 # for the write
-                fresh = fresh.localCheckpoint(True)
+                fresh = fresh.localCheckpoint(True, storageLevel=_SER)
             _append(fresh, bucketed, corpus_bloom, index_full)
 
     def _append(rows: DataFrame, bucketed: bool, corpus_bloom=None,
