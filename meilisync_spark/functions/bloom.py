@@ -366,6 +366,11 @@ class LoggedBloom:
     file means the batch's index rows never landed either); a fold
     crash between main-save and log-delete leaves keys covered twice;
     a rebuild reads index ∪ log so it can never drop a covered key.
+
+    SINGLE WRITER, like the index it summarizes: the sidecar is
+    maintained by the one checkpointed stream that owns the index —
+    two concurrent writers could interleave fold/save and lose each
+    other's bits (the same rule as the corpus appends themselves).
     """
 
     def __init__(self, prefix: str, main: BloomSidecar,

@@ -183,7 +183,15 @@ def _load_bloom(prefix: str, index: DataFrame | None, key: list[str],
             _bloom.size_for(int(1.25 * n), fpp=BLOOM_TARGET_FPP),
         )
         return _bloom.LoggedBloom.from_main(prefix, main)
-    if lb.projected_fpp() > BLOOM_REBUILD_FPP:
+    if (
+        lb.projected_fpp() > BLOOM_REBUILD_FPP
+        and lb.main.n_bits < _bloom.size_for(10**12)
+    ):
+        # growth is possible: force-fold now so the rebuild happens
+        # before this batch probes. At the bitmap cap the filter runs
+        # saturated-but-correct and folds keep their normal FOLD_KEYS
+        # cadence — forcing there would rewrite the capped main every
+        # batch for no fpp gain.
         lb.fold_if_due(index, key, BLOOM_TARGET_FPP, BLOOM_REBUILD_FPP,
                        force=True)
     return lb
