@@ -231,13 +231,26 @@ def add_df(bloom: BloomSidecar, df: DataFrame, cols: list[str]) -> None:
         bloom.add_hashes(h1, h2)
 
 
+# Total executor heap the rebuild may spend on per-task bitmaps at any
+# one time. EVERY concurrent _part task allocates a full n_bits/8 local
+# bitmap — at the 2^33 cap that is 1 GiB per task, so an unbounded
+# partition count multiplies to many GiB on a busy executor. Rebuilds
+# near the cap therefore run at bounded parallelism (8 GiB / 1 GiB = 8
+# concurrent tasks); small filters keep full parallelism.
+REBUILD_TASK_BYTES = 8 << 30
+
+
 def build_from_df(df: DataFrame, cols: list[str], n_bits: int,
                   k: int = K_HASHES) -> BloomSidecar:
     """Distributed rebuild: per-partition bitmaps OR-ed on the driver.
     Each partition ships one zlib-compressed bitmap (sparse partition
     maps compress ~100×), so driver traffic is O(partitions), not
-    O(rows)."""
+    O(rows). Partition count is coalesced so concurrent per-task
+    bitmaps stay within REBUILD_TASK_BYTES of executor heap."""
     hashed = df.select(*bloom_hash_cols(*[F.col(c) for c in cols]))
+    max_parts = max(2, int(REBUILD_TASK_BYTES // max(1, n_bits // 8)))
+    if hashed.rdd.getNumPartitions() > max_parts:
+        hashed = hashed.coalesce(max_parts)
     nb, kk = n_bits, k
 
     def _part(batches: Iterator) -> Iterator:
@@ -319,6 +332,24 @@ _BC_CACHE: dict = {}
 _BC_CACHE_MAX = 4
 
 
+def _unpersist_quiet(bc) -> None:
+    """Release a broadcast's executor blocks now instead of waiting for
+    Python GC + ContextCleaner — bitmap-sized blocks lingering across a
+    long streaming session is exactly the block-manager pressure the
+    serialized-pin work removed elsewhere."""
+    try:
+        bc.unpersist()
+    except Exception:
+        pass  # context already stopped / broadcast already destroyed
+
+
+def _evict_bc_token(token) -> None:
+    """Drop (and unpersist) every cache entry for a token that no
+    longer names a live bitmap (e.g. the pre-fold main file)."""
+    for key in [k for k in _BC_CACHE if k[1] == token]:
+        _unpersist_quiet(_BC_CACHE.pop(key))
+
+
 def _broadcast_bits(spark, bloom: BloomSidecar, token):
     if token is not None:
         key = (spark.sparkContext.applicationId, token)
@@ -330,7 +361,7 @@ def _broadcast_bits(spark, bloom: BloomSidecar, token):
     )
     if token is not None:
         while len(_BC_CACHE) >= _BC_CACHE_MAX:
-            _BC_CACHE.pop(next(iter(_BC_CACHE)))
+            _unpersist_quiet(_BC_CACHE.pop(next(iter(_BC_CACHE))))
         _BC_CACHE[(spark.sparkContext.applicationId, token)] = bc
     return bc
 
@@ -342,6 +373,17 @@ def maybe_contains(df: DataFrame, bloom: BloomSidecar, cols: list[str],
 
 
 FOLD_KEYS = 2_000_000  # fold the delta log into the main filter past this
+
+# Driver-side cache of loaded LoggedBloom sidecars: prefix → (disk
+# token, instance). LoggedBloom.load re-reads the whole main bitmap
+# (16 MiB default, up to 1 GiB at cap) plus every log chunk — a
+# per-micro-batch cost that scales with FILTER size, not batch size,
+# if done every batch. The single-writer contract makes caching safe:
+# the one stream that owns the index is the only mutator, and it
+# refreshes the cache token after each write, so a token match means
+# the in-memory instance IS the disk state. Token mismatch (external
+# rebuild, doctor rewrite, manual delete) falls back to a full load.
+_LOAD_CACHE: dict = {}
 
 
 class LoggedBloom:
@@ -390,6 +432,25 @@ class LoggedBloom:
     def _log_dir(prefix: str) -> str:
         return prefix + "_bloom_log"
 
+    @classmethod
+    def _disk_token(cls, prefix: str):
+        """Cheap (stat + listdir) fingerprint of the sidecar's on-disk
+        state: main file (mtime, size) + the sorted log chunk names."""
+        mp, ld = cls._main_path(prefix), cls._log_dir(prefix)
+        mt = None
+        if os.path.exists(mp):
+            st = os.stat(mp)
+            mt = (st.st_mtime_ns, st.st_size)
+        logs = (
+            tuple(sorted(n for n in os.listdir(ld) if n.endswith(".npy")))
+            if os.path.isdir(ld)
+            else ()
+        )
+        return (mt, logs)
+
+    def _refresh_cache(self) -> None:
+        _LOAD_CACHE[self.prefix] = (self._disk_token(self.prefix), self)
+
     # --- lifecycle ---
 
     @classmethod
@@ -417,6 +478,23 @@ class LoggedBloom:
         return cls(prefix, main, pairs, token)
 
     @classmethod
+    def load_cached(cls, prefix: str) -> "LoggedBloom | None":
+        """load(), but O(stat) when this driver already holds the
+        current state (the steady-state micro-batch path). Safe under
+        the single-writer contract; any out-of-band change to the
+        files invalidates the token and forces a real load."""
+        token = cls._disk_token(prefix)
+        hit = _LOAD_CACHE.get(prefix)
+        if hit is not None and hit[0] == token:
+            return hit[1]
+        lb = cls.load(prefix)
+        if lb is None:
+            _LOAD_CACHE.pop(prefix, None)
+        else:
+            _LOAD_CACHE[prefix] = (token, lb)
+        return lb
+
+    @classmethod
     def fresh(cls, prefix: str) -> "LoggedBloom":
         return cls(prefix, BloomSidecar(),
                    np.empty((0, 2), dtype=np.int64))
@@ -426,13 +504,19 @@ class LoggedBloom:
         """Wrap a just-rebuilt main filter (e.g. the legacy-index
         recovery scan) and persist it immediately — the safe-superset
         invariant must survive a crash before the first fold."""
-        main.save(cls._main_path(prefix))
-        return cls(prefix, main, np.empty((0, 2), dtype=np.int64))
+        mp = cls._main_path(prefix)
+        main.save(mp)
+        st = os.stat(mp)
+        lb = cls(prefix, main, np.empty((0, 2), dtype=np.int64),
+                 (mp, st.st_mtime_ns, st.st_size))
+        lb._refresh_cache()
+        return lb
 
     @classmethod
     def remove(cls, prefix: str) -> None:
         """The disabled path: present ⟹ maintained, so take both parts
         away rather than let them go stale."""
+        _LOAD_CACHE.pop(prefix, None)
         mp, ld = cls._main_path(prefix), cls._log_dir(prefix)
         if os.path.exists(mp):
             os.remove(mp)
@@ -494,14 +578,18 @@ class LoggedBloom:
         )
         delta = build_from_df(df, cols, nbits)
         if nbits != self.main.n_bits:
-            main = (
+            self.main = (
                 build_from_df(index, cols, nbits)
                 if index is not None
                 else BloomSidecar(n_bits=nbits)
             )
-            if len(self.pairs):
-                main.add_hashes(self.pairs[:, 0], self.pairs[:, 1])
-            self.main = main
+        # The pre-existing delta-log pairs must fold into main on BOTH
+        # branches: _save_main_and_clear_log deletes the log files, so
+        # a no-growth bulk batch that skipped this merge would strip
+        # bloom coverage from every key the trickle batches logged —
+        # false negatives on keys whose index rows exist.
+        if len(self.pairs):
+            self.main.add_hashes(self.pairs[:, 0], self.pairs[:, 1])
         self.main.bits |= delta.bits
         self.main.n_added += delta.n_added
         self._save_main_and_clear_log()
@@ -537,6 +625,7 @@ class LoggedBloom:
         self.pairs = (
             np.concatenate([self.pairs, pairs]) if len(self.pairs) else pairs
         )
+        self._refresh_cache()
 
     def fold_if_due(self, index: DataFrame | None, key: list[str],
                     target_fpp: float, rebuild_bar: float,
@@ -571,8 +660,16 @@ class LoggedBloom:
             if os.path.isdir(ld)
             else []
         )
-        self.main.save(self._main_path(self.prefix))
+        mp = self._main_path(self.prefix)
+        self.main.save(mp)
         for name in folded:
             os.remove(os.path.join(ld, name))
         self.pairs = np.empty((0, 2), dtype=np.int64)
-        self._main_token = None  # next load re-tokens the new file
+        # Re-token from the file just written (it IS self.main) so the
+        # next mark() broadcast-caches under the new identity instead
+        # of re-shipping every batch; release the stale broadcast now.
+        if self._main_token is not None:
+            _evict_bc_token(self._main_token)
+        st = os.stat(mp)
+        self._main_token = (mp, st.st_mtime_ns, st.st_size)
+        self._refresh_cache()

@@ -173,7 +173,10 @@ def _load_bloom(prefix: str, index: DataFrame | None, key: list[str],
     if not enabled:
         _bloom.LoggedBloom.remove(prefix)
         return None
-    lb = _bloom.LoggedBloom.load(prefix)
+    # load_cached: O(stat) on the steady-state path — re-reading the
+    # full main bitmap (up to 1 GiB at cap) every micro-batch would
+    # make trickle cost scale with FILTER size (ADVICE r9).
+    lb = _bloom.LoggedBloom.load_cached(prefix)
     if lb is None:
         if index is None:
             return _bloom.LoggedBloom.fresh(prefix)

@@ -186,3 +186,92 @@ def test_maybe_contains_marks_members_and_rejects_fresh(spark):
     assert marked.where(F.col("maybe_seen")).count() <= 5
     # the original columns survive the map
     assert set(marked.columns) == {"a", "b", "maybe_seen"}
+
+
+def test_bulk_batch_without_growth_keeps_trickled_keys(spark, tmp_path,
+                                                       monkeypatch):
+    """Regression (ADVICE r9, high): a bulk batch below the rebuild bar
+    (grow=False) still must fold the PRE-EXISTING delta-log pairs into
+    main before _save_main_and_clear_log deletes the log — otherwise
+    keys trickled by earlier batches lose coverage (false negatives)."""
+    monkeypatch.setattr(B, "FOLD_KEYS", 1000)
+    prefix = os.path.join(tmp_path, "bulkng")
+    lb = B.LoggedBloom.fresh(prefix)
+    trickled = spark.range(0, 200, 1, 2).select(
+        F.col("id").alias("a"), (F.col("id") * 5).alias("b")
+    )
+    lb.record_batch(trickled, ["a", "b"], None, target_fpp=5e-4,
+                    rebuild_bar=0.002)
+    assert len(lb.pairs) == 200  # trickle path: logged, main untouched
+    # bulk batch, default 2^27-bit main → projected fpp ≪ bar → no grow
+    bulk = spark.range(10_000, 12_000, 1, 4).select(
+        F.col("id").alias("a"), (F.col("id") * 5).alias("b")
+    )
+    lb.record_batch(bulk, ["a", "b"], None, target_fpp=5e-4,
+                    rebuild_bar=0.002)
+    assert lb.main.n_bits == B.DEFAULT_BITS  # the no-growth branch ran
+    assert len(lb.pairs) == 0  # log cleared
+    # the trickled keys must still be covered, in-memory AND from disk
+    assert lb.mark(trickled, ["a", "b"]).where("NOT maybe_seen").count() == 0
+    back = B.LoggedBloom.load(prefix)
+    assert back.mark(trickled, ["a", "b"]).where("NOT maybe_seen").count() == 0
+    assert back.mark(bulk, ["a", "b"]).where("NOT maybe_seen").count() == 0
+
+
+def test_load_cached_is_stat_cheap_and_invalidates(spark, tmp_path):
+    """Steady-state reloads return the SAME instance (no bitmap file
+    re-read); the writer's own mutations keep the cache current; an
+    out-of-band file change forces a real reload."""
+    prefix = os.path.join(tmp_path, "cached")
+    keys = spark.range(0, 100, 1, 2).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    lb = B.LoggedBloom.fresh(prefix)
+    lb.append_df(keys, ["a", "b"])  # refreshes the cache
+    again = B.LoggedBloom.load_cached(prefix)
+    assert again is lb  # identity: no reload happened
+    # the writer's fold updates disk AND the cache token
+    lb.fold_if_due(None, ["a", "b"], target_fpp=5e-4, rebuild_bar=0.002,
+                   force=True)
+    assert B.LoggedBloom.load_cached(prefix) is lb
+    # out-of-band change (another writer / doctor rewrite): reload
+    other = B.BloomSidecar(n_bits=1 << 14)
+    other.save(B.LoggedBloom._main_path(prefix))
+    reloaded = B.LoggedBloom.load_cached(prefix)
+    assert reloaded is not lb
+    assert reloaded.main.n_bits == 1 << 14
+    B.LoggedBloom.remove(prefix)
+    assert B.LoggedBloom.load_cached(prefix) is None
+
+
+def test_fold_retokens_main_for_broadcast_reuse(spark, tmp_path):
+    """After a fold the instance carries the NEW file's token (not
+    None) so the next mark() caches its broadcast instead of
+    re-shipping the bitmap every micro-batch."""
+    prefix = os.path.join(tmp_path, "retoken")
+    lb = B.LoggedBloom.fresh(prefix)
+    keys = spark.range(0, 50).select(
+        F.col("id").alias("a"), (F.col("id") + 2).alias("b")
+    )
+    lb.append_df(keys, ["a", "b"])
+    lb.fold_if_due(None, ["a", "b"], target_fpp=5e-4, rebuild_bar=0.002,
+                   force=True)
+    assert lb._main_token is not None
+    mp = B.LoggedBloom._main_path(prefix)
+    st = os.stat(mp)
+    assert lb._main_token == (mp, st.st_mtime_ns, st.st_size)
+    assert lb.mark(keys, ["a", "b"]).where("NOT maybe_seen").count() == 0
+
+
+def test_build_from_df_bounded_parallelism_is_exact(spark, monkeypatch):
+    """With the per-task bitmap budget forcing a coalesce, the rebuild
+    still produces the exact same bits as the driver-side build."""
+    monkeypatch.setattr(B, "REBUILD_TASK_BYTES", (1 << 16) // 8 * 2)
+    df = spark.range(0, 4000, 1, 16).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 101).alias("b")
+    )
+    dist = B.build_from_df(df, ["a", "b"], n_bits=1 << 16)
+    drv = B.BloomSidecar(n_bits=1 << 16)
+    B.add_df(drv, df, ["a", "b"])
+    assert dist.n_added == 4000
+    assert (dist.bits == drv.bits).all()
