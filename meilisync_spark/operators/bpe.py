@@ -260,8 +260,48 @@ def _train_merges_indexed(
     return merges, {w: segs[i] for i, w in enumerate(words)}
 
 
+# Hard driver-memory guard on bpe_train_fast's word-table collect.
+# Heaps' law says clean text stays at "a few million distinct words"
+# at any corpus size, but noisy 100-TB web corpora carry junk tokens
+# (hex blobs, session ids, mangled unicode) well past that — and those
+# are exactly the words a frequency cut removes first. 8M rows ≈ a few
+# hundred MB collected, a bounded driver cost by construction.
+BPE_MAX_VOCAB_WORDS = 8_000_000
+
+
+def _cap_vocab_words(wf: DataFrame, cap: int) -> DataFrame:
+    """Deterministic top-``cap`` words by (freq DESC, word ASC) without
+    a vocab-wide single-partition sort: pick the frequency cutoff from
+    the (freq → word count) histogram — bounded by |distinct freq
+    values|, heavy-tailed in practice — keep everything strictly above
+    it, and fill the remainder from the boundary frequency class alone
+    (one small sort+limit over that class, not the whole table)."""
+    hist = sorted(
+        ((r["freq"], r["n"]) for r in
+         wf.groupBy("freq").agg(F.count(F.lit(1)).alias("n")).collect()),
+        reverse=True,
+    )
+    kept, cutoff = 0, None
+    for freq, n in hist:
+        if kept + n > cap:
+            cutoff = freq
+            break
+        kept += n
+    if cutoff is None:
+        return wf  # under the cap after all (races with a growing view)
+    above = wf.where(F.col("freq") > cutoff)
+    boundary = (
+        wf.where(F.col("freq") == cutoff)
+        .orderBy(F.asc("word"))
+        .limit(cap - kept)
+    )
+    return above.unionByName(boundary)
+
+
 def bpe_train_fast(
-    docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT
+    docs: DataFrame, n_merges: int = BPE_MERGES_DEFAULT,
+    min_word_freq: int = 1,
+    max_vocab_words: int = BPE_MAX_VOCAB_WORDS,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Production-scale BPE training: same contract as
     :func:`bpe_train` — returns ``(merges, trained_vocab)``, merge
@@ -289,8 +329,29 @@ def bpe_train_fast(
     ``bpe_train`` (the Catalyst fold loop) remains the cross-engine
     oracle twin for small merge counts; tests assert the two agree
     merge-for-merge and token-for-token on the fixture and under
-    hypothesis-generated corpora."""
-    wf = weighted_vocab(docs).localCheckpoint(True, storageLevel=_SER)  # one corpus scan
+    hypothesis-generated corpora.
+
+    The collect is GUARDED (ADVICE r9): ``min_word_freq`` drops words
+    rarer than the floor before collecting (Sennrich's learn_bpe ships
+    the same ``--min-frequency`` knob; default 1 = exact, so the
+    fold-twin equality tests hold), and ``max_vocab_words`` is a hard
+    deterministic top-V cap (freq DESC, word ASC) that only engages
+    past BPE_MAX_VOCAB_WORDS distinct words. Boundary, stated
+    honestly: dropping a word of frequency f removes at most
+    f·(len(word)) from any pair count, so every merge whose winning
+    margin over the runner-up exceeds the TOTAL dropped weighted mass
+    is provably unchanged; merges decided by thinner margins can
+    reorder — the standard, documented BPE-training approximation.
+    Dropped words are also absent from the returned trained_vocab
+    (they re-enter at encode time through the OOV path)."""
+    wf = weighted_vocab(docs)  # one corpus scan
+    if min_word_freq > 1:
+        wf = wf.where(F.col("freq") >= min_word_freq)
+    wf = wf.localCheckpoint(True, storageLevel=_SER)
+    if wf.count() > max_vocab_words:
+        wf = _cap_vocab_words(wf, max_vocab_words).localCheckpoint(
+            True, storageLevel=_SER
+        )
     word_freqs = {r.word: r.freq for r in wf.select("word", "freq").collect()}
     merges, _ = _train_merges_indexed(word_freqs, n_merges)
     # Rebuild the trained vocab distributed. Rank-order single-pass

@@ -351,3 +351,49 @@ def test_pick_oov_encoder_never_flips_on_aliased_lists():
     clean_small = [("a", "b"), ("c", "d")]
     assert _pick_oov_encoder(clean_small) == "fold"
     assert _pick_oov_encoder(pad) == "fast"
+
+
+def test_bpe_train_fast_collect_guards(spark):
+    """ADVICE r9 #4: the word-table collect is guarded. Defaults are
+    exact (fixture merges unchanged — covered by the equality test
+    above); here: the min-frequency floor drops sub-floor words before
+    the collect, the top-V cap keeps the HIGHEST-frequency words with
+    a deterministic (freq desc, word asc) boundary, and a cap larger
+    than the vocab is a no-op."""
+    from meilisync_spark.operators.bpe import (
+        _cap_vocab_words,
+        bpe_train_fast,
+        weighted_vocab,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    wf = weighted_vocab(docs)
+    freqs = {r.word: r.freq for r in wf.select("word", "freq").collect()}
+
+    # floor: training with min_word_freq=2 equals training the
+    # python reference on the floored table
+    floored = {w: f for w, f in freqs.items() if f >= 2}
+    merges_ref = _py_bpe(floored, 8)[0]
+    merges_f, vocab_f = bpe_train_fast(docs, n_merges=8, min_word_freq=2)
+    assert [(l, r) for l, r, _ in merges_f] == [(l, r) for l, r, _ in merges_ref]
+    vocab_words = {r.word for r in vocab_f.select("word").collect()}
+    assert vocab_words == set(floored)  # sub-floor words absent
+
+    # cap: deterministic top-V semantics
+    cap = min(50, len(freqs) - 5)
+    capped = {r.word: r.freq for r in
+              _cap_vocab_words(wf, cap).select("word", "freq").collect()}
+    expected = dict(sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:cap])
+    assert capped == expected
+
+    # oversized cap: no-op
+    total = len(freqs)
+    assert _cap_vocab_words(wf, total + 10).count() == total
+
+    # end-to-end: a cap engaged mid-training still trains (on the
+    # capped table) and matches the python reference on that table
+    merges_cap, _ = bpe_train_fast(docs, n_merges=8, max_vocab_words=cap)
+    merges_cap_ref = _py_bpe(expected, 8)[0]
+    assert [(l, r) for l, r, _ in merges_cap] == [
+        (l, r) for l, r, _ in merges_cap_ref
+    ]
