@@ -2788,9 +2788,21 @@ def q_cluster_safe_split(spark, sf_dir):
 # of the driver. Names not listed here sort after the listed ones in
 # registration order.
 DRIVER_ORDER = [
-    # reference-parity core (S/P/A/F/T families)
+    # reference-parity core (S/P/A/F/T families).
+    # Round 10 rotates four long-stable rows out of the window
+    # (sync_orders — green since round 1, same projection/normalize
+    # shape as sync_lineitem+sync_dates which stay; q3_top_orders —
+    # green since round 1, its join+agg+top-k shape subsumed by
+    # q5_region_revenue and ann_query_served's exact top-k oracle;
+    # exact_dedup — green since round 1, its hash-groupBy stage runs
+    # inside corpus_pipeline_full which stays; split_assign — green
+    # since round 2, portable-hash sampling subsumed by
+    # temperature_resample; all four remain oracle-checked by
+    # driver_sim --all) so the driver's own record certifies four
+    # rows that have never been in any CORRECTNESS window:
+    # streaming_corpus_ingest, dsir_select, decontaminate,
+    # source_overlap (see their entries below).
     "sync_lineitem",
-    "sync_orders",
     "sync_dates",
     "normalize_events",
     "compact_events",
@@ -2805,6 +2817,17 @@ DRIVER_ORDER = [
     # auto dispatch; wal2json_roundtrip, maxwell_roundtrip and
     # canal_roundtrip stay oracle-checked by driver_sim --all.
     "wal2json_v2_roundtrip",
+    # round-10 rotation, in: the streaming corpus-ingest row (the
+    # foreachBatch owner whose bloom sidecars and compaction cadence
+    # rounds 9-10 hardened — the driver now certifies its end state,
+    # not just the local suite + driver_sim), the decontamination and
+    # source-overlap halves of the curation story, and the
+    # exact-window DSIR selection twin (its scalable form entered in
+    # round 8; now both contracts are driver-certified)
+    "streaming_corpus_ingest",
+    "decontaminate",
+    "source_overlap",
+    "dsir_select",
     # relational coverage: joins, aggs, grouping sets, windows, pivot.
     # Round 9 rotates three long-stable rows out of the window
     # (q1_pricing_summary, tfidf_top_terms, multimodal_resize — all
@@ -2814,7 +2837,6 @@ DRIVER_ORDER = [
     # plumbing; all three remain oracle-checked by driver_sim --all)
     # so the driver's own record certifies the round-8 surface:
     # budget_select_scalable, bpe_encode_oov_fast, layout_report.
-    "q3_top_orders",
     "q5_region_revenue",
     "top_customers_per_nation",
     # Round 8 rotates four long-stable relational rows out of the
@@ -2839,7 +2861,6 @@ DRIVER_ORDER = [
     "bpe_encode_oov_fast",
     "vocab_encode",
     # dedup
-    "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     # simhash_docs moved out of the window (simhash_neardup_pairs
@@ -2851,8 +2872,7 @@ DRIVER_ORDER = [
     # span_dedup moved out of the window (span_removal subsumes the
     # detection half and adds the excision Lee et al. actually perform)
     "span_removal",
-    # sampling
-    "split_assign",
+    # sampling (split_assign rotated out in round 10, see header note)
     "temperature_resample",
     # similarity / embeddings
     "cosine_topk",
