@@ -28,7 +28,6 @@ is engine-side operational tooling, like `operators/profile.py`.
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,9 +73,19 @@ def _list_files(table_dir: str, table: str | None) -> list[str]:
     if table is not None:
         candidates = [os.path.join(table_dir, f"{table}.parquet")]
     else:
-        candidates = sorted(
-            glob.glob(os.path.join(table_dir, "**", "*.parquet"), recursive=True)
-        )
+        # walk, not glob: glob's ``**`` neither follows the symlinked
+        # partition dirs small-file compaction leaves behind
+        # (operators/maintenance.py) nor would skipping its hidden
+        # version dirs be guaranteed across versions
+        candidates = []
+        for root, dirs, fs in os.walk(table_dir, followlinks=True):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            candidates.extend(
+                os.path.join(root, f)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        candidates.sort()
     files = [f for f in candidates if os.path.isfile(f)]
     if not files:
         raise FileNotFoundError(f"no parquet files under {table_dir!r}")

@@ -124,7 +124,9 @@ def _partition_cols(real_path: str) -> list[str]:
         subs = [
             e
             for e in os.listdir(path)
-            if "=" in e and os.path.isdir(os.path.join(path, e))
+            if "=" in e
+            and not e.startswith((".", "_"))  # compaction version dirs
+            and os.path.isdir(os.path.join(path, e))
         ]
         names = {e.split("=", 1)[0] for e in subs}
         if len(names) != 1:

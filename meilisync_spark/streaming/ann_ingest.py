@@ -47,6 +47,8 @@ def run_ann_ingest(
     available_now: bool = True,
     processing_interval: str | None = None,
     timeout_sec: float | None = 180.0,
+    compact_every: int = 8,
+    compact_max_dirs: int | None = None,
 ) -> int:
     """Tail ``vectors_path`` (parquet drop dir of ``vec_id, embedding``
     rows) and fold each micro-batch into the :func:`save_index` layout
@@ -67,7 +69,19 @@ def run_ann_ingest(
     restarting the stream. Crash windows replay safely: the sidecar
     append is collapsed by vec_id on read, and the add's dedup
     anti-join no-ops rows the rebuild already folded in — keep
-    ``dedup=True`` whenever retraining is on (enforced below)."""
+    ``dedup=True`` whenever retraining is on (enforced below).
+
+    ``compact_every`` (batches; 0 disables): every add appends ~one
+    file per touched ``cluster=`` directory (plus one to the
+    ``_vectors`` sidecar when retraining is on), so long runs age
+    linearly without the size-tiered per-directory compactor
+    (operators/maintenance.py) — run here inside the single-writer
+    callback, after the batch's writes. Codes and the _ann_meta
+    quantizers are untouched; only file boundaries change."""
+    from meilisync_spark.operators.maintenance import (
+        compact_small_files,
+        heal_partition_dirs,
+    )
     from meilisync_spark.operators.ivfpq import ANN_META_FILE, vectors_sidecar_path
 
     if not os.path.exists(os.path.join(index_path, ANN_META_FILE)):
@@ -103,7 +117,11 @@ def run_ann_ingest(
         stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
     src = stream.parquet(vectors_path)
 
+    heal_partition_dirs(index_path)
+    if retrain_max_growth is not None:
+        heal_partition_dirs(vectors_sidecar_path(index_path))
     retrains = {"n": 0}
+    batches_since_compact = {"n": 0}
 
     def handle(batch: DataFrame, _bid: int) -> None:
         if retrain_max_growth is not None:
@@ -137,6 +155,14 @@ def run_ann_ingest(
                 retrains["n"] += 1
         else:
             add_to_index(spark, index_path, batch, dedup=dedup)
+        batches_since_compact["n"] += 1
+        if compact_every and batches_since_compact["n"] >= compact_every:
+            batches_since_compact["n"] = 0
+            compact_small_files(spark, index_path, compact_max_dirs)
+            if retrain_max_growth is not None:
+                compact_small_files(
+                    spark, vectors_sidecar_path(index_path), compact_max_dirs
+                )
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

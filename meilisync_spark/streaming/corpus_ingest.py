@@ -141,10 +141,13 @@ def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     fallback for exceptions that don't carry one:
 
     - PATH_NOT_FOUND — the path does not exist;
-    - UNABLE_TO_INFER_SCHEMA over a verifiably EMPTY local directory —
-      a pre-created empty index dir is "no index yet", but the same
-      error over a non-empty dir (corrupt/foreign files) or a remote
-      path we cannot inspect stays fatal."""
+    - UNABLE_TO_INFER_SCHEMA over a local directory with no VISIBLE
+      entries — a pre-created empty index dir is "no index yet", and
+      so is one holding only Spark markers (``_SUCCESS``/``.crc``: a
+      partitioned append of ZERO rows — e.g. a first batch whose
+      texts were all too short to shingle — leaves exactly that). The
+      same error over a dir with visible entries (corrupt/foreign
+      files) or a remote path we cannot inspect stays fatal."""
     try:
         return spark.read.parquet(path)
     except Exception as e:  # AnalysisException, but import-stable
@@ -155,7 +158,9 @@ def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
             return None
         if "UNABLE_TO_INFER_SCHEMA" in cls or "UNABLE_TO_INFER_SCHEMA" in msg:
             real = os.path.realpath(path)
-            if os.path.isdir(real) and not os.listdir(real):
+            if os.path.isdir(real) and not [
+                x for x in os.listdir(real) if not x.startswith((".", "_"))
+            ]:
                 return None
         raise
 
@@ -374,6 +379,8 @@ def run_corpus_ingest(
     available_now: bool = True,
     processing_interval: str | None = None,
     timeout_sec: float | None = 180.0,
+    compact_every: int = 8,
+    compact_max_dirs: int | None = None,
 ) -> None:
     """``near_dedup=True`` additionally maintains a MinHash band index
     beside the corpus (``<index_path>_bands``) and drops batch docs
@@ -388,7 +395,24 @@ def run_corpus_ingest(
     exact verify/anti-join on the maybes), only the probe cost
     changes. Switching it off removes the sidecars (kept ones would go
     stale = false negatives on re-enable); turning it on for a legacy
-    index triggers one distributed rebuild scan per sidecar."""
+    index triggers one distributed rebuild scan per sidecar.
+
+    ``compact_every`` (batches; 0 disables) is the small-file cadence:
+    every batch appends ~one file per touched partition directory, so
+    a long run ages linearly without it (VERDICT r9 #1). Each cadence
+    tick runs the size-tiered per-directory compactor
+    (operators/maintenance.py) over the corpus index and, when
+    ``near_dedup``, the band index — O(small files merged), never
+    O(table), single-writer-safe because it runs inside the
+    foreachBatch callback between batches. The Bloom sidecars survive
+    untouched: they summarize KEYS, not files. heal_partition_dirs
+    runs once at stream start to repair a first-conversion crash
+    window before any probe."""
+    from meilisync_spark.operators.maintenance import (
+        compact_small_files,
+        heal_partition_dirs,
+    )
+
     schema = spark.read.parquet(docs_path).schema
     if os.path.isfile(docs_path):
         # file source needs a directory basePath — stage a one-symlink
@@ -409,6 +433,9 @@ def run_corpus_ingest(
     # LoggedBloom sidecar prefixes: <prefix>_bloom.bin + <prefix>_bloom_log/
     bands_bloom_prefix = bands_path
     corpus_bloom_prefix = index_path.rstrip("/")
+    heal_partition_dirs(index_path)
+    heal_partition_dirs(bands_path)
+    batches_since_compact = {"n": 0}
 
     def _read_if_exists(path: str) -> DataFrame | None:
         return _read_parquet_if_exists(spark, path)
@@ -558,6 +585,17 @@ def run_corpus_ingest(
                 # for the write
                 fresh = fresh.localCheckpoint(True, storageLevel=_SER)
             _append(fresh, bucketed, corpus_bloom, index_full)
+        # small-file compaction cadence — after the appends, inside
+        # the single-writer callback (maintenance.py's contract). Keys
+        # don't change, so the bloom sidecars stay valid; the streaming
+        # checkpoint is untouched (compaction is idempotent
+        # maintenance, not batch state).
+        batches_since_compact["n"] += 1
+        if compact_every and batches_since_compact["n"] >= compact_every:
+            batches_since_compact["n"] = 0
+            compact_small_files(spark, index_path, compact_max_dirs)
+            if near_dedup:
+                compact_small_files(spark, bands_path, compact_max_dirs)
 
     def _append(rows: DataFrame, bucketed: bool, corpus_bloom=None,
                 index_full: DataFrame | None = None) -> None:
