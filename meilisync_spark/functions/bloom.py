@@ -372,6 +372,38 @@ def maybe_contains(df: DataFrame, bloom: BloomSidecar, cols: list[str],
     return _mark_with_filters(df, [bloom], cols, out_col)
 
 
+def append_log_pairs(log_dir: str, df: DataFrame,
+                     cols: list[str]) -> np.ndarray:
+    """Append one atomic .npy of the batch keys' (h1, h2) pairs to a
+    delta-log directory and return them — the shared O(batch) log
+    write behind LoggedBloom.append_df and ShardedBloom.append_df."""
+    hashed = df.select(*bloom_hash_cols(*[F.col(c) for c in cols]))
+    try:
+        tbl = hashed.toArrow()
+        pairs = np.stack(
+            [
+                tbl.column("_bh1").to_numpy(zero_copy_only=False),
+                tbl.column("_bh2").to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        ).astype(np.int64, copy=False)
+    except Exception:
+        rows = hashed.collect()
+        pairs = np.array(
+            [(r[0], r[1]) for r in rows], dtype=np.int64
+        ).reshape(-1, 2)
+    if not len(pairs):
+        return pairs
+    os.makedirs(log_dir, exist_ok=True)
+    import uuid
+
+    tmp = os.path.join(log_dir, f"._{uuid.uuid4().hex}.tmp")
+    with open(tmp, "wb") as fh:
+        np.save(fh, pairs)
+    os.replace(tmp, os.path.join(log_dir, f"{uuid.uuid4().hex}.npy"))
+    return pairs
+
+
 FOLD_KEYS = 2_000_000  # fold the delta log into the main filter past this
 
 # Driver-side cache of loaded LoggedBloom sidecars: prefix → (disk
@@ -597,31 +629,9 @@ class LoggedBloom:
     def append_df(self, df: DataFrame, cols: list[str]) -> None:
         """O(batch): collect the batch keys' hash pairs into one log
         file. Never touches the main bitmap."""
-        hashed = df.select(*bloom_hash_cols(*[F.col(c) for c in cols]))
-        try:
-            tbl = hashed.toArrow()
-            pairs = np.stack(
-                [
-                    tbl.column("_bh1").to_numpy(zero_copy_only=False),
-                    tbl.column("_bh2").to_numpy(zero_copy_only=False),
-                ],
-                axis=1,
-            ).astype(np.int64, copy=False)
-        except Exception:
-            rows = hashed.collect()
-            pairs = np.array(
-                [(r[0], r[1]) for r in rows], dtype=np.int64
-            ).reshape(-1, 2)
+        pairs = append_log_pairs(self._log_dir(self.prefix), df, cols)
         if not len(pairs):
             return
-        ld = self._log_dir(self.prefix)
-        os.makedirs(ld, exist_ok=True)
-        import uuid
-
-        tmp = os.path.join(ld, f"._{uuid.uuid4().hex}.tmp")
-        with open(tmp, "wb") as fh:
-            np.save(fh, pairs)
-        os.replace(tmp, os.path.join(ld, f"{uuid.uuid4().hex}.npy"))
         self.pairs = (
             np.concatenate([self.pairs, pairs]) if len(self.pairs) else pairs
         )
