@@ -532,7 +532,7 @@ PACK_BUDGET = 128  # tokens per packed training sequence
 PACK_SHARDS = 8    # packing parallelism within a language
 
 
-def pack_sequences(docs: DataFrame) -> DataFrame:
+def pack_sequences(docs: DataFrame, n_tokens: str | None = None) -> DataFrame:
     """(lang, shard, seq_id, n_chunks, n_tokens) — deterministic greedy
     packing of document chunks into fixed-budget training sequences.
 
@@ -552,11 +552,16 @@ def pack_sequences(docs: DataFrame) -> DataFrame:
     per-file packing in a real dataloader). Chunk *lengths* are computed
     arithmetically from the doc's token count — the chunk text is never
     materialized or shuffled.
+
+    ``n_tokens``: name of a pre-computed token-COUNT column — composed
+    pipelines that already tokenized upstream (corpus_pipeline_full
+    pins the words array once) pass it to spare this stage its own
+    regex pass over ``text``.
     """
     docs = spread(docs)
     from pyspark.sql import Window
 
-    n = F.size(words_col(F.col("text")))
+    n = F.col(n_tokens) if n_tokens else F.size(words_col(F.col("text")))
     base = docs.select(
         "doc_id",
         "lang",
@@ -669,20 +674,35 @@ def quality_keep(text: Column) -> Column:
     (operators/dedup.corpus_pipeline*) filter the scan with directly,
     so the quality stage costs zero extra passes. NULL semantics match
     the oracle SQL's ``WHERE n >= … AND NOT(punct > …) AND NOT(…)``
-    conjunction exactly (a NULL gate fails the row on both engines)."""
+    conjunction exactly (a NULL gate fails the row on both engines).
+
+    FUSED (round 10, the shingles_col trick): the tokenizer array and
+    the punct-strip scan are bound through a one-element ``transform``
+    so every gate reads lambda variables — one regex tokenize and one
+    punct pass per row BY CONSTRUCTION, immune to the optimizer
+    duplicating them across filter/project boundaries (FilterExec's
+    codegen has no cross-reference subexpression elimination for the
+    three gates' shared ``w``). Interleaved A/B at sf0.1: 0.40 →
+    0.30 s for the gate-filtered count, identical survivors."""
     w = words_col(text)
-    n_tokens = F.size(w)
     punct_ratio = (
         F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.length(text)
     )
-    distinct_ratio = F.when(
-        n_tokens > 0, F.size(F.array_distinct(w)) / n_tokens
-    ).otherwise(F.lit(0.0))
-    return (
-        (n_tokens >= QF_MIN_TOKENS)
-        & ~(punct_ratio > QF_MAX_PUNCT)
-        & ~(distinct_ratio < QF_MIN_DISTINCT)
+    gates = F.transform(
+        F.array(F.struct(w.alias("w"), punct_ratio.alias("p"))),
+        lambda s: (
+            (F.size(s["w"]) >= QF_MIN_TOKENS)
+            & ~(s["p"] > QF_MAX_PUNCT)
+            & ~(
+                F.when(
+                    F.size(s["w"]) > 0,
+                    F.size(F.array_distinct(s["w"])) / F.size(s["w"]),
+                ).otherwise(F.lit(0.0))
+                < QF_MIN_DISTINCT
+            )
+        ),
     )
+    return F.element_at(gates, 1)
 
 
 def quality_filter(docs: DataFrame) -> DataFrame:
