@@ -501,6 +501,28 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_maintain(args: argparse.Namespace) -> int:
+    """Size-tiered per-directory compaction + crash-window heal
+    (operators/maintenance.py) — the manual form of the cadence the
+    streaming owners run every ``compact_every`` batches. Unlike
+    ``compact`` this is O(small files merged), never O(table), so it
+    is safe to run often; it must NOT run concurrently with the
+    index's streaming owner (single-writer contract)."""
+    import json as _json
+
+    from meilisync_spark.operators.maintenance import (
+        compact_small_files,
+        heal_partition_dirs,
+    )
+
+    spark = get_spark("meilisync-spark-maintain")
+    healed = heal_partition_dirs(args.index)
+    stats = compact_small_files(spark, args.index, max_dirs=args.max_dirs)
+    stats["healed"] = healed
+    print(_json.dumps(stats))
+    return 0
+
+
 def cmd_doctor(args: argparse.Namespace) -> int:
     """Parquet layout doctor (operators/layout.py): audit every file's
     row-group layout for scan-serialization pathology; with --rewrite,
@@ -804,6 +826,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="target bytes per output file (default 128 MiB)",
     )
     cp.set_defaults(fn=cmd_compact)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="size-tiered per-directory small-file compaction + heal "
+        "(O(small files), the streaming cadence's manual form)",
+    )
+    mt.add_argument("--index", required=True, help="table path")
+    mt.add_argument(
+        "--max-dirs", type=int, default=None,
+        help="bound one invocation's compacted directories",
+    )
+    mt.set_defaults(fn=cmd_maintain)
 
     dr = sub.add_parser(
         "doctor",

@@ -71,6 +71,16 @@ TIER_FILES = 8
 # compact_table's target_file_bytes default)
 STOP_BYTES = 128 * 1024 * 1024
 
+# Merge groups at/below this total merge DRIVER-SIDE with pyarrow:
+# a cadence tick can touch hundreds of directories, and one Spark job
+# per group is ~50-100 ms of scheduler overhead against microseconds
+# of actual I/O for eight 100 KB files — 512 sequential jobs per tick
+# would dwarf the work. Steady state is almost entirely tier-0/1
+# merges, so the Spark path (distributed read, real parallelism)
+# engages only for the rare big-tier merges where it earns its
+# overhead.
+DRIVER_MERGE_BYTES = 64 * 1024 * 1024
+
 
 def _tier(size: int) -> int:
     t, bar = 0, TIER_FLOOR_BYTES * TIER_FACTOR
@@ -195,9 +205,30 @@ def _compact_dir(spark: SparkSession, dirpath: str,
     removed = 0
     try:
         for gi, group in enumerate(groups):
+            paths = [os.path.join(real, n) for n in group]
+            total = sum(os.path.getsize(p) for p in paths)
+            if total <= DRIVER_MERGE_BYTES:
+                # driver-side pyarrow merge: no scheduler round-trip
+                import pyarrow.parquet as pq
+
+                out = os.path.join(ver, f"tier-{tag}-{gi}-0.parquet")
+                tmp = out + ".tmp"
+                # int96 timestamps: Spark writes INT96 by default, so
+                # pyarrow reads them back as timestamp[ns]; letting it
+                # write TIMESTAMP(NANOS) would produce the one parquet
+                # timestamp form Spark's reader REJECTS (the nanos
+                # gotcha from TESTDATA.md). INT96 stays readable
+                # whatever outputTimestampType the writer session used.
+                pq.write_table(
+                    pq.read_table(paths), tmp,
+                    use_deprecated_int96_timestamps=True,
+                )
+                os.replace(tmp, out)
+                removed += len(group) - 1
+                continue
             build = os.path.join(parent, f".{name}.b{tag}-{gi}")
             (
-                spark.read.parquet(*[os.path.join(real, n) for n in group])
+                spark.read.parquet(*paths)
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(build)

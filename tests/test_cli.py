@@ -776,3 +776,26 @@ def test_cli_pipeline_docs_to_served_index(spark, tmp_path, capsys):
     assert main(args) == 0
     assert spark.read.parquet(index).count() == len(kept2)
     assert "0 new, retrained 0" in capsys.readouterr().out
+
+
+def test_cli_maintain(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from meilisync_spark.operators import maintenance as M
+
+    path = str(tmp_path / "aged")
+    for b in range(9):
+        df = spark.range(b * 20, (b + 1) * 20).select(
+            F.col("id"), (F.col("id") % 4).alias("hb")
+        )
+        df.repartition(F.col("hb")).write.mode("append").partitionBy(
+            "hb"
+        ).parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    n_before = M.table_file_count(path)
+    rc = main(["maintain", "--index", path])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dirs_compacted"] > 0 and stats["healed"] == 0
+    assert M.table_file_count(path) < n_before
+    assert spark.read.parquet(path).count() == before_rows

@@ -250,3 +250,41 @@ def test_ann_ingest_cadence_preserves_serving(spark, tmp_path, monkeypatch):
         for e in os.listdir(real)
         if e.startswith("cluster=")
     )
+
+
+def test_driver_merge_preserves_rich_types(spark, tmp_path):
+    """Small merge groups go through the driver-side pyarrow path —
+    timestamps, decimals, arrays, binary and NULLs must round-trip
+    bit-exactly into Spark's reader."""
+    path = os.path.join(tmp_path, "rich")
+    for b in range(9):
+        df = spark.range(b * 10, (b + 1) * 10).select(
+            F.col("id"), (F.col("id") % 2).alias("hb"),
+            F.timestamp_seconds(F.col("id") * 1000 + 7).alias("ts"),
+            (F.col("id").cast("decimal(12,2)") / 7).alias("dec"),
+            F.array(F.col("id"), F.col("id") * 2).alias("arr"),
+            F.when(F.col("id") % 3 == 0, F.encode(F.concat(
+                F.lit("b"), F.col("id")), "utf-8")).alias("bin"),
+            F.when(F.col("id") % 4 == 0, F.col("id").cast("string"))
+            .alias("maybe_null"),
+        )
+        df.repartition(F.col("hb")).write.mode("append").partitionBy(
+            "hb"
+        ).parquet(path)
+    before = _rows(spark, path)
+    stats = M.compact_small_files(spark, path)
+    assert stats["dirs_compacted"] == 2
+    assert _rows(spark, path) == before
+
+
+def test_spark_merge_path_still_exact(spark, tmp_path, monkeypatch):
+    """Forcing every group onto the Spark merge path (driver budget 0)
+    produces the same rows as the pyarrow path."""
+    monkeypatch.setattr(M, "DRIVER_MERGE_BYTES", 0)
+    path = os.path.join(tmp_path, "sparkpath")
+    _append_batches(spark, path, n_batches=9, rows_per_batch=20,
+                    partitioned=True)
+    before = _rows(spark, path)
+    stats = M.compact_small_files(spark, path)
+    assert stats["dirs_compacted"] == 4
+    assert _rows(spark, path) == before

@@ -177,6 +177,18 @@ def main() -> None:
                     .collect()
                 ]
                 index = index.where(F.col(HASH_BUCKET_COL).isin(touched))
+        # warm repeat (VERDICT r9 #5): the cold span above pays the
+        # ONE-TIME broadcast ship of the main bitmap inside
+        # bloom.mark — a cost that grows with FILTER size but is
+        # token-cached across batches in the real stream (and, since
+        # round 10, the LoggedBloom.load itself is too). The warm
+        # number is the true steady-state per-batch cost.
+        if cbloom is not None:
+            with span("touched_hb_collect_warm"):
+                CI._prune_by_bloom(
+                    index_full, cbloom, hashed, CI.HASH_KEY, True,
+                    HASH_BUCKET_COL, lambda: _hb(F.col("content_hash")),
+                )
         with span("exact_fresh_pin"):
             fresh = ingest_batch(
                 hashed, index, False, prehashed=True
