@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--sample-every", type=int, default=10)
     ap.add_argument("--shuffle-partitions", type=int, default=8)
     ap.add_argument(
+        "--arms", default="off,on",
+        help="which arms to run (comma list of off/on) — rerun one arm "
+        "cleanly and merge into an existing probe JSON",
+    )
+    ap.add_argument(
         "--out", default=os.path.join(REPO, "INGEST_SOAK_PROBE.json")
     )
     args = ap.parse_args()
@@ -135,21 +140,29 @@ def main() -> None:
             "corpus_rows": spark.read.parquet(idx).count(),
         }
 
-    out = {
-        "protocol": {
-            "batches": args.batches,
-            "batch_docs": args.batch_docs,
-            "near_dedup": True,
-            "bloom_prefilter": True,
-            "host": "local[*] single JVM",
-        },
-        "cadence_off": run_arm("off", 0),
-        "cadence_on": run_arm("on", args.compact_every),
+    out = {}
+    if os.path.exists(args.out):  # merge a single-arm rerun
+        with open(args.out) as fh:
+            out = json.load(fh)
+    out["protocol"] = {
+        "batches": args.batches,
+        "batch_docs": args.batch_docs,
+        "near_dedup": True,
+        "bloom_prefilter": True,
+        "host": "local[*] single JVM",
     }
-    # the two arms must agree on the corpus they built
-    out["rows_match"] = (
-        out["cadence_off"]["corpus_rows"] == out["cadence_on"]["corpus_rows"]
-    )
+    arms = args.arms.split(",")
+    if "off" in arms:
+        out["cadence_off"] = run_arm("off", 0)
+    if "on" in arms:
+        out["cadence_on"] = run_arm("on", args.compact_every)
+    # the two arms must agree on the corpus they built (only
+    # comparable when both arms came from the same feed/protocol)
+    if "cadence_off" in out and "cadence_on" in out and arms == ["off", "on"]:
+        out["rows_match"] = (
+            out["cadence_off"]["corpus_rows"]
+            == out["cadence_on"]["corpus_rows"]
+        )
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "protocol"},
