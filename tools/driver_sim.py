@@ -76,6 +76,12 @@ def main() -> int:
     for name in names:
         fn = Q.REGISTRY[name].fn
         try:
+            if name not in sqls:
+                # rows-only entries (no oracle_sql) get the driver's
+                # weaker check: the query runs and returns rows
+                n = fn(spark, sf_dir).count()
+                print(f"OK  {name}: rows-only {n}")
+                continue
             s_pdf = fn(spark, sf_dir).toPandas()
             d_pdf = con.sql(sqls[name]).df()
             sh, sn = canon_hash(s_pdf)
