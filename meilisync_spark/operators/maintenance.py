@@ -54,11 +54,23 @@ this serves the streaming-ingest extension's aging axis
 
 from __future__ import annotations
 
+import logging
 import os
+import re
 import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+
+logger = logging.getLogger(__name__)
+
+# The exact shapes this module generates (and therefore the ONLY
+# hidden siblings the orphan sweep may delete): ``.{name}.v<12hex>``
+# version dirs, ``.{name}.b<12hex>-<gi>`` Spark build dirs,
+# ``.{name}.old<12hex>`` first-conversion renames, ``.{name}.l<12hex>``
+# symlink-swap temps. Anything else dot-prefixed (a user's
+# ``.data.backup``, a foreign tool's stash) is not ours to touch.
+_VERSION_RE = re.compile(r"\.(.+)\.(v|b|old|l)([0-9a-f]{12})(-\d+)?")
 
 # Size tiers: tier t covers [TIER_FLOOR_BYTES * 8^t, ... * 8^(t+1)).
 # Everything below the floor shares tier 0 (micro-batch appends land
@@ -95,11 +107,15 @@ def _hidden(name: str) -> bool:
 
 
 def _data_dirs(index_path: str) -> list[str]:
-    """Leaf data directories of a table: the partition dirs of a hive
-    layout, or the root itself for a flat layout. Hidden entries
-    (version dirs, Spark metadata) are skipped; symlinked partition
-    dirs (already-compacted ones) are followed via their visible
-    name."""
+    """Data directories of a table: the partition dirs of a hive
+    layout, or the root itself for a flat layout. A MIXED directory
+    (loose parquet files sitting beside partition subdirs — legacy
+    flat+partitioned layouts) is emitted too, so its files count in
+    the aging metric; ``compact_small_files`` excludes it from swaps
+    (the version-dir swap can't carry subdirectories atomically).
+    Hidden entries (version dirs, Spark metadata) are skipped;
+    symlinked partition dirs (already-compacted ones) are followed via
+    their visible name."""
     root = index_path.rstrip("/")
     if not os.path.isdir(os.path.realpath(root)):
         return []
@@ -112,9 +128,20 @@ def _data_dirs(index_path: str) -> list[str]:
         subs = [e for e in entries if os.path.isdir(os.path.join(real, e))]
         if subs:
             stack.extend(os.path.join(d, e) for e in subs)
-        elif any(e.endswith(".parquet") for e in entries):
+        if any(e.endswith(".parquet") for e in entries):
             out.append(d)
     return out
+
+
+def _is_mixed(dirpath: str) -> bool:
+    """True when a directory holds both visible subdirectories and
+    loose parquet files — the one layout the atomic dir swap cannot
+    rebuild (hardlinks carry files, not subtrees)."""
+    real = os.path.realpath(dirpath)
+    entries = [e for e in os.listdir(real) if not _hidden(e)]
+    return any(
+        os.path.isdir(os.path.join(real, e)) for e in entries
+    ) and any(e.endswith(".parquet") for e in entries)
 
 
 def _plan_dir(dirpath: str) -> list[list[str]]:
@@ -138,20 +165,61 @@ def _swap_dir(dirpath: str, version_dir: str, tag: str) -> None:
     """Repoint the visible directory name at the new version dir.
     Symlink → atomic rename of a fresh symlink over it; plain dir →
     the one-time rename-away + symlink conversion (crash in the gap is
-    repaired by heal_partition_dirs)."""
+    repaired by heal_partition_dirs).
+
+    The SUPERSEDED directory is NOT deleted here: a reader in another
+    process that listed the partition before the swap (an ANN search
+    or analytics session) may still be scanning files inside it, and
+    an immediate rmtree would fail it mid-scan (ADVICE r10 medium).
+    Superseded dirs are hidden orphans (``.{name}.v…`` / ``.old…``)
+    that ``_sweep_orphans`` removes on the NEXT cadence tick / heal
+    pass — a full cadence interval of grace for in-flight listings."""
     parent, name = os.path.split(dirpath.rstrip("/"))
     target = os.path.abspath(version_dir)
     if os.path.islink(dirpath):
-        old_target = os.path.realpath(dirpath)
         tmp = os.path.join(parent, f".{name}.l{tag}")
         os.symlink(target, tmp)
         os.replace(tmp, dirpath)
-        shutil.rmtree(old_target, ignore_errors=True)
     else:
         old = os.path.join(parent, f".{name}.old{tag}")
         os.rename(dirpath, old)
         os.symlink(target, dirpath)
-        shutil.rmtree(old, ignore_errors=True)
+
+
+def _sweep_orphans(index_path: str) -> int:
+    """Remove superseded version/build/old dirs (and stale swap-temp
+    symlinks) that no live symlink points at. Matches ONLY the exact
+    shapes this module generates (``_VERSION_RE``) — foreign hidden
+    entries like ``.data.backup`` are never touched (ADVICE r10).
+    Returns the number of entries removed."""
+    root = os.path.realpath(index_path.rstrip("/"))
+    if not os.path.isdir(root):
+        return 0
+    removed = 0
+    for parent, dirs, _files in os.walk(root):
+        live_targets = set()
+        for e in list(dirs):
+            p = os.path.join(parent, e)
+            if not _hidden(e) and os.path.islink(p):
+                live_targets.add(os.path.realpath(p))
+        for e in list(dirs):
+            m = _VERSION_RE.fullmatch(e)
+            if m is None:
+                continue
+            p = os.path.join(parent, e)
+            if os.path.realpath(p) in live_targets:
+                continue
+            if m.group(2) == "old" and not os.path.lexists(
+                os.path.join(parent, m.group(1))
+            ):
+                continue  # heal's rename-back case, not an orphan
+            if os.path.islink(p):
+                os.unlink(p)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+            dirs.remove(e)
+            removed += 1
+    return removed
 
 
 def heal_partition_dirs(index_path: str) -> int:
@@ -166,27 +234,16 @@ def heal_partition_dirs(index_path: str) -> int:
         return 0
     healed = 0
     for parent, dirs, _files in os.walk(root):
-        live_targets = set()
         for e in list(dirs):
-            p = os.path.join(parent, e)
-            if not _hidden(e) and os.path.islink(p):
-                live_targets.add(os.path.realpath(p))
-        for e in list(dirs):
-            if not e.startswith("."):
+            m = _VERSION_RE.fullmatch(e)
+            if m is None or m.group(2) != "old":
                 continue
-            p = os.path.join(parent, e)
-            stem = e.lstrip(".")
-            if ".old" in stem:
-                visible = os.path.join(parent, stem.rsplit(".old", 1)[0])
-                if not os.path.lexists(visible):
-                    os.rename(p, visible)
-                    healed += 1
-                    dirs.remove(e)
-                    continue
-            if (".v" in stem or ".b" in stem or ".old" in stem) and \
-                    os.path.realpath(p) not in live_targets:
-                shutil.rmtree(p, ignore_errors=True)
+            visible = os.path.join(parent, m.group(1))
+            if not os.path.lexists(visible):
+                os.rename(os.path.join(parent, e), visible)
+                healed += 1
                 dirs.remove(e)
+    _sweep_orphans(index_path)
     return healed
 
 
@@ -263,9 +320,15 @@ def compact_small_files(spark: SparkSession, index_path: str,
     directories first. ``max_dirs`` bounds one invocation's work (the
     remainder ages one more cadence interval — the audit is
     deterministic, so it gets picked up next time). Returns
-    ``{"dirs_compacted": n, "files_removed": n, "files_after": n}``."""
+    ``{"dirs_compacted": n, "files_removed": n, "files_after": n}``.
+
+    Starts by sweeping dirs superseded on PREVIOUS ticks (deferred
+    deletion — see ``_swap_dir``), so external readers get a full
+    cadence interval before an old file set disappears."""
+    _sweep_orphans(index_path)
     plans: list[tuple[int, str, list[list[str]]]] = []
     total_after = 0
+    n_mixed = 0
     for d in _data_dirs(index_path):
         groups = _plan_dir(d)
         real = os.path.realpath(d)
@@ -274,8 +337,21 @@ def compact_small_files(spark: SparkSession, index_path: str,
             if e.endswith(".parquet") and not _hidden(e)
         )
         total_after += n_files
+        if groups and _is_mixed(d):
+            # loose files beside partition subdirs: the version-dir
+            # swap can't carry the subtrees atomically, so these age
+            # uncompacted (counted above, excluded from plans).
+            n_mixed += 1
+            continue
         if groups:
             plans.append((sum(len(g) for g in groups), d, groups))
+    if n_mixed:
+        logger.warning(
+            "compact_small_files(%s): %d mixed flat+partitioned "
+            "director%s left uncompacted (loose files beside partition "
+            "subdirs are out of scope for the atomic dir swap)",
+            index_path, n_mixed, "y" if n_mixed == 1 else "ies",
+        )
     plans.sort(key=lambda t: (-t[0], t[1]))
     if max_dirs is not None:
         plans = plans[:max_dirs]

@@ -47,7 +47,7 @@ def run_ann_ingest(
     available_now: bool = True,
     processing_interval: str | None = None,
     timeout_sec: float | None = 180.0,
-    compact_every: int = 8,
+    compact_every: int = 1,
     compact_max_dirs: int | None = None,
 ) -> int:
     """Tail ``vectors_path`` (parquet drop dir of ``vec_id, embedding``
@@ -71,10 +71,12 @@ def run_ann_ingest(
     anti-join no-ops rows the rebuild already folded in — keep
     ``dedup=True`` whenever retraining is on (enforced below).
 
-    ``compact_every`` (batches; 0 disables): every add appends ~one
-    file per touched ``cluster=`` directory (plus one to the
-    ``_vectors`` sidecar when retraining is on), so long runs age
-    linearly without the size-tiered per-directory compactor
+    ``compact_every`` (batches; 0 disables; default 1 — the audit is
+    cheap, the TRIGGER is per-directory and threshold-based on
+    TIER_FILES, VERDICT r10 #5): every add appends ~one file per
+    touched ``cluster=`` directory (plus one to the ``_vectors``
+    sidecar when retraining is on), so long runs age linearly without
+    the size-tiered per-directory compactor
     (operators/maintenance.py) — run here inside the single-writer
     callback, after the batch's writes. Codes and the _ann_meta
     quantizers are untouched; only file boundaries change."""

@@ -189,13 +189,17 @@ def _load_bloom(prefix: str, index: DataFrame | None, key: list[str],
     # FILTER size (ADVICE r9).
     if _sharded.ShardedBloom.exists(prefix):
         sb = _sharded.ShardedBloom.load_cached(prefix)
-        if (
-            sb.projected_fpp() > BLOOM_REBUILD_FPP
-            and sb.shards[0].n_bits < _bloom.size_for(10**12)
-        ):
-            sb.fold_if_due(index, key, BLOOM_TARGET_FPP,
-                           BLOOM_REBUILD_FPP, force=True)
-        return sb
+        # load_cached can return None if the manifest vanished between
+        # the exists() check and the load (out-of-band removal): fall
+        # through to the LoggedBloom/rebuild path instead of crashing.
+        if sb is not None:
+            if (
+                sb.projected_fpp() > BLOOM_REBUILD_FPP
+                and sb.shards[0].n_bits < _bloom.size_for(10**12)
+            ):
+                sb.fold_if_due(index, key, BLOOM_TARGET_FPP,
+                               BLOOM_REBUILD_FPP, force=True)
+            return sb
     lb = _bloom.LoggedBloom.load_cached(prefix)
     if lb is None:
         if index is None:
@@ -396,7 +400,7 @@ def run_corpus_ingest(
     available_now: bool = True,
     processing_interval: str | None = None,
     timeout_sec: float | None = 180.0,
-    compact_every: int = 8,
+    compact_every: int = 1,
     compact_max_dirs: int | None = None,
 ) -> None:
     """``near_dedup=True`` additionally maintains a MinHash band index
@@ -414,10 +418,15 @@ def run_corpus_ingest(
     stale = false negatives on re-enable); turning it on for a legacy
     index triggers one distributed rebuild scan per sidecar.
 
-    ``compact_every`` (batches; 0 disables) is the small-file cadence:
-    every batch appends ~one file per touched partition directory, so
-    a long run ages linearly without it (VERDICT r9 #1). Each cadence
-    tick runs the size-tiered per-directory compactor
+    ``compact_every`` (batches; 0 disables; default 1) is the
+    small-file AUDIT cadence — the trigger itself is per-directory and
+    THRESHOLD-based (a size tier compacts only when it holds ≥
+    TIER_FILES files, VERDICT r10 #5), so auditing every batch costs a
+    directory listing when nothing is due: quiet directories pay
+    nothing, hot ones never queue multiple batches of debris. Every
+    batch appends ~one file per touched partition directory, so a long
+    run ages linearly without this (VERDICT r9 #1). Each due tick runs
+    the size-tiered per-directory compactor
     (operators/maintenance.py) over the corpus index and, when
     ``near_dedup``, the band index — O(small files merged), never
     O(table), single-writer-safe because it runs inside the

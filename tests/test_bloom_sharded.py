@@ -209,3 +209,55 @@ def test_ingest_with_sharded_sidecars_matches_logged(spark, tmp_path):
         if label == "sharded":
             assert BS.ShardedBloom.exists(idx)  # still the active form
     assert outs["sharded"] == outs["logged"]
+
+def test_load_bloom_manifest_vanished_falls_back(spark, tmp_path,
+                                                 monkeypatch):
+    """ADVICE r10: ShardedBloom.load_cached can return None when the
+    manifest vanishes between exists() and load (out-of-band removal);
+    _load_bloom must fall through to the LoggedBloom path, not raise
+    AttributeError."""
+    from meilisync_spark.streaming import corpus_ingest as CI
+
+    prefix = os.path.join(tmp_path, "idx")
+    monkeypatch.setattr(BS.ShardedBloom, "exists",
+                        classmethod(lambda cls, p: True))
+    monkeypatch.setattr(BS.ShardedBloom, "load_cached",
+                        classmethod(lambda cls, p: None))
+    out = CI._load_bloom(prefix, None, ["a"], True)
+    assert isinstance(out, B.LoggedBloom)
+
+
+def test_rebuild_task_memory_bound_by_shard_groups(spark, tmp_path,
+                                                   monkeypatch):
+    """ADVICE r10: near the per-shard cap a single task would allocate
+    n_shards × nbits/8 — rebuilds must process shards in sub-groups so
+    one task's bitmaps stay within REBUILD_TASK_BYTES. Forcing a tiny
+    budget exercises the multi-pass path; the result must stay
+    one-sided (no false negatives) and byte-identical to the
+    single-pass build."""
+    nbits = 1 << 14
+    n_shards = 8
+    # budget fits exactly 2 shard bitmaps per task → 4 passes
+    monkeypatch.setattr(B, "REBUILD_TASK_BYTES", 2 * (nbits // 8))
+    keys = _keys(spark, 0, 5000)
+    multi = BS._collect_shard_parts(keys, ["a", "b"], n_shards, nbits)
+    monkeypatch.setattr(B, "REBUILD_TASK_BYTES", 8 << 30)
+    single = BS._collect_shard_parts(keys, ["a", "b"], n_shards, nbits)
+
+    def _finalize(parts):
+        out = {}
+        for s, ps in parts.items():
+            sc = B.BloomSidecar(n_bits=nbits)
+            BS._or_parts_into(sc, ps)
+            out[s] = (sc.bits.tobytes(), sc.n_added)
+        return out
+
+    assert _finalize(multi) == _finalize(single)
+    # end-to-end through the public rebuild under the tiny budget
+    monkeypatch.setattr(B, "REBUILD_TASK_BYTES", 2 * (nbits // 8))
+    prefix = os.path.join(tmp_path, "grp")
+    metas = BS._rebuild_shards(keys, ["a", "b"], n_shards, nbits, prefix,
+                               np.empty((0, 2), dtype=np.int64))
+    sb = BS.ShardedBloom(prefix, metas, np.empty((0, 2), dtype=np.int64))
+    sb._write_manifest_and_clear_log()
+    assert sb.mark(keys, ["a", "b"]).where("NOT maybe_seen").count() == 0

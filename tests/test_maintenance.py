@@ -127,16 +127,16 @@ def test_heal_restores_crash_window(spark, tmp_path):
     # simulate the first-conversion crash: dir renamed away, symlink
     # never created
     victim = os.path.join(path, "hb=1")
-    os.rename(victim, os.path.join(path, ".hb=1.olddeadbeef"))
+    os.rename(victim, os.path.join(path, ".hb=1.olddeadbeefdead"))
     assert len(_rows(spark, path)) < len(before)
     assert M.heal_partition_dirs(path) == 1
     assert _rows(spark, path) == before
     # orphaned version/build dirs are swept
-    os.makedirs(os.path.join(path, ".hb=2.vdeadbeef"))
-    os.makedirs(os.path.join(path, ".hb=2.bdeadbeef-0"))
+    os.makedirs(os.path.join(path, ".hb=2.vdeadbeefdead"))
+    os.makedirs(os.path.join(path, ".hb=2.bdeadbeefdead-0"))
     M.heal_partition_dirs(path)
-    assert not os.path.exists(os.path.join(path, ".hb=2.vdeadbeef"))
-    assert not os.path.exists(os.path.join(path, ".hb=2.bdeadbeef-0"))
+    assert not os.path.exists(os.path.join(path, ".hb=2.vdeadbeefdead"))
+    assert not os.path.exists(os.path.join(path, ".hb=2.bdeadbeefdead-0"))
     assert _rows(spark, path) == before
 
 
@@ -288,3 +288,112 @@ def test_spark_merge_path_still_exact(spark, tmp_path, monkeypatch):
     stats = M.compact_small_files(spark, path)
     assert stats["dirs_compacted"] == 4
     assert _rows(spark, path) == before
+
+def test_swap_defers_old_dir_deletion(spark, tmp_path):
+    """ADVICE r10 (medium): a reader that listed a partition before the
+    swap must be able to finish its scan — the superseded directory
+    survives the swapping tick and is removed on the NEXT one."""
+    path = os.path.join(tmp_path, "idx")
+    _append_batches(spark, path, n_batches=9, rows_per_batch=20,
+                    partitioned=True)
+    M.compact_small_files(spark, path)  # one-time dir→symlink conversion
+    _append_batches(spark, path, n_batches=8, rows_per_batch=20,
+                    partitioned=True)
+    # a concurrent reader's pre-swap listing of one partition dir
+    # (resolved through the live version dir, as Spark's file index
+    # does)
+    pre_swap = [
+        os.path.join(os.path.realpath(os.path.join(path, "hb=0")), e)
+        for e in os.listdir(os.path.realpath(os.path.join(path, "hb=0")))
+        if e.endswith(".parquet")
+    ]
+    before = _rows(spark, path)
+    stats = M.compact_small_files(spark, path)
+    assert stats["dirs_compacted"] == 4
+    # the old file set is still on disk: the reader's scan completes
+    assert all(os.path.exists(p) for p in pre_swap)
+    got = sorted(
+        tuple(str(v) for v in r)
+        for r in spark.read.parquet(*pre_swap).selectExpr(
+            "'0' as hb", "id", "text"
+        ).collect()
+    )
+    assert got == [r for r in before if r[0] == "0"]
+    # next tick sweeps the superseded version dirs
+    M.compact_small_files(spark, path)
+    assert not all(os.path.exists(p) for p in pre_swap)
+    assert _rows(spark, path) == before
+
+
+def test_orphan_sweep_spares_foreign_hidden_dirs(spark, tmp_path):
+    """ADVICE r10: only the module's own generated shapes are swept —
+    a user's '.data.backup' or '.corpus.v2-manual' stash survives both
+    heal and the cadence tick."""
+    path = os.path.join(tmp_path, "idx")
+    _append_batches(spark, path, n_batches=9, rows_per_batch=20,
+                    partitioned=True)
+    foreign = [
+        os.path.join(path, ".data.backup"),
+        os.path.join(path, ".corpus.v2-manual"),
+        os.path.join(path, ".hb=1.old-notes"),  # not a 12-hex tag
+    ]
+    for d in foreign:
+        os.makedirs(d)
+        with open(os.path.join(d, "keep.txt"), "w") as fh:
+            fh.write("precious")
+    M.heal_partition_dirs(path)
+    M.compact_small_files(spark, path)
+    M.compact_small_files(spark, path)
+    for d in foreign:
+        assert os.path.isfile(os.path.join(d, "keep.txt")), d
+
+
+def test_mixed_layout_counted_not_compacted(spark, tmp_path):
+    """ADVICE r10: loose parquet beside partition subdirs (legacy
+    flat+partitioned) — counted by the aging metric, excluded from the
+    swap (which can't carry subtrees), and never crashes the tick."""
+    path = os.path.join(tmp_path, "idx")
+    _append_batches(spark, path, n_batches=9, rows_per_batch=20,
+                    partitioned=True)
+    # drop 9 loose files into the root, beside the hb= dirs
+    loose_src = os.path.join(tmp_path, "loose")
+    _append_batches(spark, loose_src, n_batches=9, rows_per_batch=5,
+                    partitioned=False)
+    k = 0
+    for e in sorted(os.listdir(loose_src)):
+        if e.endswith(".parquet"):
+            os.rename(os.path.join(loose_src, e),
+                      os.path.join(path, f"legacy-{k}.parquet"))
+            k += 1
+    n_with_loose = M.table_file_count(path)
+    stats = M.compact_small_files(spark, path)
+    assert stats["dirs_compacted"] == 4  # the hb= dirs, not the root
+    assert M.table_file_count(path) < n_with_loose
+    # the loose files and the partition subdirs both survive
+    assert sum(
+        1 for e in os.listdir(os.path.realpath(path))
+        if e.startswith("legacy-")
+    ) == k
+    assert not os.path.islink(path)
+    part_rows = [r for r in _rows(spark, os.path.join(path, "hb=2"))]
+    assert len(part_rows) == 9 * 20 / 4
+
+
+def test_threshold_trigger_is_per_directory(spark, tmp_path):
+    """VERDICT r10 #5: the trigger is tier-0 count ≥ TIER_FILES per
+    directory — a quiet tick is a pure no-op, and a hot directory
+    compacts on the exact batch its tier fills, independent of other
+    directories."""
+    path = os.path.join(tmp_path, "idx")
+    _append_batches(spark, path, n_batches=M.TIER_FILES - 1,
+                    rows_per_batch=8, partitioned=True)
+    stats = M.compact_small_files(spark, path)
+    assert stats["dirs_compacted"] == 0  # below threshold everywhere
+    # one more batch into ONE partition only → exactly that dir is due
+    extra = spark.range(0, 8).select(
+        F.col("id"), F.lit(3).alias("hb"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+    )
+    extra.coalesce(1).write.mode("append").partitionBy("hb").parquet(path)
+    stats = M.compact_small_files(spark, path)
+    assert stats["dirs_compacted"] == 1
