@@ -77,11 +77,31 @@ def main() -> None:
 
     B.size_for = capped
     BS.size_for = capped
+    # LoggedBloom.fresh builds BloomSidecar() at the DEFAULT_BITS
+    # default (bound at def time) — shrink fresh filters too, or the
+    # 16 MiB default never saturates at probe scale
+    orig_init = B.BloomSidecar.__init__
+
+    def small_init(self, n_bits=FLOOR_BITS, k=B.K_HASHES, bits=None,
+                   n_added=0):
+        orig_init(self, n_bits=n_bits, k=k, bits=bits, n_added=n_added)
+
+    B.BloomSidecar.__init__ = small_init
 
     work = tempfile.mkdtemp(prefix="mls_capcross_")
-    unique = args.batches * args.new_docs
-    gen_corpus(unique, 0, work)
+    n_docs = args.batches * args.new_docs
+    gen_corpus(n_docs, 0, work)
     src = pq_.read_table(os.path.join(work, "documents.parquet"))
+    # gen_corpus plants ~1% EXACT duplicates inside the corpus itself —
+    # the expected final row count is the distinct normalized-text
+    # count, not n_docs (duckdb mirrors dedup's normalize+hash)
+    import duckdb
+
+    unique = duckdb.sql(
+        "SELECT count(DISTINCT lower(trim(regexp_replace(text, '\\s+', "
+        "' ', 'g')))) FROM read_parquet('"
+        + os.path.join(work, "documents.parquet") + "')"
+    ).fetchone()[0]
     feed = os.path.join(work, "feed")
     os.makedirs(feed)
     for b in range(args.batches):

@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--state-docs", type=int, default=500_000)
     ap.add_argument("--batch-docs", type=int, default=5_000)
     ap.add_argument(
+        "--skip-e2e", action="store_true",
+        help="skip the end-to-end bloom/nobloom A/B (4 state copies) "
+        "and record only the stage replica — for big-state runs where "
+        "the warm lines are the question",
+    )
+    ap.add_argument(
         "--out", default=os.path.join(REPO, "INGEST_STAGE_PROBE.json")
     )
     args = ap.parse_args()
@@ -131,18 +137,19 @@ def main() -> None:
         # A/B would book entirely to one side (measured: same variant
         # 26.9 s cold-first vs ~10 s warm)
         ends: dict[str, float] = {}
-        for rep in range(2):
-            for tag, flag in (("bloom", True), ("nobloom", False)):
-                i2, c2, dr2 = _copy_state(f"{tag}{rep}")
-                t0 = time.perf_counter()
-                run_corpus_ingest(
-                    spark, dr2, i2, c2, near_dedup=True,
-                    bloom_prefilter=flag,
-                    available_now=True, timeout_sec=1200.0,
-                )
-                el = round(time.perf_counter() - t0, 3)
-                ends[tag] = min(ends.get(tag, el), el)
-        end_to_end = ends["bloom"]
+        if not args.skip_e2e:
+            for rep in range(2):
+                for tag, flag in (("bloom", True), ("nobloom", False)):
+                    i2, c2, dr2 = _copy_state(f"{tag}{rep}")
+                    t0 = time.perf_counter()
+                    run_corpus_ingest(
+                        spark, dr2, i2, c2, near_dedup=True,
+                        bloom_prefilter=flag,
+                        available_now=True, timeout_sec=1200.0,
+                    )
+                    el = round(time.perf_counter() - t0, 3)
+                    ends[tag] = min(ends.get(tag, el), el)
+        end_to_end = ends.get("bloom")
 
         # ---- (b) stage-instrumented replica on the original ----
         def span(name):
@@ -229,6 +236,26 @@ def main() -> None:
                 if touched_bb
                 else band_index.limit(0)
             )
+        # warm repeat (VERDICT r10 #3): the cold span pays the one-time
+        # band-bloom broadcast ship (token-cached across batches in the
+        # real stream); the warm number — re-listing the index and
+        # re-marking the SAME batch — is the steady-state per-batch
+        # cost, whose state-dependent term should be the (compaction-
+        # bounded) file listing only.
+        if bloom is not None:
+            with span("band_index_open_prune_warm"):
+                bi2 = _read_parquet_if_exists(spark, idx + "_bands")
+                cand2 = bloom.mark(
+                    bands.select(*CI.BAND_KEY), CI.BAND_KEY
+                ).where(F.col("maybe_seen"))
+                touched_bb2 = [
+                    r[0]
+                    for r in cand2.select(_bb(F.col("band_hash")))
+                    .distinct()
+                    .collect()
+                ]
+                if touched_bb2:
+                    bi2.where(F.col(BAND_BUCKET_COL).isin(touched_bb2))
         with span("probe_survivors_pin"):
             rhs = (
                 bands.select(
@@ -308,12 +335,12 @@ def main() -> None:
             "state_docs": args.state_docs,
             "batch_docs": args.batch_docs,
             "end_to_end_sec": end_to_end,
-            "end_to_end_nobloom_sec": ends["nobloom"],
+            "end_to_end_nobloom_sec": ends.get("nobloom"),
             "stages": stages,
             "staged_sum_sec": round(sum(stages.values()), 3),
             "harness_overhead_sec": round(
                 end_to_end - sum(stages.values()), 3
-            ),
+            ) if end_to_end is not None else None,
         }
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
