@@ -9,8 +9,14 @@ swaps with served top-k quality unchanged.
 
 Pass criteria: rows identical across arms (dedup unaffected by
 compaction), file count bounded ON vs unbounded OFF, per-batch time
-flat ON (last-decile ≈ first-decile), mean recall@5 ≥ 0.99 on both
-arms' final indexes.
+flat ON (last-decile ≈ first-decile), and SERVING IDENTITY — the
+compacted arm's stored codes and served top-k must equal the
+never-compacted arm's exactly (compaction changes file boundaries,
+nothing else). Recall@5 is reported with the query shortlist sized to
+the probed cell (~total/10 under the clustered twin's 10 caps), so
+refine exact-ranks the whole cell: recall then certifies that routing
+hits the right cluster= partition and every row in it survived the
+swaps.
 
 Writes ANN_SOAK_PROBE.json.
 """
@@ -39,6 +45,12 @@ def main() -> None:
     ap.add_argument("--batch-vecs", type=int, default=150)
     ap.add_argument("--seed-vecs", type=int, default=20000)
     ap.add_argument("--sample-every", type=int, default=10)
+    ap.add_argument(
+        "--query-shortlist", type=int, default=None,
+        help="ADC shortlist for the recall query (default: cell-sized "
+        "= total/10 + 1000, so refine exact-ranks the whole probed "
+        "cell)",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=8)
     ap.add_argument("--arms", default="off,on")
     ap.add_argument(
@@ -144,11 +156,22 @@ def main() -> None:
         stored = spark.read.parquet(idx)
         n_rows = stored.count()
         n_distinct = stored.select("vec_id").distinct().count()
+        # serving-identity fingerprint: stored (vec_id, codes) content,
+        # independent of file boundaries
+        codes_hash = stored.selectExpr(
+            "sum(hash(vec_id, codes)) AS h", "count(*) AS n"
+        ).collect()[0]
         qs = [
             (r.vec_id, list(r.embedding))
             for r in ce.where(f"vec_id < {pq_mod.N_QUERIES}").collect()
         ]
-        topk = query_index(spark, idx, qs, k=5, refine=ce)
+        shortlist = args.query_shortlist or (total // 10 + 1000)
+        topk = query_index(spark, idx, qs, k=5, refine=ce,
+                           shortlist=shortlist)
+        topk_rows = sorted(
+            (int(r.q_id), int(r.rank), int(r.neighbor_id))
+            for r in topk.select("q_id", "rank", "neighbor_id").collect()
+        )
         rec = _recall_against_brute(ce, topk, 5)
         recall = sum(r.recall for r in rec.collect()) / pq_mod.N_QUERIES
         ms = probe.batch_ms
@@ -170,6 +193,9 @@ def main() -> None:
             ],
             "index_rows": n_rows,
             "index_distinct": n_distinct,
+            "codes_hash": [int(codes_hash.h), int(codes_hash.n)],
+            "topk_rows": topk_rows,
+            "query_shortlist": shortlist,
             "cluster_dirs_symlinked": sum(
                 1 for e in os.listdir(os.path.realpath(idx))
                 if e.startswith("cluster=")
@@ -195,9 +221,11 @@ def main() -> None:
     if "on" in arms:
         out["cadence_on"] = run_arm("on", 1)
     if "cadence_off" in out and "cadence_on" in out:
-        out["rows_match"] = (
-            out["cadence_off"]["index_rows"]
-            == out["cadence_on"]["index_rows"]
+        off, on = out["cadence_off"], out["cadence_on"]
+        out["rows_match"] = off["index_rows"] == on["index_rows"]
+        out["serving_identical"] = (
+            off.get("codes_hash") == on.get("codes_hash")
+            and off.get("topk_rows") == on.get("topk_rows")
         )
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
