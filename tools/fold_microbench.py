@@ -39,8 +39,13 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=500_000)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--docs", type=int, default=100_000)
+    # NOTE: repeated collects of the same logical plan in one session
+    # measured ~60× too fast on reps 2+ (observed 2026-08-16; the
+    # first rep matches an independently-constructed query, later reps
+    # do not — some layer reuses work across identical plans). Until
+    # diagnosed, one rep per fresh construction is the honest number.
+    ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(REPO, "FOLD_MICROBENCH.json"))
     args = ap.parse_args()
 

@@ -49,6 +49,7 @@ from meilisync_spark.session import get_spark
 from meilisync_spark.sources.parquet import load_table
 from meilisync_spark.operators import dedup as D
 from meilisync_spark.operators.text import pack_sequences, quality_keep
+from meilisync_spark.pin import SER
 from pyspark.sql import Window, functions as F
 
 n = {n}
@@ -103,7 +104,12 @@ def s_exact():
         kept.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("doc_id", "lang", "text")
-        .localCheckpoint(False)
+        # SERIALIZED pin (pin.py SER) like the production composition:
+        # a deserialized text pin inflates 3-5x and its GC/eviction
+        # bleeds into every later stage (the round-10 lesson; measured
+        # here too — 1M lsh read 86 s off a deserialized pin vs 31 s
+        # off a clean scan)
+        .localCheckpoint(False, storageLevel=SER)
     )
     state["exact_sur"].count()
 
@@ -114,7 +120,7 @@ def s_lsh():
         .where(F.col("est_jaccard") >= D.NEAR_DUP_TAU)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
-        .localCheckpoint(False)
+        .localCheckpoint(False, storageLevel=SER)
     )
     state["near_drop"].count()
 
@@ -124,7 +130,7 @@ def s_decon():
         D.decontaminate(docs)
         .select(F.col("corpus_doc").alias("doc_id"))
         .distinct()
-        .localCheckpoint(False)
+        .localCheckpoint(False, storageLevel=SER)
     )
     state["contaminated"].count()
 
