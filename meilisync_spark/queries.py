@@ -2788,6 +2788,19 @@ def q_cluster_safe_split(spark, sf_dir):
 # of the driver. Names not listed here sort after the listed ones in
 # registration order.
 DRIVER_ORDER = [
+    # Round 11 rotates six long-stable rows out of the window, each
+    # shape-subsumed by a row that stays (all six remain oracle-checked
+    # by driver_sim --all): cosine_topk (ann_query_served's oracle IS
+    # the brute-force top-k), embedding_neardup_pairs (semantic_dedup
+    # keeps the cell-blocked cosine shape), events_trailing_1h
+    # (event_sessions + top_customers_per_nation keep window coverage;
+    # retention_cohorts entering adds the date-cohort window),
+    # dsir_weights (both dsir_select forms stay and build on it),
+    # budget_select (its scalable twin stays), text_embeddings
+    # (label_centroids + semantic_dedup keep the embedding path). In:
+    # six rows that had never been in any CORRECTNESS window —
+    # quality_filter, pii_scrub, fingerprint_source_overlap,
+    # pack_sequences, retention_cohorts, streaming_maxwell_apply.
     # reference-parity core (S/P/A/F/T families).
     # Round 10 rotates four long-stable rows out of the window
     # (sync_orders — green since round 1, same projection/normalize
@@ -2827,6 +2840,10 @@ DRIVER_ORDER = [
     "streaming_corpus_ingest",
     "decontaminate",
     "source_overlap",
+    # round-11 rotation, in: the rolling-hash fingerprint half of the
+    # provenance story (source_overlap certified the 8-gram half in
+    # r10)
+    "fingerprint_source_overlap",
     "dsir_select",
     # relational coverage: joins, aggs, grouping sets, windows, pivot.
     # Round 9 rotates three long-stable rows out of the window
@@ -2850,7 +2867,10 @@ DRIVER_ORDER = [
     # text_embeddings (see the selection/similarity entries below).
     "cube_order_stats",
     "pivot_priority_status",
-    "events_trailing_1h",
+    # round-11 rotation, in: month-cohort retention matrix — date
+    # windows + the DATE-render contract in the driver's own
+    # comparator (events_trailing_1h rotated out, see header)
+    "retention_cohorts",
     "asof_purchase_view",
     "event_sessions",
     # text analysis — bpe_encode_oov_fast enters in round 9: the
@@ -2860,6 +2880,13 @@ DRIVER_ORDER = [
     "text_stats",
     "bpe_encode_oov_fast",
     "vocab_encode",
+    # round-11 rotation, in: the Gopher/C4 quality gate, the PII
+    # scrubber, and the training sequence packer — the curation rows a
+    # 100-TB pipeline runs on every document, never driver-certified
+    # before
+    "quality_filter",
+    "pii_scrub",
+    "pack_sequences",
     # dedup
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
@@ -2868,14 +2895,15 @@ DRIVER_ORDER = [
     "corpus_pipeline_full",
     "simhash_neardup_pairs",
     "dedup_clusters",
-    "embedding_neardup_pairs",
+    # embedding_neardup_pairs rotated out in round 11 (semantic_dedup
+    # keeps the cell-blocked cosine shape in-window)
     # span_dedup moved out of the window (span_removal subsumes the
     # detection half and adds the excision Lee et al. actually perform)
     "span_removal",
     # sampling (split_assign rotated out in round 10, see header note)
     "temperature_resample",
-    # similarity / embeddings
-    "cosine_topk",
+    # similarity / embeddings (cosine_topk rotated out in round 11 —
+    # ann_query_served's oracle is the brute-force top-k itself)
     "ann_ivf_label",
     # cosine_topk_blas moved out (same results as cosine_topk via the
     # BLAS kernel; still oracle-checked by driver_sim --all) to make
@@ -2893,18 +2921,11 @@ DRIVER_ORDER = [
     # ann_query_served, label_centroids, semantic_dedup in-window; still
     # oracle-checked by driver_sim --all) to surface the new corpus-
     # selection family's flagship row:
-    "dsir_weights",
-    # round-8 rotation: the rest of the corpus-selection family plus
-    # the feature-hash embedder enter the window (slots freed above)
+    # dsir_weights, budget_select and text_embeddings rotated out in
+    # round 11 (see header); the scalable selection twins stay
     "dsir_select_scalable",
-    "budget_select",
-    # round-9 rotation: the scale-safe budget twin joins its window
-    # form so the driver certifies BOTH contracts (exact-window rows ==
-    # scalable rows is the operator's own test; here each is hash-
-    # checked against the same SQL oracle independently)
     "budget_select_scalable",
     "cluster_safe_split",
-    "text_embeddings",
     "label_centroids",
     "semantic_dedup",
     # operational tooling: the layout doctor's audit row (rows-only —
@@ -2914,8 +2935,11 @@ DRIVER_ORDER = [
     # multimodal plumbing
     "multimodal_meta",
     "multimodal_frames",
-    # structured streaming
+    # structured streaming — streaming_maxwell_apply enters in round
+    # 11: the maxwell-envelope → normalize → MERGE-apply path certified
+    # end-to-end by the driver, not just its roundtrip half
     "streaming_cdc_apply",
+    "streaming_maxwell_apply",
     "streaming_hourly_stats",
     "streaming_join_pairs",
     "streaming_user_totals",
