@@ -40,11 +40,10 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
-    # NOTE: repeated collects of the same logical plan in one session
-    # measured ~60× too fast on reps 2+ (observed 2026-08-16; the
-    # first rep matches an independently-constructed query, later reps
-    # do not — some layer reuses work across identical plans). Until
-    # diagnosed, one rep per fresh construction is the honest number.
+    # Reps REBUILD each query: re-collecting the same DataFrame object
+    # under AQE reuses its materialized shuffle stages and measures
+    # only the final stage (~60× fast; diagnosed 2026-08-16 —
+    # 4.3 s cold / 0.06 s same-object rep / 1.6 s fresh-object rep).
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(REPO, "FOLD_MICROBENCH.json"))
     args = ap.parse_args()
@@ -99,24 +98,32 @@ def main() -> None:
         )
 
     variants = {
-        "tokenize": docs.select(F.sum(F.size(w))),
-        "shingle": docs.select(F.sum(F.size(sh))),
-        "hash_sha": docs.select(F.sum(
+        # NOTE: size(sh) is simplified by Catalyst to size(words)-n+1
+        # (transform preserves length), so "shingle" with F.size would
+        # not build the strings — sum the string LENGTHS instead.
+        "tokenize": lambda: docs.select(F.sum(F.size(w))),
+        "shingle": lambda: docs.select(F.sum(
+            F.aggregate(sh, F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x)))),
+        "hash_sha": lambda: docs.select(F.sum(
             F.aggregate(F.transform(sh, lambda s: portable_hash64(s)),
                         F.lit(0).cast("long"), lambda a, x: a + x))),
-        "hash_md5": docs.select(F.sum(
+        "hash_md5": lambda: docs.select(F.sum(
             F.aggregate(F.transform(sh, lambda s: md5_hash64(s)),
                         F.lit(0).cast("long"), lambda a, x: a + x))),
-        "hash_xx": docs.select(F.sum(
+        "hash_xx": lambda: docs.select(F.sum(
             F.aggregate(F.transform(sh, lambda s: xx_hash64(s)),
                         F.lit(0).cast("long"), lambda a, x: a + x))),
-        "mh_sha": docs.select(F.sum(F.element_at(_sig(portable_hash64), 1))),
-        "mh_md5": docs.select(F.sum(F.element_at(_sig(md5_hash64), 1))),
+        "mh_sha": lambda: docs.select(
+            F.sum(F.element_at(_sig(portable_hash64), 1))),
+        "mh_md5": lambda: docs.select(
+            F.sum(F.element_at(_sig(md5_hash64), 1))),
     }
 
     times: dict[str, list[float]] = {k: [] for k in variants}
     for rep in range(args.reps):
-        for name, q in variants.items():
+        for name, build in variants.items():
+            q = build()  # fresh Dataset per rep (see --reps note)
             t0 = time.perf_counter()
             q.collect()
             times[name].append(round(time.perf_counter() - t0, 3))
