@@ -830,7 +830,11 @@ def build_parser() -> argparse.ArgumentParser:
     mt = sub.add_parser(
         "maintain",
         help="size-tiered per-directory small-file compaction + heal "
-        "(O(small files), the streaming cadence's manual form)",
+        "(O(small files), the streaming cadence's manual form). Mixed "
+        "flat+partitioned layouts (loose parquet beside partition "
+        "subdirs) are UNSUPPORTED for compaction: such directories are "
+        "counted and logged but never rewritten — migrate the loose "
+        "files into partitions (or a flat table) first",
     )
     mt.add_argument("--index", required=True, help="table path")
     mt.add_argument(

@@ -47,6 +47,17 @@ format's OPTIMIZE / rewrite_data_files with bin-packing; this module
 is the same policy on bare partitioned parquet, which is what the
 sandbox's ingest owners maintain.
 
+MIXED LAYOUTS ARE UNSUPPORTED for compaction (decision, round 12): a
+directory holding loose parquet files BESIDE partition subdirs could
+only be compacted in place (the version-dir swap carries files via
+hardlink, not subtrees), and in-place merge-then-unlink breaks the
+readers-see-old-or-new guarantee everything above rests on. Such
+directories are counted in the aging metric and logged every tick,
+never rewritten; the supported migration is to move the loose files
+into a partition (or a separate flat table) and let the tier policy
+take over. Pinned by tests/test_maintenance.py::
+test_mixed_layout_counted_not_compacted.
+
 Reference analogue: none (the reference keeps no on-disk indexes);
 this serves the streaming-ingest extension's aging axis
 (VERDICT r9 §next-round #1).
@@ -58,6 +69,7 @@ import logging
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import SparkSession
@@ -82,6 +94,14 @@ TIER_FILES = 8
 # files at/above this size are done: never merged again (matches
 # compact_table's target_file_bytes default)
 STOP_BYTES = 128 * 1024 * 1024
+
+# Minimum wall-clock age before a superseded version/old/build dir is
+# swept. The owners audit every batch (compact_every=1), so "one
+# cadence tick of grace" can be seconds — too short for an external
+# reader mid-scan (ADVICE r11). ctime is the right clock: os.rename
+# updates the renamed dir's ctime, so a just-superseded ``.old`` dir
+# reads as fresh even though its contents are old.
+SWEEP_GRACE_SECONDS = 180.0
 
 # Merge groups at/below this total merge DRIVER-SIDE with pyarrow:
 # a cadence tick can touch hundreds of directories, and one Spark job
@@ -172,8 +192,10 @@ def _swap_dir(dirpath: str, version_dir: str, tag: str) -> None:
     or analytics session) may still be scanning files inside it, and
     an immediate rmtree would fail it mid-scan (ADVICE r10 medium).
     Superseded dirs are hidden orphans (``.{name}.v…`` / ``.old…``)
-    that ``_sweep_orphans`` removes on the NEXT cadence tick / heal
-    pass — a full cadence interval of grace for in-flight listings."""
+    that ``_sweep_orphans`` removes on a LATER cadence tick / heal
+    pass, and only once ``SWEEP_GRACE_SECONDS`` of wall clock has
+    passed since they were superseded — the owners audit every batch,
+    so tick count alone is no protection (ADVICE r11)."""
     parent, name = os.path.split(dirpath.rstrip("/"))
     target = os.path.abspath(version_dir)
     if os.path.islink(dirpath):
@@ -186,16 +208,29 @@ def _swap_dir(dirpath: str, version_dir: str, tag: str) -> None:
         os.symlink(target, dirpath)
 
 
-def _sweep_orphans(index_path: str) -> int:
+def _sweep_orphans(index_path: str, grace_seconds: float | None = None) -> int:
     """Remove superseded version/build/old dirs (and stale swap-temp
     symlinks) that no live symlink points at. Matches ONLY the exact
-    shapes this module generates (``_VERSION_RE``) — foreign hidden
-    entries like ``.data.backup`` are never touched (ADVICE r10).
-    Returns the number of entries removed."""
+    shapes this module generates (``_VERSION_RE``), and — because a
+    12-hex tag also matches an all-digit foreign suffix like
+    ``.backup.old199912312359`` — additionally requires the visible
+    sibling ``{name}`` to exist for the v/b shapes before treating an
+    entry as module-generated (ADVICE r11; a genuine version/build dir
+    always sits beside its live visible name). Swap-temp ``.l`` links
+    are unlinked unconditionally: they are a crashed ``os.replace``
+    staging link, never a data source, and the ones pointing at the
+    CURRENTLY-live target would otherwise dodge the live_targets check
+    forever (ADVICE r11). Dir removal waits ``grace_seconds``
+    (default ``SWEEP_GRACE_SECONDS``) of wall clock after the entry
+    was created/renamed, so external readers mid-scan get real time,
+    not just one audit tick. Returns the number of entries removed."""
+    if grace_seconds is None:
+        grace_seconds = SWEEP_GRACE_SECONDS
     root = os.path.realpath(index_path.rstrip("/"))
     if not os.path.isdir(root):
         return 0
     removed = 0
+    now = time.time()
     for parent, dirs, _files in os.walk(root):
         live_targets = set()
         for e in list(dirs):
@@ -207,12 +242,23 @@ def _sweep_orphans(index_path: str) -> int:
             if m is None:
                 continue
             p = os.path.join(parent, e)
+            if m.group(2) == "l" and os.path.islink(p):
+                os.unlink(p)
+                dirs.remove(e)
+                removed += 1
+                continue
             if os.path.realpath(p) in live_targets:
                 continue
-            if m.group(2) == "old" and not os.path.lexists(
-                os.path.join(parent, m.group(1))
-            ):
+            visible = os.path.lexists(os.path.join(parent, m.group(1)))
+            if m.group(2) == "old" and not visible:
                 continue  # heal's rename-back case, not an orphan
+            if m.group(2) in ("v", "b") and not visible:
+                continue  # foreign all-digit-tag dir, not ours
+            try:
+                if now - os.lstat(p).st_ctime < grace_seconds:
+                    continue  # superseded too recently — readers get time
+            except OSError:
+                continue
             if os.path.islink(p):
                 os.unlink(p)
             else:
@@ -240,7 +286,17 @@ def heal_partition_dirs(index_path: str) -> int:
                 continue
             visible = os.path.join(parent, m.group(1))
             if not os.path.lexists(visible):
-                os.rename(os.path.join(parent, e), visible)
+                # Guard against foreign all-digit tags (``.backup.
+                # old199912312359`` is hex-shaped): a genuine
+                # rename-away victim was a live data dir, so it holds
+                # at least one parquet file (ADVICE r11).
+                src = os.path.join(parent, e)
+                if not any(
+                    n.endswith(".parquet")
+                    for n in os.listdir(os.path.realpath(src))
+                ):
+                    continue
+                os.rename(src, visible)
                 healed += 1
                 dirs.remove(e)
     _sweep_orphans(index_path)

@@ -11,6 +11,14 @@ from pyspark.sql import functions as F
 from meilisync_spark.operators import maintenance as M
 
 
+@pytest.fixture(autouse=True)
+def _no_sweep_grace(monkeypatch):
+    """Most tests here assert the sweep MECHANISM (what gets removed,
+    what survives), so the wall-clock grace window is zeroed; the
+    grace itself is pinned by test_sweep_grace_is_wall_clock."""
+    monkeypatch.setattr(M, "SWEEP_GRACE_SECONDS", 0.0)
+
+
 def _append_batches(spark, path, n_batches, rows_per_batch, partitioned):
     for b in range(n_batches):
         df = spark.range(b * rows_per_batch, (b + 1) * rows_per_batch).select(
@@ -346,6 +354,72 @@ def test_orphan_sweep_spares_foreign_hidden_dirs(spark, tmp_path):
     M.compact_small_files(spark, path)
     for d in foreign:
         assert os.path.isfile(os.path.join(d, "keep.txt")), d
+
+
+def test_foreign_all_digit_tags_survive(spark, tmp_path):
+    """ADVICE r11: an all-digit suffix is valid 12-hex, so shape alone
+    can't prove module ownership. A '.backup.old199912312359' with no
+    parquet inside is neither renamed visible by heal nor swept; a
+    '.stash.v199912312359' with no visible 'stash' sibling survives
+    the sweep."""
+    path = os.path.join(tmp_path, "idx")
+    _append_batches(spark, path, n_batches=9, rows_per_batch=20,
+                    partitioned=True)
+    foreign_old = os.path.join(path, ".backup.old199912312359")
+    foreign_v = os.path.join(path, ".stash.v199912312359")
+    foreign_b = os.path.join(path, ".stash2.b199912312359-0")
+    for d in (foreign_old, foreign_v, foreign_b):
+        os.makedirs(d)
+        with open(os.path.join(d, "keep.txt"), "w") as fh:
+            fh.write("precious")
+    assert M.heal_partition_dirs(path) == 0
+    assert not os.path.exists(os.path.join(path, "backup"))
+    M.compact_small_files(spark, path)
+    for d in (foreign_old, foreign_v, foreign_b):
+        assert os.path.isfile(os.path.join(d, "keep.txt")), d
+
+
+def test_stale_swap_temp_link_is_unlinked(spark, tmp_path):
+    """ADVICE r11: a crashed os.replace leaves '.{name}.l<tag>' behind;
+    one pointing at the CURRENTLY-live version dir used to dodge the
+    live_targets check forever. It is staging garbage, never a data
+    source — unlinked unconditionally."""
+    path = os.path.join(tmp_path, "idx")
+    _append_batches(spark, path, n_batches=9, rows_per_batch=20,
+                    partitioned=True)
+    before = _rows(spark, path)
+    M.compact_small_files(spark, path)  # hb= dirs now symlinks
+    live_target = os.path.realpath(os.path.join(path, "hb=1"))
+    stale = os.path.join(path, ".hb=1.lfeedfacecafe")
+    os.symlink(live_target, stale)
+    M.compact_small_files(spark, path)
+    assert not os.path.lexists(stale)
+    assert _rows(spark, path) == before  # live dir untouched
+
+
+def test_sweep_grace_is_wall_clock(spark, tmp_path, monkeypatch):
+    """ADVICE r11: with compact_every=1 a tick is ~seconds, so the
+    grace is wall-clock, not tick count — a freshly superseded version
+    dir survives ANY number of ticks inside the window and is swept
+    only once it ages past SWEEP_GRACE_SECONDS."""
+    monkeypatch.setattr(M, "SWEEP_GRACE_SECONDS", 3600.0)
+    path = os.path.join(tmp_path, "idx")
+    _append_batches(spark, path, n_batches=9, rows_per_batch=20,
+                    partitioned=True)
+    before = _rows(spark, path)
+    M.compact_small_files(spark, path)
+    superseded = [
+        os.path.join(path, e) for e in os.listdir(path)
+        if (m := M._VERSION_RE.fullmatch(e)) and m.group(2) == "old"
+    ]
+    assert superseded  # the pre-compaction .old dirs
+    for _ in range(3):
+        M.compact_small_files(spark, path)
+    assert all(os.path.exists(p) for p in superseded)  # inside grace
+    monkeypatch.setattr(M, "SWEEP_GRACE_SECONDS", 0.0)
+    M.compact_small_files(spark, path)
+    assert not any(os.path.exists(p) for p in superseded)
+    assert _rows(spark, path) == before
 
 
 def test_mixed_layout_counted_not_compacted(spark, tmp_path):
