@@ -334,13 +334,23 @@ def fingerprint_source_overlap_oracle_sql() -> str:
 def minhash_signatures(docs: DataFrame, words: str | None = None) -> DataFrame:
     """doc_id + 16-permutation minhash signature.
 
-    Shape chosen for scale: one sha256 per shingle (the base hash),
-    then a single left fold over the base hashes whose accumulator is
-    the 16-slot signature array updated with the linear permutations.
-    The fold references the hash array exactly once, so nothing is
-    re-evaluated per permutation (an outer transform over permutations
-    would re-run the whole shingle+sha256 pipeline 16×). Entirely
-    per-row: no shuffle, no UDF.
+    Shape chosen for CPU, validated by measurement (FOLD_MICROBENCH
+    r11, SCALE.md §Round-11/§Round-12): explode the shingles, hash
+    per ROW inside whole-stage codegen, and rebuild the 16-slot
+    signature as 16 ``min()`` aggregates under a map-side-combined
+    ``groupBy(doc_id)``. Spark's higher-order array functions are
+    INTERPRETED, so the per-row fold this replaces (kept as
+    ``minhash_signatures_fold``) paid interpreter dispatch per
+    shingle×permutation — 1.47× slower on the same input with
+    BIT-IDENTICAL output (same base hash, same linear permutations,
+    same min). The added exchange is ~|docs| rows of (doc_id,
+    16 longs) AFTER partial aggregation — at 10⁹ docs that is the
+    same width the band builder ships anyway, and far below the
+    shingle row count the map side collapses.
+
+    One sha256 per shingle (the base hash); the 16 permutations are
+    int64 arithmetic on it (a,b < 2^30 ⇒ a·h+b < 2^62, exact in both
+    engines — the DuckDB oracle twin is unchanged).
 
     ``words``: name of a pre-tokenized (MATERIALIZED — e.g. pinned or
     stored) word-array column. Composed pipelines that already
@@ -350,6 +360,41 @@ def minhash_signatures(docs: DataFrame, words: str | None = None) -> DataFrame:
     build). Without it, text is tokenized here — twice (filter +
     sig), since a projected alias would be substituted back into a
     pushed-down filter anyway."""
+    docs = spread(docs)
+    w = F.col(words) if words else words_col(F.col("text"))
+    sh = shingles_col(w, MH_SHINGLE)
+    h = F.col("_h")
+    return (
+        docs.where(F.size(w) >= MH_SHINGLE)
+        .select("doc_id", F.explode(sh).alias("_sh"))
+        .select(
+            "doc_id",
+            (portable_hash64(F.col("_sh")) % F.lit(MH_BASE_MOD)).alias("_h"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a).cast("long") * h + F.lit(b).cast("long"))
+                    % F.lit(MH_PRIME)
+                ).alias(f"_m{i}")
+                for i, (a, b) in enumerate(MH_PERMS)
+            ]
+        )
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_m{i}") for i in range(NUM_PERM)]).alias("sig"),
+        )
+    )
+
+
+def minhash_signatures_fold(docs: DataFrame, words: str | None = None) -> DataFrame:
+    """The per-row higher-order-function form of ``minhash_signatures``
+    (no shuffle: a single left fold over the shingle hashes whose
+    accumulator is the 16-slot array). Kept as the measurement twin
+    and the bit-parity witness for the explode+codegen rebuild above
+    (tests/test_new_dedup.py pins equality); production callers use
+    ``minhash_signatures``."""
     docs = spread(docs)
     w = F.col(words) if words else words_col(F.col("text"))
     sh = shingles_col(w, MH_SHINGLE)

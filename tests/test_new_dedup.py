@@ -199,3 +199,51 @@ def test_fingerprint_source_overlap_detects_partial_reuse(spark):
     assert all(("C" not in k) for k in fp)
     # exact-hash matrix is blind to the same reuse
     assert exact_source_overlap(docs).count() == 0
+
+
+def test_minhash_explode_rebuild_bit_identical_to_fold(spark):
+    """Round-12 perf lever (SCALE.md §Round-11): the explode+codegen
+    signature build must be BIT-IDENTICAL to the HOF fold it replaces
+    — same base hash, same permutations, same min — across repeated
+    shingles, sub-threshold docs (filtered by both), and single-shingle
+    docs (the fold's init value must never survive)."""
+    import random
+
+    from meilisync_spark.operators.dedup import (
+        MH_SHINGLE,
+        minhash_signatures,
+        minhash_signatures_fold,
+    )
+
+    rng = random.Random(12)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(300):
+        n = rng.choice([0, 1, MH_SHINGLE - 1, MH_SHINGLE, 5, 20, 60])
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows.append((1000, "dup dup dup dup dup"))  # repeated shingles
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: list(r.sig) for r in minhash_signatures(docs).collect()}
+    want = {r.doc_id: list(r.sig)
+            for r in minhash_signatures_fold(docs).collect()}
+    assert got == want
+    assert got  # the filter didn't drop everything
+    assert all(len(s) == 16 for s in got.values())
+
+
+def test_minhash_signatures_plan_shape(spark):
+    """The rebuild's contract with the optimizer: shingle hash per row
+    under codegen (no interpreted HOF fold), ONE hash exchange on
+    doc_id with map-side partial min aggregation before it, and no
+    Python anywhere."""
+    from meilisync_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "partial_min" in plan  # map-side combine before the exchange
+    assert "aggregate(" not in plan  # the interpreted fold is gone
