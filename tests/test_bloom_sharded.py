@@ -261,3 +261,68 @@ def test_rebuild_task_memory_bound_by_shard_groups(spark, tmp_path,
     sb = BS.ShardedBloom(prefix, metas, np.empty((0, 2), dtype=np.int64))
     sb._write_manifest_and_clear_log()
     assert sb.mark(keys, ["a", "b"]).where("NOT maybe_seen").count() == 0
+
+
+def test_load_bloom_converts_at_size_threshold(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #3: the conversion fires when the filter's
+    RIGHT-size for its key count reaches SHARD_CONVERT_BITS — healthy
+    fpp included — not only at cap saturation, so steady-state ingest
+    never pays the in-memory probe tax. Keys-based on purpose: an
+    oversized-but-sparse bitmap (LoggedBloom.fresh allocates
+    DEFAULT_BITS regardless of keys) must NOT convert."""
+    from meilisync_spark.functions.bloom import size_for
+    from meilisync_spark.streaming import corpus_ingest as CI
+
+    n = 300
+    wanted = size_for(int(1.25 * n), fpp=CI.BLOOM_TARGET_FPP,
+                      floor_bits=1 << 12)  # the trigger's floorless form
+    monkeypatch.setattr(CI, "SHARD_CONVERT_BITS", wanted)
+    prefix = os.path.join(tmp_path, "threshold")
+    keys = _keys(spark, 0, n)
+    idx_path = os.path.join(tmp_path, "index")
+    keys.write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    # 300 keys in 2^14 bits: fpp is HEALTHY — only the size triggers
+    main = B.build_from_df(index, ["a", "b"], n_bits=1 << 14)
+    B.LoggedBloom.from_main(prefix, main)
+    assert main.projected_fpp() < CI.BLOOM_REBUILD_FPP
+
+    got = CI._load_bloom(prefix, index, ["a", "b"], True)
+    assert isinstance(got, BS.ShardedBloom)
+    # no false negatives across the conversion
+    assert got.mark(keys, ["a", "b"]).where("NOT maybe_seen").count() == 0
+    # the logged main file is retired
+    assert not os.path.exists(B.LoggedBloom._main_path(prefix))
+
+    # the non-trigger side: an EMPTY fresh sidecar (oversized default
+    # bitmap, zero keys) stays logged under the production threshold
+    prefix2 = os.path.join(tmp_path, "fresh")
+    monkeypatch.setattr(CI, "SHARD_CONVERT_BITS", 1 << 26)
+    fresh = B.LoggedBloom.fresh(prefix2)
+    assert fresh.main.n_bits >= (1 << 26)  # oversized by default...
+    got2 = CI._load_bloom(prefix2, None, ["a", "b"], True)
+    assert isinstance(got2, B.LoggedBloom)  # ...but keys say no
+
+
+def test_load_bloom_fresh_build_goes_sharded_past_threshold(
+        spark, tmp_path, monkeypatch):
+    """Bootstrapping a legacy index big enough that its right-sized
+    bitmap would land past the threshold builds the sharded form
+    directly (no throwaway giant single bitmap)."""
+    from meilisync_spark.streaming import corpus_ingest as CI
+
+    monkeypatch.setattr(CI, "SHARD_CONVERT_BITS", 1 << 13)
+    prefix = os.path.join(tmp_path, "boot")
+    keys = _keys(spark, 0, 3000)
+    idx_path = os.path.join(tmp_path, "index")
+    keys.write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    # no sidecar on disk; 3000 keys want far more than 2^13 bits
+    got = CI._load_bloom(prefix, index, ["a", "b"], True)
+    assert isinstance(got, BS.ShardedBloom)
+    assert got.mark(keys, ["a", "b"]).where("NOT maybe_seen").count() == 0
+    # below the threshold the fresh build stays logged
+    prefix2 = os.path.join(tmp_path, "boot2")
+    monkeypatch.setattr(CI, "SHARD_CONVERT_BITS", 1 << 30)
+    got2 = CI._load_bloom(prefix2, index, ["a", "b"], True)
+    assert isinstance(got2, B.LoggedBloom)
