@@ -1726,11 +1726,11 @@ def approx_user_counts(spark, sf_dir):
 @register(
     "kmeans_labels",
     None,  # iterative — non-SQL-expressible; independently replicated in
-           # numpy and compared exactly (tests/test_kmeans.py)
+           # numpy and compared exactly (tests/test_kmeans.py). Driver-
+           # facing since round 12: runs under the rows-only check.
     doc="Exact fixed-point Lloyd iterations (3×) seeding the IVF coarse "
         "quantizer: one corpus pass per iteration, per-batch partial "
         "sums (map-side combine), deterministic across partitionings.",
-    driver_facing=False,
 )
 def q_kmeans_labels(spark, sf_dir):
     from meilisync_spark.operators.kmeans import kmeans_labels
@@ -1798,7 +1798,10 @@ def q_ivfpq_recall(spark, sf_dir):
 def q_ivfpq_persisted_recall(spark, sf_dir):
     from meilisync_spark.operators.ivfpq import ivfpq_persisted_recall
 
-    return ivfpq_persisted_recall(spark, _t(spark, sf_dir, "embeddings"))
+    return ivfpq_persisted_recall(
+        spark, _t(spark, sf_dir, "embeddings"),
+        cache_dir=_ann_served_cache_dir(sf_dir, "idxpers"),
+    )
 
 
 @register(
@@ -1816,7 +1819,10 @@ def q_ivfpq_persisted_recall(spark, sf_dir):
 def q_ann_incremental_recall(spark, sf_dir):
     from meilisync_spark.operators.ivfpq import ivfpq_incremental_recall
 
-    return ivfpq_incremental_recall(spark, _t(spark, sf_dir, "embeddings"))
+    return ivfpq_incremental_recall(
+        spark, _t(spark, sf_dir, "embeddings"),
+        cache_dir=_ann_served_cache_dir(sf_dir, "idxbase"),
+    )
 
 
 @register(
@@ -1832,7 +1838,10 @@ def q_ann_incremental_recall(spark, sf_dir):
 def q_ann_nprobe_recall(spark, sf_dir):
     from meilisync_spark.operators.ivfpq import ann_nprobe_recall
 
-    return ann_nprobe_recall(spark, _t(spark, sf_dir, "embeddings"))
+    return ann_nprobe_recall(
+        spark, _t(spark, sf_dir, "embeddings"),
+        cache_dir=_ann_served_cache_dir(sf_dir, "idxk20"),
+    )
 
 
 @register(
@@ -1920,14 +1929,17 @@ def q_layout_report(spark, sf_dir):
     return layout_report(spark, sf_dir)
 
 
-def _ann_served_cache_dir(sf_dir: str) -> str:
-    """Deterministic per-corpus cache dir for the train-once serving
-    row: keyed by the embeddings table's path + mtime + size AND the
+def _ann_served_cache_dir(sf_dir: str, tag: str = "idx") -> str:
+    """Deterministic per-corpus cache dir for the train-once rows:
+    keyed by the embeddings table's path + mtime + size AND the
     index format version (a code change to the quantizer math bumps it,
     so a stale index built by older code is never silently served).
-    Lives under a uid-keyed mode-0700 root — a world-writable shared
-    /tmp name would let another user's dir (or a planted symlink) be
-    trusted as the index."""
+    ``tag`` separates artifacts built with different trainer configs
+    (served default, nprobe's kcells=20, incremental's base-3/4,
+    persisted's books-sidecar layout). Lives under a uid-keyed
+    mode-0700 root — a world-writable shared /tmp name would let
+    another user's dir (or a planted symlink) be trusted as the
+    index."""
     import hashlib
     import os
     import tempfile
@@ -1944,7 +1956,7 @@ def _ann_served_cache_dir(sf_dir: str) -> str:
         tempfile.gettempdir(), f"mls_ann_serving_{os.getuid()}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
-    return os.path.join(root, f"idx_{key}")
+    return os.path.join(root, f"{tag}_{key}")
 
 
 from meilisync_spark.operators.ivfpq import (  # noqa: E402
@@ -1978,7 +1990,11 @@ def q_ann_query_served(spark, sf_dir):
         "the same cell-restricted ADC probe and byte budget: raw codes "
         "0.275 (per-cell collapse) vs residual codes 0.625 on the "
         "clustered twin; corpus-wide residual ADC collapses to ~0.08 — "
-        "why IVF and residual-PQ only exist as a pair.",
+        "why IVF and residual-PQ only exist as a pair. Deliberately NOT "
+        "train-once-cached (VERDICT r11 #4): the two PQ trainings over "
+        "different encodings of the same corpus ARE the ablation — "
+        "caching one side would compare a fresh trainer against a "
+        "stored one.",
     driver_facing=False,
 )
 def q_ivfpq_residual_ablation(spark, sf_dir):
@@ -2664,12 +2680,12 @@ from meilisync_spark.operators.text import compression_ratio as _compression_rat
 
 @register(
     "compression_ratio",
-    None,
+    None,  # no zlib in DuckDB; pinned against direct zlib in tests.
+           # Driver-facing since round 12: rows-only check.
     doc="zlib compression-ratio quality signal (Gopher/RefinedWeb): the "
         "one text op that genuinely needs Python — Arrow mapInPandas, "
         "vectorized per batch; no SQL oracle (no zlib in DuckDB), pinned "
         "against direct zlib in tests.",
-    driver_facing=False,
 )
 def q_compression_ratio(spark, sf_dir):
     return _compression_ratio(_t(spark, sf_dir, "documents"))
@@ -2788,102 +2804,89 @@ def q_cluster_safe_split(spark, sf_dir):
 # of the driver. Names not listed here sort after the listed ones in
 # registration order.
 DRIVER_ORDER = [
-    # Round 11 rotates six long-stable rows out of the window, each
-    # shape-subsumed by a row that stays (all six remain oracle-checked
-    # by driver_sim --all): cosine_topk (ann_query_served's oracle IS
-    # the brute-force top-k), embedding_neardup_pairs (semantic_dedup
-    # keeps the cell-blocked cosine shape), events_trailing_1h
-    # (event_sessions + top_customers_per_nation keep window coverage;
-    # retention_cohorts entering adds the date-cohort window),
-    # dsir_weights (both dsir_select forms stay and build on it),
-    # budget_select (its scalable twin stays), text_embeddings
-    # (label_centroids + semantic_dedup keep the embedding path). In:
-    # six rows that had never been in any CORRECTNESS window —
-    # quality_filter, pii_scrub, fingerprint_source_overlap,
-    # pack_sequences, retention_cohorts, streaming_maxwell_apply.
+    # Round 12 is the backlog-clearing rotation (VERDICT r11 tasks 2+7):
+    # THIRTEEN rows that had never been in any CORRECTNESS window enter
+    # — eleven oracle-backed (canal_roundtrip, corpus_pipeline,
+    # exact_source_overlap, training_order,
+    # customer_spend_quartiles_scalable, event_funnel,
+    # unigram_freq_score, bigram_lm_score, dedup_clusters_verified,
+    # srp_ann_topk, profile_documents) and two sql=None rows under the
+    # driver's rows-only check (kmeans_labels, compression_ratio).
+    # Thirteen long-stable rows rotate out, each shape-subsumed by a
+    # row that stays and all still oracle-checked by driver_sim --all:
+    # sync_dates (projection/ISO kept by sync_lineitem +
+    # retention_cohorts' DATE render), wal2json_v2_roundtrip (envelope
+    # construct+parse kept by canal_roundtrip + streaming_maxwell_apply),
+    # decontaminate (runs inside corpus_pipeline_full/corpus_pipeline),
+    # source_overlap (exact_source_overlap keeps the histogram-overlap
+    # shape; fingerprint_source_overlap stays), dsir_select (scalable
+    # twin stays), q5_region_revenue (join+agg kept by cube_order_stats
+    # + customer_spend_quartiles_scalable), top_customers_per_nation
+    # (ranked windows kept by event_funnel + event_sessions),
+    # text_stats (quality_filter + the two LM-score rows keep text
+    # scoring), vocab_encode (global-rank encode kept by bpe_encode_oov
+    # + unigram/bigram vocab joins), dedup_clusters (verified twin
+    # subsumes: same label propagation + exact-Jaccard edge filter),
+    # ann_ivf_label (ann_query_served + srp_ann_topk keep both ANN
+    # families), label_centroids (kmeans_labels + semantic_dedup keep
+    # the embedding path), multimodal_frames (multimodal_meta keeps the
+    # Arrow binary plumbing), pivot_priority_status (cube_order_stats
+    # keeps grouped aggregates).
+    # Earlier rotations: r11 brought in quality_filter, pii_scrub,
+    # fingerprint_source_overlap, pack_sequences, retention_cohorts,
+    # streaming_maxwell_apply; r10 brought in streaming_corpus_ingest,
+    # dsir_select, decontaminate, source_overlap; r9 brought in
+    # budget_select_scalable, bpe_encode_oov_fast, layout_report.
     # reference-parity core (S/P/A/F/T families).
-    # Round 10 rotates four long-stable rows out of the window
-    # (sync_orders — green since round 1, same projection/normalize
-    # shape as sync_lineitem+sync_dates which stay; q3_top_orders —
-    # green since round 1, its join+agg+top-k shape subsumed by
-    # q5_region_revenue and ann_query_served's exact top-k oracle;
-    # exact_dedup — green since round 1, its hash-groupBy stage runs
-    # inside corpus_pipeline_full which stays; split_assign — green
-    # since round 2, portable-hash sampling subsumed by
-    # temperature_resample; all four remain oracle-checked by
-    # driver_sim --all) so the driver's own record certifies four
-    # rows that have never been in any CORRECTNESS window:
-    # streaming_corpus_ingest, dsir_select, decontaminate,
-    # source_overlap (see their entries below).
     "sync_lineitem",
-    "sync_dates",
     "normalize_events",
     "compact_events",
     "split_by_op",
     "cdc_apply",
     "check_counts",
-    # envelope-connector coverage: the wal2json roundtrip certifies the
-    # construct+parse path of the CDC envelope normalizers in-window —
-    # wal2json because it is the REFERENCE's own Postgres transport.
-    # Round 5 swaps the pure-v1 row (green in r4) for the MIXED v1+v2
-    # row, which subsumes it and adds the format-v2 parser + per-row
-    # auto dispatch; wal2json_roundtrip, maxwell_roundtrip and
-    # canal_roundtrip stay oracle-checked by driver_sim --all.
-    "wal2json_v2_roundtrip",
-    # round-10 rotation, in: the streaming corpus-ingest row (the
-    # foreachBatch owner whose bloom sidecars and compaction cadence
-    # rounds 9-10 hardened — the driver now certifies its end state,
-    # not just the local suite + driver_sim), the decontamination and
-    # source-overlap halves of the curation story, and the
-    # exact-window DSIR selection twin (its scalable form entered in
-    # round 8; now both contracts are driver-certified)
+    # envelope-connector coverage: round 12 swaps the wal2json row
+    # (green r5-r11) for canal_roundtrip — the Alibaba Canal envelope's
+    # stringly-typed values + isDdl filter path, never driver-checked
+    # before; wal2json v1/v2 and maxwell roundtrips stay oracle-checked
+    # by driver_sim --all.
+    "canal_roundtrip",
     "streaming_corpus_ingest",
-    "decontaminate",
-    "source_overlap",
-    # round-11 rotation, in: the rolling-hash fingerprint half of the
-    # provenance story (source_overlap certified the 8-gram half in
-    # r10)
+    # round-12: the quality-gate + exact-dedup + near-dup composition
+    # WITHOUT the decontamination arm — the curation pipeline most
+    # corpora run per-source before cross-source decon; never
+    # driver-checked before (corpus_pipeline_full, which stays below,
+    # certifies the full composition).
+    "corpus_pipeline",
+    # round-12: the content-hash half of the provenance story
+    # (fingerprint_source_overlap keeps the winnowing half in-window).
+    "exact_source_overlap",
     "fingerprint_source_overlap",
-    "dsir_select",
-    # relational coverage: joins, aggs, grouping sets, windows, pivot.
-    # Round 9 rotates three long-stable rows out of the window
-    # (q1_pricing_summary, tfidf_top_terms, multimodal_resize — all
-    # green since rounds 1-2, shape-subsumed by rows that stay:
-    # cube_order_stats for grouped agg, text_stats+vocab_encode for
-    # text scoring, multimodal_meta/frames for the Arrow binary
-    # plumbing; all three remain oracle-checked by driver_sim --all)
-    # so the driver's own record certifies the round-8 surface:
-    # budget_select_scalable, bpe_encode_oov_fast, layout_report.
-    "q5_region_revenue",
-    "top_customers_per_nation",
-    # Round 8 rotates four long-stable relational rows out of the
-    # window (hourly_event_stats, brand_revenue,
-    # customer_spend_quartiles, event_zscores — all green since rounds
-    # 1-3, each subsumed shape-wise by a row that stays: q5/q1 for
-    # join+agg, top_customers_per_nation + events_trailing_1h for
-    # windows; all four remain oracle-checked by driver_sim --all) so
-    # the driver's own record certifies the round-7 corpus-selection
-    # surface: budget_select, dsir_select_scalable, cluster_safe_split,
-    # text_embeddings (see the selection/similarity entries below).
+    # round-12: curriculum ordering over the selected corpus — the
+    # deterministic interleave that feeds pack_sequences downstream.
+    "training_order",
+    # relational coverage: joins, aggs, grouping sets, windows.
+    # round-12: the scalable quartile row — percentile cuts from the
+    # bounded (lang-free) group table, no per-row window — enters;
+    # q5_region_revenue (green since r1) rotates out.
+    "customer_spend_quartiles_scalable",
+    # round-12: strict-order event funnel (search→click→purchase via
+    # min-timestamp chaining) — sequential event-time logic the session
+    # row doesn't cover.
+    "event_funnel",
     "cube_order_stats",
-    "pivot_priority_status",
     # round-11 rotation, in: month-cohort retention matrix — date
     # windows + the DATE-render contract in the driver's own
-    # comparator (events_trailing_1h rotated out, see header)
+    # comparator
     "retention_cohorts",
     "asof_purchase_view",
     "event_sessions",
-    # text analysis — bpe_encode_oov_fast enters in round 9: the
-    # production OOV encoder (classic lowest-rank loop over distinct
-    # unseen words) certified by the driver's own comparator, not just
-    # the local suite
-    "text_stats",
+    # text analysis — round-12: the two fixed-point language-model
+    # score rows enter (never driver-checked): unigram surprisal and
+    # the add-one-smoothed bigram LM, both integer-exact until the
+    # final IEEE division.
+    "unigram_freq_score",
+    "bigram_lm_score",
     "bpe_encode_oov_fast",
-    "vocab_encode",
-    # round-11 rotation, in: the Gopher/C4 quality gate, the PII
-    # scrubber, and the training sequence packer — the curation rows a
-    # 100-TB pipeline runs on every document, never driver-certified
-    # before
     "quality_filter",
     "pii_scrub",
     "pack_sequences",
@@ -2894,48 +2897,51 @@ DRIVER_ORDER = [
     # subsumes it) for the composed-curation flagship row
     "corpus_pipeline_full",
     "simhash_neardup_pairs",
-    "dedup_clusters",
-    # embedding_neardup_pairs rotated out in round 11 (semantic_dedup
-    # keeps the cell-blocked cosine shape in-window)
+    # round-12: the VERIFIED cluster row (LSH candidates → exact-
+    # Jaccard edges → diameter-bounded label propagation) replaces the
+    # unverified dedup_clusters — same propagation core plus the edge
+    # filter, so it subsumes it.
+    "dedup_clusters_verified",
     # span_dedup moved out of the window (span_removal subsumes the
     # detection half and adds the excision Lee et al. actually perform)
     "span_removal",
-    # sampling (split_assign rotated out in round 10, see header note)
     "temperature_resample",
-    # similarity / embeddings (cosine_topk rotated out in round 11 —
-    # ann_query_served's oracle is the brute-force top-k itself)
-    "ann_ivf_label",
-    # cosine_topk_blas moved out (same results as cosine_topk via the
-    # BLAS kernel; still oracle-checked by driver_sim --all) to make
-    # room for the envelope-connector row above. ann_recall_at_k also
-    # moved out: the clustered twin is the positive recall
-    # demonstration the ANN story needs in the driver window.
-    # Round 5 swaps ann_recall_clustered (label-probe recall row, green
-    # r3-r4, still driver_sim-checked) for the SERVED-index row: its
-    # oracle is the brute-force top-k itself, so hash equality
-    # certifies recall 1.0 through the full build-once → store →
-    # route → prune → ADC → refine serving lifecycle
+    # similarity / embeddings — round-12: the signed-random-projection
+    # ANN family's flagship (Hamming-bucket shortlist → exact top-k)
+    # enters; ann_ivf_label rotates out (ann_query_served keeps the
+    # IVF+PQ serving lifecycle in-window).
+    "srp_ann_topk",
+    # round-12: the SRP recall row on the clustered corpus — the
+    # positive recall demonstration for the Hamming-bucket family
+    # (its oracle computes recall@k against brute force exactly).
+    "srp_recall_clustered",
+    # Round 5 swapped in the SERVED-index row: its oracle is the
+    # brute-force top-k itself, so hash equality certifies recall 1.0
+    # through the full build-once → store → route → prune → ADC →
+    # refine serving lifecycle
     "ann_query_served",
-    # embedding_quantize moved out of the window in round 7 (simple
-    # per-vector transform; similarity keeps cosine_topk, ann_ivf_label,
-    # ann_query_served, label_centroids, semantic_dedup in-window; still
-    # oracle-checked by driver_sim --all) to surface the new corpus-
-    # selection family's flagship row:
-    # dsir_weights, budget_select and text_embeddings rotated out in
-    # round 11 (see header); the scalable selection twins stay
+    # round-12, rows-only: exact fixed-point Lloyd iterations — the
+    # IVF coarse quantizer's trainer (iterative, non-SQL-expressible;
+    # numpy-replicated exactly in tests/test_kmeans.py).
+    "kmeans_labels",
     "dsir_select_scalable",
     "budget_select_scalable",
     "cluster_safe_split",
-    "label_centroids",
+    # round-12: the per-source corpus profiling row (length/token/lang
+    # histograms feeding curation decisions), never driver-checked.
+    "profile_documents",
     "semantic_dedup",
+    # round-12, rows-only: the zlib compression-ratio quality signal —
+    # the one text op that genuinely needs Python (Arrow mapInPandas;
+    # no zlib in DuckDB), pinned against direct zlib in tests.
+    "compression_ratio",
     # operational tooling: the layout doctor's audit row (rows-only —
     # footer metadata; the DuckDB parquet_metadata cross-check lives in
     # tests/test_layout.py)
     "layout_report",
     # multimodal plumbing
     "multimodal_meta",
-    "multimodal_frames",
-    # structured streaming — streaming_maxwell_apply enters in round
+    # structured streaming — streaming_maxwell_apply entered in round
     # 11: the maxwell-envelope → normalize → MERGE-apply path certified
     # end-to-end by the driver, not just its roundtrip half
     "streaming_cdc_apply",
