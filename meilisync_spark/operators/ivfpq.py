@@ -72,6 +72,48 @@ def _adc_scored(
     return out.where(F.col("neighbor_id") != F.col("q_id")) if exclude_self else out
 
 
+def _encode_assign(emb: DataFrame, books, centq) -> DataFrame:
+    """``(vec_id, codes, cluster)`` in ONE corpus pass: PQ-encode and
+    nearest-centroid cell assignment fused into a single mapInPandas
+    (both quantizers ride in the closure). Per-row math is identical to
+    ``pq_encode`` + ``kmeans.assign_cells``; what disappears is the
+    former ``join(..., "vec_id")`` between the two passes — a corpus-
+    wide exchange of BOTH mapInPandas outputs that existed only to
+    reunite columns computed from the same row (guide §2.4: remove
+    shuffles outright). At 10⁹ vectors that join was two full-corpus
+    shuffles; now the only exchange left in index building is the
+    cluster-repartition the partitioned write genuinely needs."""
+    from meilisync_spark.operators.pq import _worker_helpers
+
+    m = books.shape[0]
+    _qz, _sp = _worker_helpers()
+
+    def run(batches, _books=books, _centq=centq, _sp=_sp, _qz=_qz, _m=m):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            Xq = _qz(list(pdf["embedding"]))
+            Xs = _sp(Xq, _m)
+            codes = []
+            for s in range(_m):
+                d = ((Xs[s][:, None, :] - _books[s][None, :, :]) ** 2).sum(axis=2)
+                codes.append(d.argmin(axis=1))
+            dc = ((Xq[:, None, :] - _centq[None, :, :]) ** 2).sum(axis=2)
+            cl = dc.argmin(axis=1)  # lowest index on ties, same as training
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": [list(map(int, row)) for row in zip(*codes)],
+                    "cluster": cl.astype("int32"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, codes array<int>, cluster int"
+    )
+
+
 def ivfpq_index(
     emb: DataFrame, *, with_centroids: bool = False, kcells: int | None = None
 ):
@@ -83,17 +125,52 @@ def ivfpq_index(
     trainings iterate corpus passes over it. ``kcells`` overrides the
     coarse quantizer's cell count (more cells ⇒ finer pruning, lower
     per-cell recall at nprobe=1 — the knob :func:`ann_nprobe_recall`
-    measures)."""
+    measures).
+
+    The two trainings are INDEPENDENT given the pinned corpus, so they
+    run on two driver threads (guide §2.6 — actions are sequential
+    only because driver code calls them sequentially): each training is
+    a chain of small per-iteration jobs, and overlapping the chains
+    hides one behind the other. The pin is materialized once (by the
+    seed collect below) BEFORE the threads start so neither recomputes
+    the scan lineage."""
+    from pyspark import inheritable_thread_target
+    from threading import Thread
+
     from meilisync_spark.operators.kmeans import (
         K_DEFAULT,
-        assign_cells,
         kmeans_centroids,
     )
 
     emb = emb.localCheckpoint(False, storageLevel=_SER)
-    books = pq_codebooks(emb)
-    centq = kmeans_centroids(emb, k=kcells or K_DEFAULT)
-    idx = pq_encode(emb, books).join(assign_cells(emb, centq), "vec_id")
+    result: dict = {}
+    errors: list = []
+
+    def _run(key, fn):
+        try:
+            result[key] = fn()
+        except BaseException as e:  # re-raised on the caller thread
+            errors.append(e)
+
+    # materialize the pin with one cheap action before forking: two
+    # concurrent first-jobs would otherwise both compute the checkpoint
+    emb.where(F.col("vec_id") < 0).count()
+    threads = [
+        Thread(target=inheritable_thread_target(lambda k=k, f=f: _run(k, f)),
+               daemon=True)
+        for k, f in (
+            ("books", lambda: pq_codebooks(emb)),
+            ("centq", lambda: kmeans_centroids(emb, k=kcells or K_DEFAULT)),
+        )
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    books, centq = result["books"], result["centq"]
+    idx = _encode_assign(emb, books, centq)
     return (idx, books, centq) if with_centroids else (idx, books)
 
 
@@ -694,8 +771,6 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
     time is quantizer fit (cells drift, codebooks stop matching the
     data distribution) — watch :func:`index_stats` and rebuild with
     :func:`save_index` when :func:`retrain_due`."""
-    from meilisync_spark.operators.kmeans import assign_cells
-
     books, centq = load_index_meta(index_path)
     # EVERY row's dimension is checked (one distinct-scan over the
     # batch), not just the first: a ragged batch would otherwise bypass
@@ -713,11 +788,10 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         )
     emb = collapse_add_batch(emb)
     # pin the encoded batch: the dedup collect, the anti-join and the
-    # append would otherwise each replay the two mapInPandas passes
-    new = (
-        pq_encode(emb, books)
-        .join(assign_cells(emb, centq), "vec_id")
-        .localCheckpoint(True, storageLevel=_SER)
+    # append would otherwise each replay the encode pass (fused
+    # encode+assign — same single-pass shape as index building)
+    new = _encode_assign(emb, books, centq).localCheckpoint(
+        True, storageLevel=_SER
     )
     if dedup:
         touched = sorted(

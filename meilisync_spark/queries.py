@@ -1798,10 +1798,10 @@ def q_ivfpq_recall(spark, sf_dir):
 def q_ivfpq_persisted_recall(spark, sf_dir):
     from meilisync_spark.operators.ivfpq import ivfpq_persisted_recall
 
-    return ivfpq_persisted_recall(
-        spark, _t(spark, sf_dir, "embeddings"),
-        cache_dir=_ann_served_cache_dir(sf_dir, "idxpers"),
-    )
+    # per-invocation temp-dir build (no cross-run cache): the round-12
+    # optimization rules require every invocation to compute from the
+    # parquet inputs
+    return ivfpq_persisted_recall(spark, _t(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -1819,10 +1819,8 @@ def q_ivfpq_persisted_recall(spark, sf_dir):
 def q_ann_incremental_recall(spark, sf_dir):
     from meilisync_spark.operators.ivfpq import ivfpq_incremental_recall
 
-    return ivfpq_incremental_recall(
-        spark, _t(spark, sf_dir, "embeddings"),
-        cache_dir=_ann_served_cache_dir(sf_dir, "idxbase"),
-    )
+    # per-invocation build (no cross-run cache) — see ivfpq_persisted_recall
+    return ivfpq_incremental_recall(spark, _t(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -1838,10 +1836,8 @@ def q_ann_incremental_recall(spark, sf_dir):
 def q_ann_nprobe_recall(spark, sf_dir):
     from meilisync_spark.operators.ivfpq import ann_nprobe_recall
 
-    return ann_nprobe_recall(
-        spark, _t(spark, sf_dir, "embeddings"),
-        cache_dir=_ann_served_cache_dir(sf_dir, "idxk20"),
-    )
+    # per-invocation build (no cross-run cache) — see ivfpq_persisted_recall
+    return ann_nprobe_recall(spark, _t(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -1858,7 +1854,12 @@ def q_ann_nprobe_recall(spark, sf_dir):
 def q_bpe_merges(spark, sf_dir):
     from meilisync_spark.operators.bpe import bpe_merge_table
 
-    return bpe_merge_table(_t(spark, sf_dir, "documents"))
+    # trainer="driver": the indexed in-process learner over the bounded
+    # weighted-word table — IDENTICAL merges to the Catalyst fold loop
+    # (equality pinned in tests/test_bpe.py), measured 77 sequential
+    # jobs -> ~6 at sf0.1 (one scheduler round-trip per merge is the
+    # whole cost of the fold form; see OPTIMIZATION_r12.md §bpe)
+    return bpe_merge_table(_t(spark, sf_dir, "documents"), trainer="driver")
 
 
 @register(
@@ -1873,7 +1874,9 @@ def q_bpe_merges(spark, sf_dir):
 def q_bpe_encode_stats(spark, sf_dir):
     from meilisync_spark.operators.bpe import bpe_encode_stats
 
-    return bpe_encode_stats(_t(spark, sf_dir, "documents"))
+    # trainer="driver": identical merges/vocab, ~70 fewer sequential
+    # jobs (see q_bpe_merges)
+    return bpe_encode_stats(_t(spark, sf_dir, "documents"), trainer="driver")
 
 
 @register(
@@ -1906,7 +1909,9 @@ def q_bpe_encode_oov_fast(spark, sf_dir):
             " ",
         ).alias("text"),
     )
-    return bpe_encode_stats(docs, train_docs=train, oov_encoder="fast")
+    return bpe_encode_stats(
+        docs, train_docs=train, oov_encoder="fast", trainer="driver"
+    )
 
 
 @register(
@@ -1929,34 +1934,27 @@ def q_layout_report(spark, sf_dir):
     return layout_report(spark, sf_dir)
 
 
-def _ann_served_cache_dir(sf_dir: str, tag: str = "idx") -> str:
-    """Deterministic per-corpus cache dir for the train-once rows:
-    keyed by the embeddings table's path + mtime + size AND the
-    index format version (a code change to the quantizer math bumps it,
-    so a stale index built by older code is never silently served).
-    ``tag`` separates artifacts built with different trainer configs
-    (served default, nprobe's kcells=20, incremental's base-3/4,
-    persisted's books-sidecar layout). Lives under a uid-keyed
-    mode-0700 root — a world-writable shared /tmp name would let
-    another user's dir (or a planted symlink) be trusted as the
-    index."""
-    import hashlib
+_ANN_RUN_ROOT: list = []  # [path] once created; rmtree'd at exit
+
+
+def _ann_fresh_dir(tag: str = "idx") -> str:
+    """A FRESH per-invocation build dir for the serving row (round-12
+    optimization rules): every invocation trains its index from the
+    parquet inputs — nothing is keyed on the corpus fingerprint and
+    nothing persists across bench/oracle invocations. Dirs live under
+    one uid+pid-scoped mode-0700 root that is removed atexit (the
+    returned DataFrame reads the index lazily, so the dir must outlive
+    the query fn itself)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    from meilisync_spark.operators.ivfpq import ANN_INDEX_FORMAT_VERSION
-
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(p)
-    key = hashlib.sha1(
-        f"v{ANN_INDEX_FORMAT_VERSION}:{os.path.abspath(p)}:"
-        f"{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(
-        tempfile.gettempdir(), f"mls_ann_serving_{os.getuid()}"
-    )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    return os.path.join(root, f"{tag}_{key}")
+    if not _ANN_RUN_ROOT:
+        root = tempfile.mkdtemp(prefix=f"mls_ann_run_{os.getuid()}_")
+        _ANN_RUN_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=_ANN_RUN_ROOT[0])
 
 
 from meilisync_spark.operators.ivfpq import (  # noqa: E402
@@ -1967,19 +1965,19 @@ from meilisync_spark.operators.ivfpq import (  # noqa: E402
 @register(
     "ann_query_served",
     _ann_served_sql(),
-    doc="Train-once serving: the index is built AT MOST ONCE per corpus "
-        "fingerprint (cached dir); the row measures/verifies only the "
-        "query-side path — stored-centroid routing, partition-pruned "
-        "code scan, ADC rank, exact refine. Oracle = brute-force cosine "
-        "top-k on the clustered twin, so hash equality certifies the "
-        "served probe recovered the TRUE top-k (recall 1.0), not just "
-        "row counts.",
+    doc="The serving lifecycle end to end: build the index AT REST "
+        "(save_index into a fresh per-invocation dir — nothing cached "
+        "across runs), then the query-side path — stored-centroid "
+        "routing, partition-pruned code scan, ADC rank, exact refine. "
+        "Oracle = brute-force cosine top-k on the clustered twin, so "
+        "hash equality certifies the served probe recovered the TRUE "
+        "top-k (recall 1.0), not just row counts.",
 )
 def q_ann_query_served(spark, sf_dir):
     from meilisync_spark.operators.ivfpq import ann_query_served
 
     return ann_query_served(
-        spark, _t(spark, sf_dir, "embeddings"), _ann_served_cache_dir(sf_dir)
+        spark, _t(spark, sf_dir, "embeddings"), _ann_fresh_dir("idx")
     )
 
 

@@ -38,7 +38,7 @@ def probe(spark, name: str, sf_dir: str) -> dict:
     spark.catalog.clearCache()
     sc._jvm.System.gc()
 
-    tracker = sc._jsc.sc().statusTracker()
+    tracker = sc.statusTracker()
     group = f"probe_{name}"
     sc.setJobGroup(group, name)
     t0 = time.perf_counter()
@@ -51,14 +51,14 @@ def probe(spark, name: str, sf_dir: str) -> dict:
         info = tracker.getJobInfo(jid)
         if info is None:
             continue
-        sids = list(info.stageIds())
+        sids = list(info.stageIds)
         ns, ntasks, desc = len(sids), 0, ""
         for s in sids:
             si = tracker.getStageInfo(s)
             if si is not None:
-                ntasks += si.numTasks()
+                ntasks += si.numTasks
                 if not desc:
-                    desc = si.name()
+                    desc = si.name
         jobs.append({"job": jid, "stages": ns, "tasks": ntasks, "first_stage": desc[:60]})
     spark.catalog.clearCache()
     return {
