@@ -765,13 +765,20 @@ def connected_components(
     )
     labels = labels.localCheckpoint(True, storageLevel=_SER)
 
-    def _step(labels: DataFrame) -> DataFrame:
+    from pyspark.sql import Observation
+
+    def _step(labels: DataFrame):
+        """One propagation round. Returns (new labels, changed count).
+        The changed-count rides the checkpoint job as an observed
+        metric — previously a SEPARATE probe action per round, i.e.
+        one extra scan of the labels every iteration."""
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        return (
+        obs = Observation()
+        stepped = (
             labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
             .select(
                 "doc_id",
@@ -781,15 +788,20 @@ def connected_components(
                     F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("cluster_id") != F.col("_prev"), 1).otherwise(0)
+                ).alias("changed"),
+            )
             .localCheckpoint(True, storageLevel=_SER)
         )
+        return stepped.select("doc_id", "cluster_id"), int(obs.get["changed"] or 0)
 
     converged = False
     for _ in range(max_iters):
-        stepped = _step(labels)
-        labels = stepped.select("doc_id", "cluster_id")
-        # any label changed this round? (limit(1) short-circuits the scan)
-        if stepped.where(F.col("cluster_id") != F.col("_prev")).limit(1).count() == 0:
+        labels, changed = _step(labels)
+        if changed == 0:
             converged = True
             break
     if not converged:
@@ -799,8 +811,8 @@ def connected_components(
         # max_iters would be labeled correctly yet reported as failed.
         # One extra (label-preserving by definition if converged) probe
         # settles it without granting any additional improvement round.
-        probe = _step(labels)
-        if probe.where(F.col("cluster_id") != F.col("_prev")).limit(1).count() == 0:
+        _, changed = _step(labels)
+        if changed == 0:
             converged = True
     edges.unpersist()
     pairs.unpersist()

@@ -104,7 +104,9 @@ def _encode_assign(emb: DataFrame, books, centq) -> DataFrame:
             yield _pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
-                    "codes": [list(map(int, row)) for row in zip(*codes)],
+                    # C-level transpose+tolist beats a per-row python
+                    # int loop; identical (n, m) int lists
+                    "codes": _np.stack(codes, axis=1).tolist(),
                     "cluster": cl.astype("int32"),
                 }
             )
@@ -131,9 +133,11 @@ def ivfpq_index(
     run on two driver threads (guide §2.6 — actions are sequential
     only because driver code calls them sequentially): each training is
     a chain of small per-iteration jobs, and overlapping the chains
-    hides one behind the other. The pin is materialized once (by the
-    seed collect below) BEFORE the threads start so neither recomputes
-    the scan lineage."""
+    hides one behind the other. BOTH trainers seed from a deterministic
+    vec_id prefix of the same pinned corpus, so ONE collect (which also
+    materializes the pin before the threads fork) serves both seed
+    sets — previously the pin-count job plus two per-trainer seed
+    collects, three sequential jobs where one suffices."""
     from pyspark import inheritable_thread_target
     from threading import Thread
 
@@ -141,6 +145,7 @@ def ivfpq_index(
         K_DEFAULT,
         kmeans_centroids,
     )
+    from meilisync_spark.operators.pq import PQ_KSUB
 
     emb = emb.localCheckpoint(False, storageLevel=_SER)
     result: dict = {}
@@ -152,15 +157,19 @@ def ivfpq_index(
         except BaseException as e:  # re-raised on the caller thread
             errors.append(e)
 
-    # materialize the pin with one cheap action before forking: two
-    # concurrent first-jobs would otherwise both compute the checkpoint
-    emb.where(F.col("vec_id") < 0).count()
+    k_coarse = kcells or K_DEFAULT
+    seed_rows = (
+        emb.where(F.col("vec_id") < max(PQ_KSUB, k_coarse))
+        .select("vec_id", "embedding")
+        .collect()
+    )
     threads = [
         Thread(target=inheritable_thread_target(lambda k=k, f=f: _run(k, f)),
                daemon=True)
         for k, f in (
-            ("books", lambda: pq_codebooks(emb)),
-            ("centq", lambda: kmeans_centroids(emb, k=kcells or K_DEFAULT)),
+            ("books", lambda: pq_codebooks(emb, seed_rows=seed_rows)),
+            ("centq", lambda: kmeans_centroids(
+                emb, k=k_coarse, seed_rows=seed_rows)),
         )
     ]
     for t in threads:
@@ -189,6 +198,12 @@ def ivfpq_topk(
     from meilisync_spark.functions.vectors import cosine
 
     idx, books = ivfpq_index(emb)
+    # pin the codes: the probe plan consumes idx TWICE (q_cells below
+    # and the candidate join) and Spark does not share duplicated
+    # subtrees, so unpinned the encode+assign pass would run twice —
+    # at any corpus size the codes frame is the 32×-compressed corpus,
+    # exactly what one materializes once
+    idx = idx.localCheckpoint(True, storageLevel=_SER)
     m = books.shape[0]
 
     q_rows = sorted(
@@ -267,7 +282,11 @@ def _cell_adc_topk(frame: DataFrame, cells: DataFrame, books, k: int) -> DataFra
         [((Qs[s][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2) for s in range(m)],
         axis=1,
     )
-    idx = pq_encode(frame, books).join(cells, "vec_id")
+    # pinned for the same duplicated-subtree reason as ivfpq_topk: the
+    # plan below consumes idx twice (q_cells + the candidate join)
+    idx = pq_encode(frame, books).join(cells, "vec_id").localCheckpoint(
+        True, storageLevel=_SER
+    )
     q_cells = idx.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("cluster").alias("q_cluster")
     )
@@ -301,6 +320,7 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
 
     from meilisync_spark.operators.kmeans import KM_QUANT, kmeans_labels
     from meilisync_spark.operators.similarity import (
+        _pinned_brute,
         _recall_against_brute,
         clustered_embeddings,
     )
@@ -309,7 +329,11 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
     # the brute-force recall denominator) re-reads this frame — without
     # the pin each of those jobs replays the scan+map lineage
     ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
-    cells = kmeans_labels(ce)
+    # pin the assignments too: cells is consumed by the centroid stats,
+    # the residual frame, and BOTH variants' probes (twice each — the
+    # probe plan joins it for q_cells and for the candidate set), and
+    # every one of those replays the assign mapInPandas pass unpinned
+    cells = kmeans_labels(ce).localCheckpoint(True, storageLevel=_SER)
 
     # cell centroids on the k-means fixed-point lattice, exact means
     stats = (
@@ -331,7 +355,6 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
     from meilisync_spark.operators.pq import pq_codebooks
 
     spark = emb.sparkSession
-    rows = []
     # pin the residual frame too: its lineage carries the cell join,
     # replayed by every PQ training pass otherwise
     residual = (
@@ -339,17 +362,49 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
         .select("vec_id", "embedding")
         .localCheckpoint(False, storageLevel=_SER)
     )
-    for variant, frame in (("raw", ce), ("residual", residual)):
-        # m=16 (4-dim subspaces): double the code budget to 16 bytes so
-        # the comparison isolates WHAT is encoded from quantizer
-        # resolution — raw codes still collapse per cell at any budget
-        books = pq_codebooks(frame, m=16)
-        # ADC ranks come from the variant's own encoding under the
-        # cell-restricted probe; ground truth stays exact cosine on the
-        # ORIGINAL twin vectors
-        adc = _cell_adc_topk(frame, cells, books, k)
-        rec = _recall_against_brute(ce, adc, k).agg(F.avg("recall")).first()[0]
-        rows.append((variant, float(rec)))
+    # one shared ground truth (it depends only on ce, not the variant)
+    brute = _pinned_brute(ce, k)
+    # the two variant branches (train m=16 books → cell-restricted ADC
+    # probe → recall) are independent given the pinned inputs, so they
+    # overlap on driver threads (guide §2.6) — same pattern as the two
+    # quantizer trainings in ivfpq_index
+    from threading import Thread
+
+    from pyspark import inheritable_thread_target
+
+    recs: dict = {}
+    errors: list = []
+
+    def _variant(name: str, frame):
+        try:
+            # m=16 (4-dim subspaces): double the code budget to 16
+            # bytes so the comparison isolates WHAT is encoded from
+            # quantizer resolution — raw codes still collapse per cell
+            # at any budget
+            books = pq_codebooks(frame, m=16)
+            # ADC ranks come from the variant's own encoding under the
+            # cell-restricted probe; ground truth stays exact cosine on
+            # the ORIGINAL twin vectors
+            adc = _cell_adc_topk(frame, cells, books, k)
+            recs[name] = float(
+                _recall_against_brute(ce, adc, k, brute=brute)
+                .agg(F.avg("recall")).first()[0]
+            )
+        except BaseException as e:  # re-raised on the caller thread
+            errors.append(e)
+
+    threads = [
+        Thread(target=inheritable_thread_target(lambda n=n, f=f: _variant(n, f)),
+               daemon=True)
+        for n, f in (("raw", ce), ("residual", residual))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    rows = [(n, recs[n]) for n in ("raw", "residual")]
     return spark.createDataFrame(rows, "variant string, mean_recall double")
 
 
@@ -567,18 +622,35 @@ def save_index(emb: DataFrame, index_path: str, *, kcells: int | None = None) ->
     import json
     import os
 
+    from pyspark.sql import Observation
+
     idx, books, centq = ivfpq_index(emb, with_centroids=True, kcells=kcells)
+    # per-cell counts ride the WRITE job as observed metrics (one
+    # conditional count per possible cell — the coarse quantizer has
+    # k_coarse of them by construction) instead of re-reading the
+    # written index for a groupBy/count: same numbers, one corpus-sized
+    # read-back job removed from every index build
+    k_coarse = centq.shape[0]
+    obs = Observation("trained_cells")
+    counted = idx.observe(
+        obs,
+        *[
+            F.sum(F.when(F.col("cluster") == c, 1).otherwise(0)).alias(f"c{c}")
+            for c in range(k_coarse)
+        ],
+    )
     # one file per cluster= directory (see ivfpq_persist_index)
     (
-        idx.repartition(F.col("cluster"))
+        counted.repartition(F.col("cluster"))
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(index_path)
     )
-    spark = emb.sparkSession
+    got = obs.get
     trained_cells = {
-        str(int(r.cluster)): int(r["count"])
-        for r in spark.read.parquet(index_path).groupBy("cluster").count().collect()
+        str(c): int(got[f"c{c}"])
+        for c in range(k_coarse)
+        if got[f"c{c}"]  # absent cells stay absent, like the old groupBy
     }
     meta = {
         "books": books.tolist(),
@@ -1087,17 +1159,28 @@ def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5,
     kcells=20 index builds at most once per corpus fingerprint (same
     atomic pattern as :func:`ann_query_served`); the three probes and
     the brute-force ground truth stay inside the clock. ``None`` keeps
-    the build-per-invocation temp-dir form."""
+    the build-per-invocation temp-dir form.
+
+    Probe cost shape (round 12): the brute-force ground truth is ONE
+    pinned |Q|×k frame shared by all three probes (it does not depend
+    on nprobe — recomputing it per probe re-scanned the corpus three
+    times for the identical 40 rows), and the three probes themselves
+    are independent reads of disjoint partition sets of the SAME
+    at-rest index, so they run on driver threads (guide §2.6) instead
+    of back to back."""
     import shutil
     import tempfile
+    from threading import Thread
+
+    from pyspark import inheritable_thread_target
 
     from meilisync_spark.operators.similarity import (
+        _pinned_brute,
         _recall_against_brute,
         clustered_embeddings,
     )
 
     ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
-    rows = []
     work = None
     try:
         if cache_dir is not None:
@@ -1113,10 +1196,34 @@ def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5,
             .select("vec_id", "embedding")
             .collect()
         ]
-        for nprobe in (1, 2, 4):
-            topk = query_index(spark, path, queries, k=k, nprobe=nprobe, refine=ce)
-            rec = _recall_against_brute(ce, topk, k).agg(F.avg("recall")).first()[0]
-            rows.append((nprobe, float(rec)))
+        brute = _pinned_brute(ce, k)
+        recs: dict = {}
+        errors: list = []
+
+        def _probe(nprobe: int):
+            try:
+                topk = query_index(
+                    spark, path, queries, k=k, nprobe=nprobe, refine=ce
+                )
+                recs[nprobe] = float(
+                    _recall_against_brute(ce, topk, k, brute=brute)
+                    .agg(F.avg("recall")).first()[0]
+                )
+            except BaseException as e:  # re-raised on the caller thread
+                errors.append(e)
+
+        threads = [
+            Thread(target=inheritable_thread_target(lambda n=n: _probe(n)),
+                   daemon=True)
+            for n in (1, 2, 4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        rows = [(n, recs[n]) for n in (1, 2, 4)]
     finally:
         if work is not None:
             shutil.rmtree(work, ignore_errors=True)

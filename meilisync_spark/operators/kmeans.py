@@ -33,11 +33,17 @@ K_DEFAULT = 10
 ITERS_DEFAULT = 3
 
 
-def _seed_centroids(emb: DataFrame, k: int):
+def _seed_centroids(emb: DataFrame, k: int, seed_rows=None):
     import numpy as np
 
     rows = sorted(
-        emb.where(F.col("vec_id") < k).select("vec_id", "embedding").collect(),
+        (
+            (r for r in seed_rows if r.vec_id < k)
+            if seed_rows is not None
+            else emb.where(F.col("vec_id") < k)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
         key=lambda r: r.vec_id,
     )
     X = np.array([r.embedding for r in rows], dtype=np.float64)
@@ -69,25 +75,35 @@ def _assign_fn(centq, emit_partials: bool):
                     {"vec_id": pdf["vec_id"].to_numpy(), "cluster": cl.astype("int32")}
                 )
                 continue
-            rows = []
-            for c in _np.unique(cl):
-                sel = Xq[cl == c]
-                rows.append((int(c), len(sel), [int(v) for v in sel.sum(axis=0)]))
+            # vectorized per-cluster partial sums: one scatter-add over
+            # the batch instead of one boolean-mask pass per cluster
+            # (k masks × batch scans) — exact int64 either way
+            k = centq.shape[0]
+            sums = _np.zeros((k, Xq.shape[1]), dtype=_np.int64)
+            _np.add.at(sums, cl, Xq)
+            cnt = _np.bincount(cl, minlength=k)
+            rows = [
+                (int(c), int(cnt[c]), sums[c].tolist())
+                for c in _np.nonzero(cnt)[0]
+            ]
             yield _pd.DataFrame(rows, columns=["cluster", "n", "sums"])
 
     return run
 
 
 def kmeans_centroids(
-    emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
+    emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT,
+    seed_rows=None,
 ):
     """Train and return the centroid matrix on the fixed-point lattice
     (``(k, dim)`` int64) — the coarse-quantizer half an index persists
     so FOREIGN query vectors can be assigned to cells at serve time
-    (operators/ivfpq.save_index stores it as index metadata)."""
+    (operators/ivfpq.save_index stores it as index metadata).
+    ``seed_rows``: pre-collected rows covering ``vec_id < k`` (see
+    pq.pq_codebooks — one shared seed collect for both quantizers)."""
     import numpy as np
 
-    centq = _seed_centroids(emb, k)
+    centq = _seed_centroids(emb, k, seed_rows=seed_rows)
     corpus = emb.select("vec_id", "embedding")
     dim = centq.shape[1]
     for _ in range(iters):

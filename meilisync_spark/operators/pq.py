@@ -85,17 +85,30 @@ def _worker_helpers():
 
 
 def pq_codebooks(
-    emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS
+    emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS,
+    seed_rows=None,
 ):
     """Train per-subspace codebooks: returns an (m, ksub, dsub) int64
     array (fixed-point lattice). Seeds are the first ``ksub`` vectors'
     sub-slices (deterministic); each Lloyd iteration is ONE corpus pass
     emitting (subspace, code) partial sums; empty codes keep their
-    previous centroid (standard k-means practice)."""
+    previous centroid (standard k-means practice).
+
+    ``seed_rows``: optionally pass already-collected ``(vec_id,
+    embedding)`` rows covering at least ``vec_id < ksub`` so a caller
+    training BOTH quantizers over one pinned corpus issues a single
+    seed collect instead of one per trainer (identical seeds — the
+    rows are filtered and sorted here exactly as the collect would)."""
     import numpy as np
 
     seed_rows = sorted(
-        emb.where(F.col("vec_id") < ksub).select("vec_id", "embedding").collect(),
+        (
+            (r for r in seed_rows if r.vec_id < ksub)
+            if seed_rows is not None
+            else emb.where(F.col("vec_id") < ksub)
+            .select("vec_id", "embedding")
+            .collect()
+        ),
         key=lambda r: r.vec_id,
     )
     books = _split(_quantize([r.embedding for r in seed_rows]), m).transpose(
@@ -117,11 +130,17 @@ def pq_codebooks(
                     # exact int64 squared distances: (n, ksub)
                     d = ((Xs[s][:, None, :] - _books[s][None, :, :]) ** 2).sum(axis=2)
                     code = d.argmin(axis=1)  # lowest index on ties
-                    for c in _np.unique(code):
-                        sel = Xs[s][code == c]
-                        rows.append(
-                            (s, int(c), len(sel), [int(v) for v in sel.sum(axis=0)])
-                        )
+                    # vectorized per-code partials: one scatter-add
+                    # over the batch instead of ksub boolean-mask
+                    # passes — exact int64 either way
+                    ks = _books.shape[1]
+                    sums = _np.zeros((ks, Xs[s].shape[1]), dtype=_np.int64)
+                    _np.add.at(sums, code, Xs[s])
+                    cnt = _np.bincount(code, minlength=ks)
+                    rows.extend(
+                        (s, int(c), int(cnt[c]), sums[c].tolist())
+                        for c in _np.nonzero(cnt)[0]
+                    )
                 yield _pd.DataFrame(rows, columns=["sub", "code", "n", "sums"])
 
         agg = (
@@ -154,6 +173,7 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     _qz, _sp = _worker_helpers()
 
     def enc(batches, _books=books, _sp=_sp, _qz=_qz):
+        import numpy as _np
         import pandas as _pd
 
         for pdf in batches:
@@ -165,7 +185,9 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
             yield _pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
-                    "codes": [list(map(int, row)) for row in zip(*codes)],
+                    # C-level transpose+tolist beats a per-row python
+                    # int loop; identical (n, m) int lists
+                    "codes": _np.stack(codes, axis=1).tolist(),
                 }
             )
 

@@ -229,11 +229,29 @@ def label_centroids_oracle_sql() -> str:
     """
 
 
-def _recall_against_brute(emb: DataFrame, ann: DataFrame, k: int) -> DataFrame:
+def _pinned_brute(emb: DataFrame, k: int) -> DataFrame:
+    """The brute-force ground truth as a driver-pinned |Q|×k frame.
+    Rows that score SEVERAL ANN variants against the same corpus
+    (nprobe curve, residual ablation) must compute the brute pass ONCE
+    and reuse it — recomputing it per variant re-scans the whole corpus
+    each time for an identical 40-row answer (guide §1.2: don't compute
+    things twice). |Q|×k is driver-sized by definition, so the pin is a
+    collect + createDataFrame, not a checkpoint."""
+    b = cosine_topk(emb, k).select("q_id", "neighbor_id")
+    return emb.sparkSession.createDataFrame(b.collect(), b.schema)
+
+
+def _recall_against_brute(
+    emb: DataFrame, ann: DataFrame, k: int, brute: DataFrame | None = None
+) -> DataFrame:
     """Score any ANN top-k result against the brute-force ground truth.
     Both sides are tiny (|Q|×k rows), so the scoring join costs nothing
-    regardless of corpus size."""
-    brute = cosine_topk(emb, k).select("q_id", "neighbor_id")
+    regardless of corpus size. ``brute``: pass a precomputed
+    :func:`_pinned_brute` frame when scoring several variants of the
+    same corpus so the ground-truth corpus pass runs once."""
+    brute = brute if brute is not None else cosine_topk(emb, k).select(
+        "q_id", "neighbor_id"
+    )
     ann = ann.select(
         F.col("q_id").alias("iq_id"), F.col("neighbor_id").alias("i_neighbor")
     )

@@ -17,9 +17,13 @@ Scale notes (100 TB target, tested on local[32]):
   semantics (reference converts datetimes to epoch seconds,
   meilisync/schemas.py:21-22); also keeps ``unix_timestamp`` consistent
   with the DuckDB oracle's ``epoch()``.
-- shuffle partitions default to cores locally; on a real cluster AQE
-  coalesces from a high initial number, so we set a high
-  ``initialPartitionNum`` instead of a magic constant.
+- shuffle partitions default to cores locally (``SPARK_GRAFT_CPUS``,
+  the bench contract's knob); on a real cluster set
+  ``SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS`` to a high value (e.g.
+  4x total cluster cores) and AQE's coalescing works DOWN from it per
+  query — the scale-correct shape, since no single constant suits
+  both a 2k-row probe and a 100 TB scan. Locally it defaults to the
+  shuffle-partition count itself, i.e. no behavior change.
 """
 
 from __future__ import annotations
@@ -94,8 +98,21 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
             pass  # non-runtime conf on some builds; keep going
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Cluster knob: a high AQE starting width that coalescing shrinks
+    # per query (the scale-adaptive form — see the module docstring).
+    # Defaults to the plain shuffle-partition count, so local runs and
+    # the driver's bench are byte-identical unless explicitly set.
+    initial = int(
+        os.environ.get(
+            "SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS", str(shuffle_partitions)
+        )
+    )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial),
+        )
     except Exception:
         pass
     _ship_package(spark)
