@@ -320,7 +320,7 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
 
     from meilisync_spark.operators.kmeans import KM_QUANT, kmeans_labels
     from meilisync_spark.operators.similarity import (
-        _pinned_brute,
+        _pinned_brute_async,
         _recall_against_brute,
         clustered_embeddings,
     )
@@ -334,6 +334,11 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
     # probe plan joins it for q_cells and for the candidate set), and
     # every one of those replays the assign mapInPandas pass unpinned
     cells = kmeans_labels(ce).localCheckpoint(True, storageLevel=_SER)
+    # ground truth depends only on ce (materialized by the training
+    # actions above) — start it NOW on a driver thread so its corpus
+    # pass overlaps the centroid stats and both variants' PQ trainings
+    # instead of running back to back before the threads fork
+    get_brute = _pinned_brute_async(ce, k)
 
     # cell centroids on the k-means fixed-point lattice, exact means
     stats = (
@@ -362,8 +367,6 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
         .select("vec_id", "embedding")
         .localCheckpoint(False, storageLevel=_SER)
     )
-    # one shared ground truth (it depends only on ce, not the variant)
-    brute = _pinned_brute(ce, k)
     # the two variant branches (train m=16 books → cell-restricted ADC
     # probe → recall) are independent given the pinned inputs, so they
     # overlap on driver threads (guide §2.6) — same pattern as the two
@@ -386,8 +389,10 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
             # cell-restricted probe; ground truth stays exact cosine on
             # the ORIGINAL twin vectors
             adc = _cell_adc_topk(frame, cells, books, k)
+            # join the shared ground-truth thread only when scoring
+            # actually needs it (Thread.join is safe from both threads)
             recs[name] = float(
-                _recall_against_brute(ce, adc, k, brute=brute)
+                _recall_against_brute(ce, adc, k, brute=get_brute())
                 .agg(F.avg("recall")).first()[0]
             )
         except BaseException as e:  # re-raised on the caller thread
@@ -421,6 +426,9 @@ def ivfpq_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
     # the brute-force recall denominator) re-reads this frame — without
     # the pin each of those jobs replays the scan+map lineage
     ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
+    # brute NOT threaded (round 12, measured): it rides the returned
+    # lazy plan, where its stages already overlap the probe stages in
+    # the final job — an eager pin + threaded brute measured 1.12×
     return _recall_against_brute(ce, ivfpq_topk(ce, k), k)
 
 
@@ -560,6 +568,7 @@ def ivfpq_persisted_recall(spark, emb: DataFrame, k: int = 5,
     import numpy as np
 
     from meilisync_spark.operators.similarity import (
+        _pinned_brute_async,
         _recall_against_brute,
         clustered_embeddings,
     )
@@ -568,6 +577,13 @@ def ivfpq_persisted_recall(spark, emb: DataFrame, k: int = 5,
     # the brute-force recall denominator) re-reads this frame — without
     # the pin each of those jobs replays the scan+map lineage
     ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
+    # ground truth is independent of the persisted index — its corpus
+    # pass overlaps the whole train → write → read-back → probe chain
+    # on a driver thread (guide §2.6). The lazy pin's first touch may
+    # race between the brute thread and the trainer's seed collect
+    # (both then compute the pin's one pass — overlapped, not serial);
+    # an eager pre-materialization job measured slower (1.10×)
+    get_brute = _pinned_brute_async(ce, k)
     work = None
     try:
         if cache_dir is not None:
@@ -581,7 +597,7 @@ def ivfpq_persisted_recall(spark, emb: DataFrame, k: int = 5,
         else:
             work = tempfile.mkdtemp(prefix="mls_ivfpq_")
             topk = ivfpq_persisted_topk(spark, ce, f"{work}/index", k)
-        out = _recall_against_brute(ce, topk, k)
+        out = _recall_against_brute(ce, topk, k, brute=get_brute())
         out = spark.createDataFrame(out.collect(), out.schema)  # pin
     finally:
         if work is not None:
@@ -1024,6 +1040,7 @@ def ivfpq_incremental_recall(spark, emb: DataFrame, k: int = 5,
     import tempfile
 
     from meilisync_spark.operators.similarity import (
+        _pinned_brute_async,
         _recall_against_brute,
         clustered_embeddings,
     )
@@ -1031,6 +1048,17 @@ def ivfpq_incremental_recall(spark, emb: DataFrame, k: int = 5,
     # pin the twin: quantizer training iterates passes over it
     ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
     base = ce.where(F.col("vec_id") % 4 != 3)
+    # the query batch depends only on ce — collect it FIRST (this also
+    # materializes the lazy pin), then overlap the brute-force ground
+    # truth with the whole train → add → add → query chain on a driver
+    # thread (guide §2.6: brute reads the same pin and nothing else)
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in ce.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    get_brute = _pinned_brute_async(ce, k)
     work = tempfile.mkdtemp(prefix="mls_ivfpq_incr_")
     try:
         path = f"{work}/index"
@@ -1044,14 +1072,8 @@ def ivfpq_incremental_recall(spark, emb: DataFrame, k: int = 5,
             add_to_index(
                 spark, path, ce.where(F.col("vec_id") % 8 == m), dedup=True
             )
-        queries = [
-            (int(r.vec_id), list(r.embedding))
-            for r in ce.where(F.col("vec_id") < N_QUERIES)
-            .select("vec_id", "embedding")
-            .collect()
-        ]
         topk = query_index(spark, path, queries, k=k, refine=ce)
-        out = _recall_against_brute(ce, topk, k)
+        out = _recall_against_brute(ce, topk, k, brute=get_brute())
         out = spark.createDataFrame(out.collect(), out.schema)  # pin
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1175,12 +1197,23 @@ def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5,
     from pyspark import inheritable_thread_target
 
     from meilisync_spark.operators.similarity import (
-        _pinned_brute,
+        _pinned_brute_async,
         _recall_against_brute,
         clustered_embeddings,
     )
 
     ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
+    # query batch first (depends only on ce; the collect materializes
+    # the lazy pin), then the ground truth forks onto a driver thread
+    # so its corpus pass overlaps the kcells=20 index build — it was
+    # previously computed back to back between build and probes
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in ce.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    get_brute = _pinned_brute_async(ce, k)
     work = None
     try:
         if cache_dir is not None:
@@ -1190,13 +1223,7 @@ def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5,
             work = tempfile.mkdtemp(prefix="mls_nprobe_")
             path = f"{work}/index"
             save_index(ce, path, kcells=20)
-        queries = [
-            (int(r.vec_id), list(r.embedding))
-            for r in ce.where(F.col("vec_id") < N_QUERIES)
-            .select("vec_id", "embedding")
-            .collect()
-        ]
-        brute = _pinned_brute(ce, k)
+        brute = get_brute()
         recs: dict = {}
         errors: list = []
 

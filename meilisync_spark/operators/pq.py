@@ -301,6 +301,10 @@ def pq_rerank_recall_clustered(emb: DataFrame, k: int = 5) -> DataFrame:
     # the pin each of those jobs replays the scan+map lineage
     ce = clustered_embeddings(emb).localCheckpoint(False, storageLevel=_SER)
     books = pq_codebooks(ce)
+    # NOT threaded (round 12, measured): the brute ground truth rides
+    # the returned lazy plan, where the scheduler already overlaps its
+    # stages with the rerank stages inside the final job — forking it
+    # onto a thread + pinning measured 1.05× (interleaved min-of-2)
     return _recall_against_brute(ce, pq_topk_rerank(ce, books, k), k)
 
 

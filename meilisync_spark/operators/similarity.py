@@ -241,6 +241,41 @@ def _pinned_brute(emb: DataFrame, k: int) -> DataFrame:
     return emb.sparkSession.createDataFrame(b.collect(), b.schema)
 
 
+def _pinned_brute_async(emb: DataFrame, k: int):
+    """Start :func:`_pinned_brute` on a driver thread (guide §2.6) so
+    the ground-truth corpus pass overlaps the quantizer training /
+    index build it never depends on — in every recall row the brute
+    pass and the build chain read the same pinned corpus and nothing
+    else, so running them back to back leaves the cluster idle during
+    the driver-side halves of each. Returns a ``join() -> DataFrame``
+    callable; call it only AFTER the pinned ``emb`` has been
+    materialized by some action on the caller's side OR accept that
+    the two first-touch jobs may both compute the pin (callers here
+    all materialize via their own seed/query collects first)."""
+    from threading import Thread
+
+    from pyspark import inheritable_thread_target
+
+    holder: dict = {}
+
+    def _run():
+        try:
+            holder["brute"] = _pinned_brute(emb, k)
+        except BaseException as e:  # re-raised on the caller thread
+            holder["err"] = e
+
+    t = Thread(target=inheritable_thread_target(_run), daemon=True)
+    t.start()
+
+    def _get() -> DataFrame:
+        t.join()
+        if "err" in holder:
+            raise holder["err"]
+        return holder["brute"]
+
+    return _get
+
+
 def _recall_against_brute(
     emb: DataFrame, ann: DataFrame, k: int, brute: DataFrame | None = None
 ) -> DataFrame:
