@@ -771,22 +771,34 @@ def connected_components(
         """One propagation round. Returns (new labels, changed count).
         The changed-count rides the checkpoint job as an observed
         metric — previously a SEPARATE probe action per round, i.e.
-        one extra scan of the labels every iteration."""
-        neigh = (
+        one extra scan of the labels every iteration.
+
+        Round-12 shape: each node's own label rides the SAME groupBy
+        as its neighbors' labels (a union branch with ``own`` set),
+        so min(own, neighbors) needs no second labels join — the old
+        neigh-groupBy + left-join form shuffled labels twice per
+        round; this shuffles them once (min("own") ignores the null
+        own-column of neighbor rows and each node contributes its own
+        row exactly once, so _prev is recovered exactly)."""
+        contrib = (
             edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("neigh_min"))
+            .select(
+                F.col("doc_a").alias("doc_id"),
+                F.col("cluster_id"),
+                F.lit(None).cast("long").alias("own"),
+            )
+            .union(
+                labels.select(
+                    "doc_id", "cluster_id", F.col("cluster_id").alias("own")
+                )
+            )
         )
         obs = Observation()
         stepped = (
-            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
-            .select(
-                "doc_id",
-                F.col("cluster_id").alias("_prev"),
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("neigh_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+            contrib.groupBy("doc_id")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min("own").alias("_prev"),
             )
             .observe(
                 obs,

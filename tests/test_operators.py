@@ -124,6 +124,31 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7, 9: 9, 10: 10}
 
 
+def test_connected_components_max_iters_boundary(spark):
+    """Round-12 internals change (single-shuffle union-form step with
+    the changed-count riding the checkpoint as an Observation): pin
+    the convergence-cap contract. A component of diameter EXACTLY
+    max_iters is labeled by the last allowed round and must be
+    reported converged via the settling probe; one round fewer must
+    raise instead of returning split clusters."""
+    import pytest
+
+    from meilisync_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    # chain 1-2-3-4-5-6: diameter 5 (label 1 reaches node 6 in round 5)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs, max_iters=5).collect()
+    }
+    assert got == {i: 1 for i in range(1, 7)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pairs, max_iters=4).collect()
+
+
 def test_approx_percentile_error_bound(spark):
     """approx_price_quantiles is rows-only for the driver (GK sketches
     are engine-specific); assert the rank-error contract vs the exact
