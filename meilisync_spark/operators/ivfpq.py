@@ -129,56 +129,68 @@ def ivfpq_index(
     per-cell recall at nprobe=1 — the knob :func:`ann_nprobe_recall`
     measures).
 
-    The two trainings are INDEPENDENT given the pinned corpus, so they
-    run on two driver threads (guide §2.6 — actions are sequential
-    only because driver code calls them sequentially): each training is
-    a chain of small per-iteration jobs, and overlapping the chains
-    hides one behind the other. BOTH trainers seed from a deterministic
-    vec_id prefix of the same pinned corpus, so ONE collect (which also
-    materializes the pin before the threads fork) serves both seed
-    sets — previously the pin-count job plus two per-trainer seed
-    collects, three sequential jobs where one suffices."""
+    Under kmeans.TRAIN_DRIVER_CAP_ROWS the corpus is collected ONCE
+    (materializing the pin) and both quantizers train in-process over
+    it — bit-identical exact-int64 math, zero per-iteration Spark jobs,
+    the FAISS split (quantizers in memory, encode streams). Over the
+    cap, the two trainings are INDEPENDENT given the pinned corpus, so
+    they run on two driver threads (guide §2.6 — actions are
+    sequential only because driver code calls them sequentially): each
+    training is a chain of small per-iteration jobs, and overlapping
+    the chains hides one behind the other; both trainers seed from a
+    deterministic vec_id prefix via ONE shared collect."""
     from pyspark import inheritable_thread_target
     from threading import Thread
 
     from meilisync_spark.operators.kmeans import (
         K_DEFAULT,
+        collect_corpus_under_cap,
         kmeans_centroids,
     )
     from meilisync_spark.operators.pq import PQ_KSUB
 
     emb = emb.localCheckpoint(False, storageLevel=_SER)
-    result: dict = {}
-    errors: list = []
-
-    def _run(key, fn):
-        try:
-            result[key] = fn()
-        except BaseException as e:  # re-raised on the caller thread
-            errors.append(e)
-
     k_coarse = kcells or K_DEFAULT
-    seed_rows = (
-        emb.where(F.col("vec_id") < max(PQ_KSUB, k_coarse))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    threads = [
-        Thread(target=inheritable_thread_target(lambda k=k, f=f: _run(k, f)),
-               daemon=True)
-        for k, f in (
-            ("books", lambda: pq_codebooks(emb, seed_rows=seed_rows)),
-            ("centq", lambda: kmeans_centroids(
-                emb, k=k_coarse, seed_rows=seed_rows)),
+    # ONE bounded collect (which also materializes the pin): under the
+    # driver cap it IS the training corpus — both quantizers then train
+    # in-process (bit-identical int64 math, zero further training jobs)
+    # and only encode+assign streams, the FAISS split. Over the cap it
+    # degrades to the seed prefix and the distributed threaded trainers.
+    corpus_rows = collect_corpus_under_cap(emb)
+    if corpus_rows is not None:
+        books = pq_codebooks(emb, corpus_rows=corpus_rows)
+        centq = kmeans_centroids(emb, k=k_coarse, corpus_rows=corpus_rows)
+    else:
+        result: dict = {}
+        errors: list = []
+
+        def _run(key, fn):
+            try:
+                result[key] = fn()
+            except BaseException as e:  # re-raised on the caller thread
+                errors.append(e)
+
+        seed_rows = (
+            emb.where(F.col("vec_id") < max(PQ_KSUB, k_coarse))
+            .select("vec_id", "embedding")
+            .collect()
         )
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    if errors:
-        raise errors[0]
-    books, centq = result["books"], result["centq"]
+        threads = [
+            Thread(target=inheritable_thread_target(lambda k=k, f=f: _run(k, f)),
+                   daemon=True)
+            for k, f in (
+                ("books", lambda: pq_codebooks(emb, seed_rows=seed_rows)),
+                ("centq", lambda: kmeans_centroids(
+                    emb, k=k_coarse, seed_rows=seed_rows)),
+            )
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        books, centq = result["books"], result["centq"]
     idx = _encode_assign(emb, books, centq)
     return (idx, books, centq) if with_centroids else (idx, books)
 
@@ -806,7 +818,7 @@ def _load_meta_dict(index_path: str) -> dict:
         return json.load(fh)
 
 
-def collapse_add_batch(emb: DataFrame) -> DataFrame:
+def collapse_add_batch(emb: DataFrame, expect_dim: int | None = None) -> DataFrame:
     """Collapse exact-duplicate ``(vec_id, embedding)`` rows and raise
     on conflicts — the add-batch sanity gate, shared by
     :func:`add_to_index`, the streaming ingest and the pipeline CLI so
@@ -824,18 +836,36 @@ def collapse_add_batch(emb: DataFrame) -> DataFrame:
     raise. Arrays are orderable in Spark, so min!=max detects a
     conflict exactly in the same single groupBy. The check is
     deterministic, so running it again inside :func:`add_to_index`
-    after a caller already collapsed the batch is a cheap no-op shape."""
+    after a caller already collapsed the batch is a cheap no-op shape.
+
+    ``expect_dim``: also verify EVERY row's embedding dimension in the
+    SAME validation job (round 12 — the former separate distinct-scan
+    per :func:`add_to_index` batch folded in here; checking the
+    collapsed row covers every raw row because same-vec_id rows with
+    differing dims differ as arrays and raise as conflicts)."""
     agg = emb.groupBy("vec_id").agg(
         F.min("embedding").alias("embedding"),
         F.max("embedding").alias("_mx"),
     )
-    conflict = agg.where(F.col("embedding") != F.col("_mx")).select("vec_id")
-    bad = [int(r.vec_id) for r in conflict.limit(3).collect()]
+    checks = agg.select(
+        "vec_id",
+        (F.col("embedding") != F.col("_mx")).alias("conflict"),
+        F.size("embedding").alias("d"),
+    )
+    cond = F.col("conflict")
+    if expect_dim is not None:
+        cond = cond | (F.col("d") != expect_dim)
+    probs = checks.where(cond).limit(3).collect()
+    bad = [int(r.vec_id) for r in probs if r.conflict]
     if bad:
         raise ValueError(
             f"vec_ids {bad} appear in one add batch with conflicting "
             "embeddings — refusing to pick one silently; dedupe the "
             "batch upstream (exact-duplicate replay rows are fine)"
+        )
+    if probs:  # conflict-free rows here can only be dim mismatches
+        raise ValueError(
+            f"new vectors have dim {probs[0].d}, index expects {expect_dim}"
         )
     return agg.drop("_mx")
 
@@ -859,38 +889,45 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
     time is quantizer fit (cells drift, codebooks stop matching the
     data distribution) — watch :func:`index_stats` and rebuild with
     :func:`save_index` when :func:`retrain_due`."""
+    from pyspark.sql import Observation
+
     books, centq = load_index_meta(index_path)
-    # EVERY row's dimension is checked (one distinct-scan over the
-    # batch), not just the first: a ragged batch would otherwise bypass
-    # the clean error and die deep inside the encode UDF's numpy stack
-    sizes = [
-        int(r.d)
-        for r in emb.select(F.size("embedding").alias("d")).distinct().limit(3).collect()
-    ]
-    if not sizes:
-        return 0
-    wrong = [d for d in sizes if d != centq.shape[1]]
-    if wrong:
-        raise ValueError(
-            f"new vectors have dim {wrong[0]}, index expects {centq.shape[1]}"
+    # one validation job covers conflicts AND every row's dimension (a
+    # ragged batch must fail with a clean error, not die deep inside
+    # the encode UDF's numpy stack) — round 12 folded the former
+    # separate dim distinct-scan into the collapse groupBy
+    emb = collapse_add_batch(emb, expect_dim=int(centq.shape[1]))
+    # pin the encoded batch: the anti-join and the append would
+    # otherwise each replay the encode pass (fused encode+assign — same
+    # single-pass shape as index building). The batch row count and
+    # the touched-cell set ride the SAME checkpoint job as observed
+    # metrics (round 12) — previously a separate distinct-scan and a
+    # separate count action over the pinned batch.
+    obs_enc = Observation()
+    new = (
+        _encode_assign(emb, books, centq)
+        .observe(
+            obs_enc,
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("cluster").alias("cells"),
         )
-    emb = collapse_add_batch(emb)
-    # pin the encoded batch: the dedup collect, the anti-join and the
-    # append would otherwise each replay the encode pass (fused
-    # encode+assign — same single-pass shape as index building)
-    new = _encode_assign(emb, books, centq).localCheckpoint(
-        True, storageLevel=_SER
+        .localCheckpoint(True, storageLevel=_SER)
     )
+    got = obs_enc.get
+    n = int(got["n"])
+    if not n:
+        return 0
     if dedup:
-        touched = sorted(
-            int(r[0]) for r in new.select("cluster").distinct().collect()
-        )
+        touched = sorted(int(c) for c in got["cells"])
         seen = _dedup_probe(spark, index_path, touched)
-        new = new.join(
-            seen, F.col("vec_id") == F.col("seen_id"), "left_anti"
-        ).localCheckpoint(True, storageLevel=_SER)  # pin BEFORE the append: the anti-join
+        obs_anti = Observation()
+        new = (
+            new.join(seen, F.col("vec_id") == F.col("seen_id"), "left_anti")
+            .observe(obs_anti, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(True, storageLevel=_SER)
+        )  # pin BEFORE the append: the anti-join
         # lineage reads the same directory the write appends into
-    n = new.count()
+        n = int(obs_anti.get["n"])
     if n:
         # cluster the rows by their partition key before the write so
         # each cluster= directory gets ONE new file per batch, not one

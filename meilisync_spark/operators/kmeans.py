@@ -32,6 +32,65 @@ KM_QUANT = 1 << 20  # fixed-point quantum: floor(x * 2^20)
 K_DEFAULT = 10
 ITERS_DEFAULT = 3
 
+# Driver fast path: when the whole corpus fits under this row cap, the
+# Lloyd loop runs in-process over ONE bounded collect instead of one
+# Spark job per iteration — the FAISS shape (quantizers train in memory
+# over a bounded corpus/sample; only encode/assign streams). Exact
+# int64 fixed-point arithmetic has no summation-order freedom, so the
+# two paths are bit-identical (equality pinned in tests/test_kmeans.py
+# and tests/test_pq.py). Above the cap the distributed partial-sum
+# trainer runs unchanged — the cap raises the driver-memory question
+# loudly instead of hiding it, same policy as bpe.BPE_MAX_VOCAB_WORDS.
+TRAIN_DRIVER_CAP_ROWS = 65536
+_DRIVER_CHUNK = 8192  # bounds the chunk×k×dim distance intermediate
+
+
+def collect_corpus_under_cap(emb: DataFrame, cap: int | None = None):
+    """The trainers' bounded fast-path collect: ``(vec_id, embedding)``
+    rows when the corpus has at most ``cap`` rows, else None. ONE
+    CollectLimit job either way — scanning stops at cap+1 rows, so the
+    over-cap probe cost is bounded by the cap, never by the corpus."""
+    cap = TRAIN_DRIVER_CAP_ROWS if cap is None else cap
+    if cap <= 0:
+        return None
+    rows = emb.select("vec_id", "embedding").limit(cap + 1).collect()
+    return rows if len(rows) <= cap else None
+
+
+def _argmin_chunked(Xq, centq, chunk: int = _DRIVER_CHUNK):
+    """Exact int64 nearest-centroid assignment, chunked so the
+    (chunk, k, dim) difference tensor stays bounded — same math and the
+    same lowest-index tie-break as the per-batch UDF form."""
+    import numpy as np
+
+    out = np.empty(Xq.shape[0], dtype=np.int64)
+    for i in range(0, Xq.shape[0], chunk):
+        d = ((Xq[i : i + chunk, None, :] - centq[None, :, :]) ** 2).sum(axis=2)
+        out[i : i + chunk] = d.argmin(axis=1)
+    return out
+
+
+def _kmeans_driver(corpus_rows, k: int, iters: int):
+    """In-process Lloyd loop over a collected corpus — bit-identical to
+    the distributed trainer: int64 sums are order-free, floor division
+    keeps the lattice, empty clusters keep their previous centroid."""
+    import numpy as np
+
+    centq = _seed_centroids(None, k, seed_rows=corpus_rows)
+    Xq = np.floor(
+        np.array([r.embedding for r in corpus_rows], dtype=np.float64) * KM_QUANT
+    ).astype(np.int64)
+    for _ in range(iters):
+        cl = _argmin_chunked(Xq, centq)
+        sums = np.zeros((centq.shape[0], Xq.shape[1]), dtype=np.int64)
+        np.add.at(sums, cl, Xq)
+        cnt = np.bincount(cl, minlength=centq.shape[0])
+        new = centq.copy()
+        for c in np.nonzero(cnt)[0]:
+            new[c] = sums[c] // cnt[c]
+        centq = new
+    return centq
+
 
 def _seed_centroids(emb: DataFrame, k: int, seed_rows=None):
     import numpy as np
@@ -93,16 +152,26 @@ def _assign_fn(centq, emit_partials: bool):
 
 def kmeans_centroids(
     emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT,
-    seed_rows=None,
+    seed_rows=None, corpus_rows=None,
 ):
     """Train and return the centroid matrix on the fixed-point lattice
     (``(k, dim)`` int64) — the coarse-quantizer half an index persists
     so FOREIGN query vectors can be assigned to cells at serve time
     (operators/ivfpq.save_index stores it as index metadata).
     ``seed_rows``: pre-collected rows covering ``vec_id < k`` (see
-    pq.pq_codebooks — one shared seed collect for both quantizers)."""
+    pq.pq_codebooks — one shared seed collect for both quantizers);
+    passing them pins the DISTRIBUTED trainer (the caller already
+    decided the corpus is over the driver cap). ``corpus_rows``: the
+    ENTIRE collected corpus — takes the in-process driver loop. With
+    neither, the corpus is probed against TRAIN_DRIVER_CAP_ROWS and
+    the faster applicable path is taken; both paths are bit-identical
+    (exact int64 — tests/test_kmeans.py)."""
     import numpy as np
 
+    if corpus_rows is None and seed_rows is None:
+        corpus_rows = collect_corpus_under_cap(emb)
+    if corpus_rows is not None:
+        return _kmeans_driver(corpus_rows, k, iters)
     centq = _seed_centroids(emb, k, seed_rows=seed_rows)
     corpus = emb.select("vec_id", "embedding")
     dim = centq.shape[1]

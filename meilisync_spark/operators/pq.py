@@ -84,9 +84,39 @@ def _worker_helpers():
     return qz, sp
 
 
+def _pq_driver(corpus_rows, m: int, ksub: int, iters: int):
+    """In-process per-subspace Lloyd loop over a collected corpus —
+    bit-identical to the distributed partial-sum trainer (exact int64:
+    order-free sums, floor division, lowest-code tie-break, empty codes
+    keep their previous centroid). The FAISS shape: PQ codebooks train
+    in memory over a bounded corpus; only encode streams."""
+    import numpy as np
+
+    from meilisync_spark.operators.kmeans import _argmin_chunked
+
+    seeds = sorted(
+        (r for r in corpus_rows if r.vec_id < ksub), key=lambda r: r.vec_id
+    )
+    books = _split(_quantize([r.embedding for r in seeds]), m).transpose(
+        0, 1, 2
+    ).copy()  # (m, ksub, dsub)
+    Xs = _split(_quantize([r.embedding for r in corpus_rows]), m)  # (m, n, dsub)
+    for _ in range(iters):
+        new = books.copy()
+        for s in range(m):
+            code = _argmin_chunked(Xs[s], books[s])
+            sums = np.zeros((ksub, books.shape[2]), dtype=np.int64)
+            np.add.at(sums, code, Xs[s])
+            cnt = np.bincount(code, minlength=ksub)
+            for c in np.nonzero(cnt)[0]:
+                new[s, c] = sums[c] // cnt[c]
+        books = new
+    return books
+
+
 def pq_codebooks(
     emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = PQ_ITERS,
-    seed_rows=None,
+    seed_rows=None, corpus_rows=None,
 ):
     """Train per-subspace codebooks: returns an (m, ksub, dsub) int64
     array (fixed-point lattice). Seeds are the first ``ksub`` vectors'
@@ -98,9 +128,21 @@ def pq_codebooks(
     embedding)`` rows covering at least ``vec_id < ksub`` so a caller
     training BOTH quantizers over one pinned corpus issues a single
     seed collect instead of one per trainer (identical seeds — the
-    rows are filtered and sorted here exactly as the collect would)."""
+    rows are filtered and sorted here exactly as the collect would);
+    passing them pins the DISTRIBUTED trainer (the caller already
+    decided the corpus is over the driver cap). ``corpus_rows``: the
+    ENTIRE collected corpus — takes the in-process driver loop
+    (:func:`_pq_driver`). With neither, the corpus is probed against
+    kmeans.TRAIN_DRIVER_CAP_ROWS and the faster applicable path is
+    taken; both paths are bit-identical (tests/test_pq.py)."""
     import numpy as np
 
+    from meilisync_spark.operators.kmeans import collect_corpus_under_cap
+
+    if corpus_rows is None and seed_rows is None:
+        corpus_rows = collect_corpus_under_cap(emb)
+    if corpus_rows is not None:
+        return _pq_driver(corpus_rows, m, ksub, iters)
     seed_rows = sorted(
         (
             (r for r in seed_rows if r.vec_id < ksub)

@@ -54,6 +54,30 @@ def test_kmeans_deterministic_across_runs_and_partitionings(spark):
     assert set(a.values()) <= set(range(K_DEFAULT))
 
 
+def test_kmeans_driver_and_distributed_trainers_bit_identical(spark):
+    """The round-12 driver fast path (whole corpus under
+    TRAIN_DRIVER_CAP_ROWS collected once, Lloyd loop in-process) must
+    equal the distributed partial-sum trainer EXACTLY — the int64
+    fixed-point design leaves no summation-order freedom. Passing
+    seed_rows pins the distributed path (the caller-decided over-cap
+    form), so both trainers stay exercised."""
+    from meilisync_spark.operators.kmeans import (
+        collect_corpus_under_cap,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seed = (
+        emb.where(f"vec_id < {K_DEFAULT}").select("vec_id", "embedding").collect()
+    )
+    dist = kmeans_centroids(emb, seed_rows=seed)  # distributed trainer
+    drv = kmeans_centroids(emb)  # driver fast path (smoke corpus < cap)
+    assert (dist == drv).all()
+    # the over-cap probe is bounded and degrades to None, never raises
+    assert collect_corpus_under_cap(emb, cap=3) is None
+    assert collect_corpus_under_cap(emb, cap=0) is None
+
+
 def test_ann_ivf_kmeans_probe(spark):
     """The kmeans-trained IVF probe returns ≤k cell-restricted
     neighbors per query, every neighbor shares the query's cell, and

@@ -93,6 +93,24 @@ def test_pq_codes_deterministic_across_runs(spark):
     assert c1 == c2
 
 
+def test_pq_driver_and_distributed_trainers_bit_identical(spark):
+    """Round-12 driver fast path vs the distributed partial-sum
+    trainer: bit-equal codebooks (exact int64 — no order freedom).
+    seed_rows pins the distributed form so it stays exercised now that
+    smoke-scale corpora default to the driver loop."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seed = (
+        emb.where(f"vec_id < {pq.PQ_KSUB}").select("vec_id", "embedding").collect()
+    )
+    dist = pq.pq_codebooks(emb, seed_rows=seed)  # distributed trainer
+    drv = pq.pq_codebooks(emb)  # driver fast path (smoke corpus < cap)
+    assert (dist == drv).all()
+    # non-default hyperparameters (the residual-ablation m=16 shape)
+    dist16 = pq.pq_codebooks(emb, m=16, seed_rows=seed)
+    drv16 = pq.pq_codebooks(emb, m=16)
+    assert (dist16 == drv16).all()
+
+
 def test_ivfpq_composed_probe_recall(spark):
     """The composed IVF+PQ probe (coarse cell prune × 32× code
     compression × exact shortlist re-rank — FAISS IVFPQ shape,
