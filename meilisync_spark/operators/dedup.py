@@ -741,7 +741,10 @@ def connected_components(
     labels that changed this round (computed on the checkpointed round
     output, short-circuited via limit(1)) — magnitude-independent, so
     no overflow risk at any id scale, unlike a label-checksum probe.
-    Fixpoint is exact and partitioning-independent."""
+    Fixpoint is exact and partitioning-independent.
+
+    Contract: every endpoint of ``pairs`` must appear in ``nodes`` (all
+    callers derive pairs from the node frame itself)."""
     # persist pairs first: the symmetric union references it twice, and
     # for the LSH graph each reference would otherwise re-run the whole
     # band self-join
@@ -749,23 +752,37 @@ def connected_components(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    # only nodes that touch an edge can ever change label — iterate on
-    # that subgraph alone and emit the (overwhelmingly larger) isolated
-    # rest as self-labeled with zero loop participation. On a near-dup
-    # graph the candidate subgraph is a sliver of the corpus, so each
-    # round's join+groupBy handles |subgraph| rows, not |corpus|.
-    # checkpointed so the isolated branch (materialized by the caller
-    # after edges/pairs are unpersisted) never re-derives the edge set
-    touched = edges.select(F.col("doc_a").alias("doc_id")).distinct().localCheckpoint(True, storageLevel=_SER)
-    isolated = nodes.join(touched, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    )
-    labels = nodes.join(touched, "doc_id", "left_semi").select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    )
-    labels = labels.localCheckpoint(True, storageLevel=_SER)
 
     from pyspark.sql import Observation
+
+    def _first_step():
+        """Round 1 fused into ONE aggregation over the edge list: the
+        initial labels are the identity map, so round 1's
+        min(own, neighbors) is just least(doc_a, min(doc_b)) grouped by
+        doc_a — no labels frame to build, checkpoint, or join. Its key
+        set IS the touched-node set, so the |edges|-wide distinct that
+        used to materialize ``touched`` (plus the two nodes⨝touched
+        joins seeding labels₀/isolated) is gone too: only nodes that
+        touch an edge can ever change label, and from here the loop
+        iterates on that subgraph alone."""
+        obs = Observation()
+        stepped = (
+            edges.groupBy("doc_a")
+            .agg(F.min("doc_b").alias("_nmin"))
+            .select(
+                F.col("doc_a").alias("doc_id"),
+                F.least(F.col("_nmin"), F.col("doc_a")).alias("cluster_id"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("cluster_id") != F.col("doc_id"), 1).otherwise(0)
+                ).alias("changed"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .localCheckpoint(True, storageLevel=_SER)
+        )
+        return stepped, int(obs.get["changed"] or 0), int(obs.get["n"] or 0)
 
     def _step(labels: DataFrame):
         """One propagation round. Returns (new labels, changed count).
@@ -805,17 +822,38 @@ def connected_components(
                 F.sum(
                     F.when(F.col("cluster_id") != F.col("_prev"), 1).otherwise(0)
                 ).alias("changed"),
+                F.count(F.lit(1)).alias("n"),
             )
+            # project _prev away BEFORE the checkpoint (the observation
+            # still fires — CollectMetrics keeps _prev below the
+            # projection): each round pins 2 narrow columns instead of
+            # 3, and the final round's checkpoint feeds the isolated
+            # anti-join, where the slimmer size estimate lets Catalyst
+            # keep the corpus-side-shuffle-free broadcast form
+            .select("doc_id", "cluster_id")
             .localCheckpoint(True, storageLevel=_SER)
         )
-        return stepped.select("doc_id", "cluster_id"), int(obs.get["changed"] or 0)
+        return stepped, int(obs.get["changed"] or 0), int(obs.get["n"] or 0)
 
     converged = False
+    labels, n_labels = None, None
     for _ in range(max_iters):
-        labels, changed = _step(labels)
+        labels, changed, n_labels = (
+            _first_step() if labels is None else _step(labels)
+        )
         if changed == 0:
             converged = True
             break
+    if labels is None:
+        # max_iters <= 0: no improvement round ran; seed the identity
+        # labels so the settling probe below has a frame to probe
+        # (degenerate path, preserved for contract completeness)
+        labels = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
+            .localCheckpoint(True, storageLevel=_SER)
+        )
     if not converged:
         # the LAST allowed iteration may have applied the final change:
         # the loop only observes convergence when a full no-change round
@@ -823,7 +861,7 @@ def connected_components(
         # max_iters would be labeled correctly yet reported as failed.
         # One extra (label-preserving by definition if converged) probe
         # settles it without granting any additional improvement round.
-        _, changed = _step(labels)
+        _, changed, n_labels = _step(labels)
         if changed == 0:
             converged = True
     edges.unpersist()
@@ -840,6 +878,32 @@ def connected_components(
             "iterations — a component's diameter exceeds the cap; "
             "raise max_iters"
         )
+    # every round's groupBy preserves the touched-node key set, so the
+    # final labels frame IS the touched set: the (overwhelmingly larger)
+    # isolated rest self-labels via one anti-join against the small
+    # checkpointed labels — no separate touched materialization ever
+    # existed in this plan. Join strategy is chosen from the EXACT row
+    # count the Observation already measured (the checkpoint's
+    # origin-stats estimate compounds across rounds and overshoots the
+    # broadcast threshold): broadcast the labels side when its
+    # materialized size fits, so the corpus-side nodes scan never
+    # shuffles; a genuinely large touched set falls back to the
+    # planner's sort-merge form.
+    lab_side = labels
+    if n_labels is not None:
+        try:
+            thr = int(
+                nodes.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
+            )
+        except ValueError:
+            thr = -1
+        if 0 < n_labels * 32 <= thr:  # 2 longs + unsafe-row overhead
+            lab_side = F.broadcast(labels)
+    isolated = nodes.join(lab_side, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
     return labels.union(isolated)
 
 
