@@ -755,6 +755,27 @@ def connected_components(
 
     from pyspark.sql import Observation
 
+    def _fits_broadcast(n) -> bool:
+        """True when ``n`` (doc_id, cluster_id) rows fit the session's
+        broadcast threshold at ~32 B/row (2 longs + unsafe-row
+        overhead). The labels checkpoints' origin-stats estimates
+        compound across rounds and overshoot the threshold, flipping
+        joins against them to sort-merge; the Observation gives the
+        EXACT materialized count, so join strategy is chosen from
+        runtime truth instead — with the planner's shuffle form as the
+        fallback for a genuinely large touched set."""
+        if n is None:
+            return False
+        try:
+            thr = int(
+                nodes.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
+            )
+        except ValueError:
+            return False
+        return 0 < n * 32 <= thr
+
     def _first_step():
         """Round 1 fused into ONE aggregation over the edge list: the
         initial labels are the identity map, so round 1's
@@ -785,10 +806,10 @@ def connected_components(
         return stepped, int(obs.get["changed"] or 0), int(obs.get["n"] or 0)
 
     def _step(labels: DataFrame):
-        """One propagation round. Returns (new labels, changed count).
-        The changed-count rides the checkpoint job as an observed
-        metric — previously a SEPARATE probe action per round, i.e.
-        one extra scan of the labels every iteration.
+        """One propagation round. Returns (new labels, changed count,
+        label count). The changed-count rides the checkpoint job as an
+        observed metric — previously a SEPARATE probe action per
+        round, i.e. one extra scan of the labels every iteration.
 
         Round-12 shape: each node's own label rides the SAME groupBy
         as its neighbors' labels (a union branch with ``own`` set),
@@ -796,7 +817,15 @@ def connected_components(
         neigh-groupBy + left-join form shuffled labels twice per
         round; this shuffles them once (min("own") ignores the null
         own-column of neighbor rows and each node contributes its own
-        row exactly once, so _prev is recovered exactly)."""
+        row exactly once, so _prev is recovered exactly).
+
+        A per-round broadcast hint on the labels side (gated on the
+        previous round's observed count, like the isolated anti-join
+        below) was tried and REVERTED after measuring: interleaved
+        min-of-5 read 1.14/1.23 on dedup_clusters/cluster_safe_split —
+        each round then pays a driver collect + rebroadcast and the
+        contrib groupBy runs over the edge set's natural partitioning,
+        which costs more than the sort-merge exchange it removes."""
         contrib = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .select(
@@ -883,24 +912,11 @@ def connected_components(
     # isolated rest self-labels via one anti-join against the small
     # checkpointed labels — no separate touched materialization ever
     # existed in this plan. Join strategy is chosen from the EXACT row
-    # count the Observation already measured (the checkpoint's
-    # origin-stats estimate compounds across rounds and overshoots the
-    # broadcast threshold): broadcast the labels side when its
-    # materialized size fits, so the corpus-side nodes scan never
-    # shuffles; a genuinely large touched set falls back to the
-    # planner's sort-merge form.
-    lab_side = labels
-    if n_labels is not None:
-        try:
-            thr = int(
-                nodes.sparkSession.conf.get(
-                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
-                )
-            )
-        except ValueError:
-            thr = -1
-        if 0 < n_labels * 32 <= thr:  # 2 longs + unsafe-row overhead
-            lab_side = F.broadcast(labels)
+    # count the Observation already measured (see _fits_broadcast):
+    # broadcast the labels side when its materialized size fits, so
+    # the corpus-side nodes scan never shuffles; a genuinely large
+    # touched set falls back to the planner's sort-merge form.
+    lab_side = F.broadcast(labels) if _fits_broadcast(n_labels) else labels
     isolated = nodes.join(lab_side, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
