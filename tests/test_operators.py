@@ -149,6 +149,19 @@ def test_connected_components_max_iters_boundary(spark):
         connected_components(nodes, pairs, max_iters=4).collect()
 
 
+def test_connected_components_empty_pairs(spark):
+    """Round-12 internals change (round 1 fused into an edge
+    aggregation; isolated nodes anti-join the final labels): an EMPTY
+    pair set must converge in the first round (observed changed=0 over
+    zero rows) and label every node as its own singleton cluster."""
+    from meilisync_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, pairs).collect()}
+    assert got == {i: i for i in range(1, 6)}
+
+
 def test_approx_percentile_error_bound(spark):
     """approx_price_quantiles is rows-only for the driver (GK sketches
     are engine-specific); assert the rank-error contract vs the exact
