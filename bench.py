@@ -198,6 +198,16 @@ def ab_main(base_ref: str) -> None:
     cur_q = _activate(REPO_ROOT, base_root)
     names = [n for n in HEADLINE if n in cur_q.REGISTRY and n in base_names]
     dropped = [n for n in HEADLINE if n in cur_q.REGISTRY and n not in base_names]
+    # diagnostic re-measure of specific rows: --only a,b,c restricts the
+    # interleave (and --reps N deepens the min-of); the restricted run
+    # prints its payload but does NOT overwrite BENCH_AB.json — the
+    # committed file always holds a full-suite capture
+    only = ([s for s in sys.argv[sys.argv.index("--only") + 1].split(",") if s]
+            if "--only" in sys.argv else None)
+    reps = (int(sys.argv[sys.argv.index("--reps") + 1])
+            if "--reps" in sys.argv else 2)
+    if only:
+        names = [n for n in names if n in only]
     if dropped:
         print(f"# ab: {len(dropped)} queries only in current tree "
               f"(not compared): {dropped}", file=sys.stderr)
@@ -217,7 +227,7 @@ def ab_main(base_ref: str) -> None:
     base_t: dict[str, float] = {}
     for name in names:
         best = {"cur": float("inf"), "base": float("inf")}
-        for rnd in range(3):
+        for rnd in range(1 + reps):
             # alternate INSIDE the per-query loop: whatever the host is
             # doing this second, it does it to both variants
             for key, root, other in (("cur", REPO_ROOT, base_root),
@@ -253,8 +263,9 @@ def ab_main(base_ref: str) -> None:
         "ratios": ratios,
     })
     print(payload)
-    with open(os.path.join(REPO_ROOT, "BENCH_AB.json"), "w") as fh:
-        fh.write(payload + "\n")
+    if not only:
+        with open(os.path.join(REPO_ROOT, "BENCH_AB.json"), "w") as fh:
+            fh.write(payload + "\n")
 
 
 def main() -> None:
