@@ -331,6 +331,52 @@ def fingerprint_source_overlap_oracle_sql() -> str:
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 
+def shingle_rows(docs: DataFrame, n: int, words: str | None = None) -> DataFrame:
+    """(doc_id, _sh) — one row per word n-gram shingle, the string
+    built per GENERATED row inside whole-stage codegen.
+
+    This is the second half of the explode rebuild
+    (SHINGLE_CODEGEN_MICROBENCH, round 12): the first half moved the
+    HASH below the explode; the shingle STRING build itself was still
+    the interpreted higher-order ``transform(sequence, i ->
+    concat_ws(' ', slice(w, i, n)))`` (FOLD_MICROBENCH put it at 41%
+    of the old stage). Exploding the INDEX instead and building each
+    shingle with ``concat_ws(' ', slice(w, i, n))`` per generated row
+    keeps the whole tokenize → shingle → hash chain inside one
+    WholeStageCodegen span — measured 2.06× on the minhash shape and
+    1.73× on the decon shape at 200k docs (min-of-3 interleaved), with
+    byte-identical strings (same expression per index, so every
+    downstream hash/signature is bit-identical).
+
+    The words array rides the Generate as a REFERENCE inside the
+    codegen stage (rows are consumed by an in-stage aggregate or
+    join, never materialized with ``_w`` attached), so the
+    O(n²)-bytes warning in operators/text.doc_chunks does not apply.
+
+    Short docs (fewer than ``n`` words) are dropped by an EMPTY
+    sequence inside the generator, not by a ``where`` — two reasons:
+    a filter on ``size(_w)`` would get the tokenizer regex
+    SUBSTITUTED into it by predicate pushdown (one extra full
+    tokenize pass per row, the quality_keep gotcha), and the guard
+    itself is load-bearing because ``sequence(1, 0)`` DESCENDS
+    rather than being empty. Inside the generator ``_w`` is a plain
+    attribute from the projection below, so the regex runs exactly
+    once per row."""
+    w = F.col(words) if words else words_col(F.col("text"))
+    idx = F.when(
+        F.size("_w") >= n,
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select("doc_id", w.alias("_w"))
+        .select("doc_id", "_w", F.explode(idx).alias("_i"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), n)).alias("_sh"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, words: str | None = None) -> DataFrame:
     """doc_id + 16-permutation minhash signature.
 
@@ -359,14 +405,18 @@ def minhash_signatures(docs: DataFrame, words: str | None = None) -> DataFrame:
     (interleaved A/B at sf0.1: 0.50 → 0.33 s for the signature
     build). Without it, text is tokenized here — twice (filter +
     sig), since a projected alias would be substituted back into a
-    pushed-down filter anyway."""
+    pushed-down filter anyway.
+
+    Round-12 second step: the shingle STRING build also moved below
+    the explode (see :func:`shingle_rows`) — index explode +
+    ``concat_ws(slice)`` per generated row under codegen replaced the
+    interpreted per-row ``transform`` build, 2.06× on the signature
+    stage at 200k docs with bit-identical strings (the fold twin's
+    parity test re-verifies end-to-end signatures)."""
     docs = spread(docs)
-    w = F.col(words) if words else words_col(F.col("text"))
-    sh = shingles_col(w, MH_SHINGLE)
     h = F.col("_h")
     return (
-        docs.where(F.size(w) >= MH_SHINGLE)
-        .select("doc_id", F.explode(sh).alias("_sh"))
+        shingle_rows(docs, MH_SHINGLE, words=words)
         .select(
             "doc_id",
             (portable_hash64(F.col("_sh")) % F.lit(MH_BASE_MOD)).alias("_h"),
@@ -1215,12 +1265,40 @@ def decontaminate(docs: DataFrame, corpus: DataFrame | None = None) -> DataFrame
     only consulted for membership). The eval side always comes from the
     full ``docs`` — a benchmark doc must flag its duplicates even when
     it would itself fail an upstream stage.
+
+    Round-12 corpus-side rebuild: the round's §decon note rejected an
+    explode form on the premise that per-doc DISTINCT shingles force a
+    corpus-wide (doc_id, hash) exchange — but the corpus side never
+    needs a per-doc distinct AT ALL: dedup can move AFTER the broadcast
+    join, as ``count(DISTINCT sh)`` over the MATCHED rows only (a set
+    bounded by contamination volume, not corpus size). So the corpus
+    side is now :func:`shingle_rows` (index explode + codegen string
+    build + codegen hash — 1.73× on this stage's shape at 200k docs,
+    SHINGLE_CODEGEN_MICROBENCH) with no ``array_distinct`` and no
+    interpreted per-element hash; the matched multiset of
+    (corpus_doc, eval_doc, sh) triples is identical to the old
+    distinct-both-sides join's set, so ``countDistinct`` returns
+    bit-identical ``n_shared``. The eval side (a few percent of docs,
+    broadcast) keeps the per-row distinct form — its ``n_sh``
+    denominator is a genuine per-doc distinct count.
     """
     docs = spread(docs)
     corpus_base = corpus if corpus is not None else docs
-    corpus_side = _decon_shingles(
-        corpus_base.where(~_eval_flag(F.col("doc_id")))
-    ).select(F.col("doc_id").alias("corpus_doc"), "sh")
+    # coalesce(h, 0): the hash is never null here (the shingle_rows
+    # guard keeps only docs with ≥n non-null words), but Catalyst
+    # cannot prove it, so the inner join would add isnotnull(sh) —
+    # which predicate pushdown SUBSTITUTES below the projection,
+    # re-running concat_ws+slice+sha2 per shingle row in a Filter
+    # (the quality_keep gotcha). A non-nullable key generates no
+    # null-filter at all; plan-asserted by the decon single-sha test.
+    corpus_side = shingle_rows(
+        corpus_base.where(~_eval_flag(F.col("doc_id"))), DECON_SHINGLE
+    ).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.coalesce(
+            portable_hash64(F.col("_sh")), F.lit(0).cast("long")
+        ).alias("sh"),
+    )
     eval_side = _decon_shingles(
         docs.where(_eval_flag(F.col("doc_id")))
     ).select(
@@ -1229,7 +1307,7 @@ def decontaminate(docs: DataFrame, corpus: DataFrame | None = None) -> DataFrame
     return (
         corpus_side.join(F.broadcast(eval_side), "sh")
         .groupBy("corpus_doc", "eval_doc", "eval_n_sh")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.countDistinct("sh").alias("n_shared"))
         .select(
             "corpus_doc",
             "eval_doc",

@@ -247,3 +247,35 @@ def test_minhash_signatures_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
     assert "partial_min" in plan  # map-side combine before the exchange
     assert "aggregate(" not in plan  # the interpreted fold is gone
+
+
+def test_decontaminate_counts_distinct_shared_shingles_once(spark):
+    """Round-12 corpus-side rebuild: the corpus side explodes RAW
+    (non-distinct) shingles and recovers the distinct-shared count as
+    count(DISTINCT sh) AFTER the broadcast join — a corpus doc that
+    repeats a contaminated 8-gram must still count it ONCE, and
+    eval_frac must use the eval doc's distinct-shingle denominator."""
+    from meilisync_spark.operators.dedup import EVAL_MOD, decontaminate
+    from meilisync_spark.operators.dedup import _eval_flag
+    from pyspark.sql import functions as F
+
+    # find one eval id and one corpus id under the real flag
+    ids = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    ).select("doc_id", _eval_flag(F.col("doc_id")).alias("is_eval")).collect()
+    eval_id = next(r.doc_id for r in ids if r.is_eval)
+    corp_id = next(r.doc_id for r in ids if not r.is_eval)
+    gram = "a b c d e f g h"          # one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (eval_id, gram),                       # eval: 1 distinct shingle
+            (corp_id, f"{gram} x {gram}"),         # corpus: repeats it
+        ],
+        "doc_id long, text string",
+    )
+    rows = decontaminate(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.corpus_doc, r.eval_doc) == (corp_id, eval_id)
+    assert r.n_shared == 1            # repeated shared shingle counted once
+    assert r.eval_frac == 1.0

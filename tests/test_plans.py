@@ -351,3 +351,17 @@ def test_bigram_lm_score_plan_contract(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_corpus_side_hashes_each_shingle_once(spark):
+    """The corpus side builds + hashes each shingle exactly once per
+    generated row under codegen. Two regressions this pins: (a) the
+    interpreted per-element transform+array_distinct form returning
+    (no codegen sha2 projection at all), and (b) the inner join's
+    isnotnull(sh) being substituted below the projection, re-running
+    concat_ws+slice+sha2 per shingle row in a Filter (prevented by the
+    non-nullable coalesce key)."""
+    plan = _plan(spark, "decontaminate")
+    # exactly one sha2-over-built-shingle expression: the corpus-side
+    # Project (the eval side hashes lambda variables, not concat_ws)
+    assert plan.count("sha2(cast(concat_ws") == 1
