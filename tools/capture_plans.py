@@ -23,7 +23,7 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(ROOT, "plans", "r12")
+    out_dir = os.path.join(ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture-plans")
     for name in names:
