@@ -772,6 +772,77 @@ def incremental_neardup_oracle_sql() -> str:
 
 CC_MAX_ITERS = 25
 
+# Pair count at or under which the propagation loop runs in-process
+# over ONE bounded collect of the pair list (≈2M pairs × 2 longs —
+# tens of MB on the driver, the same collect-under-cap policy as
+# kmeans.TRAIN_DRIVER_CAP_ROWS / bpe's word-table cap). Near-dup pair
+# graphs are sparse by construction (the LSH band guard bounds fanout),
+# but a 100-TB corpus can still exceed this — the distributed loop
+# below is the over-cap path and the semantics reference.
+CC_DRIVER_CAP_PAIRS = 1 << 21
+
+
+def _cc_driver(pair_rows, max_iters: int):
+    """In-process min-label propagation over a collected pair list —
+    ROUND-FOR-ROUND the same schedule as the distributed loop below
+    (round 1 = least(doc_a, min(doc_b)); rounds 2..max_iters =
+    synchronous min(own, neighbors) over the PREVIOUS labels; a final
+    settling probe when the cap was reached), so convergence, the
+    non-convergence raise, and every label are identical by
+    construction (pinned by
+    tests/test_operators.py::test_cc_driver_and_distributed_identical).
+    Returns (labels dict, converged bool)."""
+    adj: dict = {}
+    for a, b in pair_rows:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    converged = False
+    labels: dict = {}
+    rounds = 0
+    if max_iters > 0:
+        # round 1 fused into the edge list (same as _first_step)
+        changed = 0
+        for v, ns in adj.items():
+            m = min(v, min(ns))
+            labels[v] = m
+            if m != v:
+                changed += 1
+        rounds = 1
+        converged = changed == 0
+        while not converged and rounds < max_iters:
+            prev = labels
+            labels = {}
+            changed = 0
+            for v, ns in adj.items():
+                m = prev[v]
+                for u in ns:
+                    pu = prev[u]
+                    if pu < m:
+                        m = pu
+                labels[v] = m
+                if m != prev[v]:
+                    changed += 1
+            rounds += 1
+            converged = changed == 0
+    else:
+        # degenerate max_iters <= 0 path: identity labels, probe only
+        labels = {v: v for v in adj}
+    if not converged:
+        # settling probe — one extra non-improving round, exactly like
+        # the distributed loop's: its stepped labels are DISCARDED,
+        # only the changed count decides
+        changed = 0
+        for v, ns in adj.items():
+            m = labels[v]
+            for u in ns:
+                pu = labels[u]
+                if pu < m:
+                    m = pu
+            if m != labels[v]:
+                changed += 1
+        converged = changed == 0
+    return labels, converged
+
 
 def connected_components(
     nodes: DataFrame, pairs: DataFrame, max_iters: int = CC_MAX_ITERS
@@ -795,6 +866,71 @@ def connected_components(
 
     Contract: every endpoint of ``pairs`` must appear in ``nodes`` (all
     callers derive pairs from the node frame itself)."""
+    # Bounded probe first (ONE CollectLimit pass over the pair graph —
+    # stops at cap+1 rows): at or under CC_DRIVER_CAP_PAIRS the whole
+    # propagation loop runs in-process (_cc_driver — identical rounds,
+    # labels and non-convergence raise), replacing one checkpoint job
+    # per round + the persist/unpersist pair with a single job. The
+    # touched-label frame stays driver-sized by the same bound, so the
+    # isolated anti-join below is unchanged. Over the cap the
+    # distributed loop runs exactly as before (round 13; the
+    # collect-under-cap pattern of kmeans.TRAIN_DRIVER_CAP_ROWS).
+    head = pairs.select("doc_a", "doc_b").limit(CC_DRIVER_CAP_PAIRS + 1).collect()
+    if len(head) <= CC_DRIVER_CAP_PAIRS:
+        labels_map, converged = _cc_driver(
+            [(r.doc_a, r.doc_b) for r in head], max_iters
+        )
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "iterations — a component's diameter exceeds the cap; "
+                "raise max_iters"
+            )
+        spark = nodes.sparkSession
+        labels = spark.createDataFrame(
+            sorted(labels_map.items()), "doc_id long, cluster_id long"
+        )
+        n_labels = len(labels_map)
+    else:
+        labels, n_labels = _connected_components_distributed(
+            nodes, pairs, max_iters
+        )
+    lab_side = (
+        F.broadcast(labels)
+        if _cc_fits_broadcast(nodes.sparkSession, n_labels)
+        else labels
+    )
+    isolated = nodes.join(lab_side, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return labels.union(isolated)
+
+
+def _cc_fits_broadcast(spark, n) -> bool:
+    """True when ``n`` (doc_id, cluster_id) rows fit the session's
+    broadcast threshold at ~32 B/row (2 longs + unsafe-row overhead).
+    The labels checkpoints' origin-stats estimates compound across
+    rounds and overshoot the threshold, flipping joins against them to
+    sort-merge; the exact materialized count (Observation in the
+    distributed loop, len() in the driver form) chooses the strategy
+    from runtime truth instead — with the planner's shuffle form as
+    the fallback for a genuinely large touched set."""
+    if n is None:
+        return False
+    try:
+        thr = int(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+    except ValueError:
+        return False
+    return 0 < n * 32 <= thr
+
+
+def _connected_components_distributed(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int
+):
+    """The over-cap propagation loop (see :func:`connected_components`).
+    Returns (labels frame over touched nodes, exact label count)."""
     # persist pairs first: the symmetric union references it twice, and
     # for the LSH graph each reference would otherwise re-run the whole
     # band self-join
@@ -804,27 +940,6 @@ def connected_components(
     ).persist()
 
     from pyspark.sql import Observation
-
-    def _fits_broadcast(n) -> bool:
-        """True when ``n`` (doc_id, cluster_id) rows fit the session's
-        broadcast threshold at ~32 B/row (2 longs + unsafe-row
-        overhead). The labels checkpoints' origin-stats estimates
-        compound across rounds and overshoot the threshold, flipping
-        joins against them to sort-merge; the Observation gives the
-        EXACT materialized count, so join strategy is chosen from
-        runtime truth instead — with the planner's shuffle form as the
-        fallback for a genuinely large touched set."""
-        if n is None:
-            return False
-        try:
-            thr = int(
-                nodes.sparkSession.conf.get(
-                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
-                )
-            )
-        except ValueError:
-            return False
-        return 0 < n * 32 <= thr
 
     def _first_step():
         """Round 1 fused into ONE aggregation over the edge list: the
@@ -958,19 +1073,11 @@ def connected_components(
             "raise max_iters"
         )
     # every round's groupBy preserves the touched-node key set, so the
-    # final labels frame IS the touched set: the (overwhelmingly larger)
-    # isolated rest self-labels via one anti-join against the small
-    # checkpointed labels — no separate touched materialization ever
-    # existed in this plan. Join strategy is chosen from the EXACT row
-    # count the Observation already measured (see _fits_broadcast):
-    # broadcast the labels side when its materialized size fits, so
-    # the corpus-side nodes scan never shuffles; a genuinely large
-    # touched set falls back to the planner's sort-merge form.
-    lab_side = F.broadcast(labels) if _fits_broadcast(n_labels) else labels
-    isolated = nodes.join(lab_side, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    )
-    return labels.union(isolated)
+    # final labels frame IS the touched set; the caller's isolated
+    # anti-join self-labels the (overwhelmingly larger) rest, with the
+    # join strategy chosen from the EXACT count the Observation
+    # measured (see _cc_fits_broadcast).
+    return labels, n_labels
 
 
 def dedup_clusters(docs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:

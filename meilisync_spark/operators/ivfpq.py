@@ -244,7 +244,10 @@ def ivfpq_topk(
         .where(F.col("r") <= shortlist)
         .select("q_id", "neighbor_id")
     )
-
+    # NOT rewritten onto the driver re-rank (round 13, measured): this
+    # frame is returned LAZY and its consumer (ivfpq_recall_clustered)
+    # overlaps the brute subtree with these stages inside one job — the
+    # eager _refine_driver form measured 1.18× (interleaved min-of-2).
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -714,6 +717,7 @@ def query_index(
     shortlist: int = IVFPQ_SHORTLIST,
     refine: DataFrame | None = None,
     queries_are_corpus_ids: bool = True,
+    idx: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, neighbor_id, rank, adc_dist) — serve a query batch
     against a :func:`save_index` layout.
@@ -737,7 +741,11 @@ def query_index(
     picks queries BY corpus vec_id), the query's own corpus row is
     excluded from its results; set False for foreign query vectors
     with caller-chosen ids, where an id coincidence must not mask the
-    corpus vector sharing the number."""
+    corpus vector sharing the number.
+
+    ``idx``: pass an already-read index DataFrame to share one
+    ``spark.read.parquet`` (file listing + schema read) across several
+    probes of the same at-rest index (ann_nprobe_recall's three)."""
     import numpy as np
 
     books, centq = load_index_meta(index_path)
@@ -766,7 +774,8 @@ def query_index(
         [((Qs[s][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2) for s in range(m)],
         axis=1,
     )
-    idx = spark.read.parquet(index_path)
+    if idx is None:
+        idx = spark.read.parquet(index_path)
     scored = _adc_scored(
         _pruned_probe(idx, q_cells), tables, q_ids,
         exclude_self=queries_are_corpus_ids,
@@ -779,6 +788,15 @@ def query_index(
     if refine is None:
         return ranked.select("q_id", "neighbor_id", "rank", "adc_dist")
 
+    # An in-process exact re-rank of the (driver-sized) shortlist was
+    # tried and REVERTED after measuring (round 13): collecting the
+    # shortlist + fetching candidate vectors splits one lazy action
+    # into three sequential ones, and the py4j/planning barrier between
+    # actions costs more than the 4-6 AQE stage jobs it removes —
+    # interleaved min-of-4 read 1.28×/1.14×/1.06× on
+    # ann_query_served/ivfpq_persisted_recall/ann_incremental_recall
+    # (values were bit-identical). Stages inside ONE action overlap and
+    # schedule without driver round-trips; keep the lazy join form.
     from meilisync_spark.functions.vectors import cosine
 
     qdf = spark.createDataFrame(
@@ -1263,11 +1281,13 @@ def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5,
         brute = get_brute()
         recs: dict = {}
         errors: list = []
+        # one file-listing/schema read shared by all three probes
+        idx = spark.read.parquet(path)
 
         def _probe(nprobe: int):
             try:
                 topk = query_index(
-                    spark, path, queries, k=k, nprobe=nprobe, refine=ce
+                    spark, path, queries, k=k, nprobe=nprobe, refine=ce, idx=idx
                 )
                 recs[nprobe] = float(
                     _recall_against_brute(ce, topk, k, brute=brute)

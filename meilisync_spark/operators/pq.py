@@ -312,6 +312,11 @@ def pq_topk_rerank(
     from meilisync_spark.functions.vectors import cosine
 
     sl = pq_topk(emb, books, k=shortlist).select("q_id", "neighbor_id")
+    # NOT rewritten onto the driver re-rank (round 13, measured): this
+    # row returns a LAZY frame, so the scheduler overlaps the rerank
+    # subtree with its consumer's other subtrees (the recall row's
+    # brute pass) inside ONE job — the eager _refine_driver form
+    # measured 1.35× (interleaved min-of-2) by serializing them.
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )

@@ -149,6 +149,42 @@ def test_connected_components_max_iters_boundary(spark):
         connected_components(nodes, pairs, max_iters=4).collect()
 
 
+def test_cc_driver_and_distributed_identical(spark, monkeypatch):
+    """Round-13 internals change (in-process propagation under
+    CC_DRIVER_CAP_PAIRS, the kmeans collect-under-cap pattern): the
+    driver and distributed loops must produce IDENTICAL labels and the
+    IDENTICAL convergence verdict round for round — including the
+    diameter==max_iters settling-probe case and the over-cap raise."""
+    import pytest
+
+    from meilisync_spark.operators import dedup as D
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "doc_id long")
+    # chain 1..6 (diameter 5), triangle 7-8-9, singleton 10, 11
+    pairs_rows = [(i, i + 1) for i in range(1, 6)] + [(7, 8), (8, 9), (9, 7)]
+    pairs = spark.createDataFrame(pairs_rows, "doc_a long, doc_b long")
+
+    def run(max_iters):
+        return {
+            r.doc_id: r.cluster_id
+            for r in D.connected_components(nodes, pairs, max_iters).collect()
+        }
+
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7, 8: 7, 9: 7, 10: 10, 11: 11}
+    got_driver = run(5)
+    # force the distributed path by dropping the cap below the pair count
+    monkeypatch.setattr(D, "CC_DRIVER_CAP_PAIRS", 2)
+    got_dist = run(5)
+    assert got_driver == got_dist == want
+    # settling-probe boundary and the non-convergence raise, both paths
+    with pytest.raises(RuntimeError, match="did not converge"):
+        run(4)
+    monkeypatch.setattr(D, "CC_DRIVER_CAP_PAIRS", 1 << 21)
+    assert run(5) == want
+    with pytest.raises(RuntimeError, match="did not converge"):
+        run(4)
+
+
 def test_connected_components_empty_pairs(spark):
     """Round-12 internals change (round 1 fused into an edge
     aggregation; isolated nodes anti-join the final labels): an EMPTY
