@@ -910,11 +910,40 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
     from pyspark.sql import Observation
 
     books, centq = load_index_meta(index_path)
-    # one validation job covers conflicts AND every row's dimension (a
-    # ragged batch must fail with a clean error, not die deep inside
-    # the encode UDF's numpy stack) — round 12 folded the former
-    # separate dim distinct-scan into the collapse groupBy
-    emb = collapse_add_batch(emb, expect_dim=int(centq.shape[1]))
+    expect_dim = int(centq.shape[1])
+    # Validation rides the SAME job as the encode checkpoint (round 13;
+    # previously a separate limit(3)-collect action per batch that ALSO
+    # re-ran the collapse groupBy as the encode's lineage): the collapse
+    # aggregation flags conflicts (same vec_id, differing embeddings —
+    # min != max detects it exactly) and wrong dims, an Observation
+    # below the guard filter counts them, and the driver raises the
+    # same clean ValueErrors BEFORE anything is written. The filter
+    # also keeps ragged rows out of the encode UDF's numpy stack, so
+    # the failure is never a worker-side crash. (collapse_add_batch
+    # stays as the standalone one-job validator for callers that
+    # validate without encoding — streaming ingest, the pipeline CLI.)
+    agg = emb.groupBy("vec_id").agg(
+        F.min("embedding").alias("embedding"),
+        F.max("embedding").alias("_mx"),
+    )
+    conflict = F.col("embedding") != F.col("_mx")
+    okdim = F.size("embedding") == expect_dim
+    obs_val = Observation()
+    valid = (
+        agg.observe(
+            obs_val,
+            F.sum(F.when(conflict, 1).otherwise(0)).alias("n_conflict"),
+            F.slice(
+                F.sort_array(F.collect_set(F.when(conflict, F.col("vec_id")))),
+                1, 3,
+            ).alias("conflict_ids"),
+            F.sum(F.when(~conflict & ~okdim, 1).otherwise(0)).alias("n_baddim"),
+            F.max(F.when(~okdim, F.size("embedding"))).alias("bad_dim"),
+        )
+        .where(conflict == F.lit(False))
+        .where(okdim)
+        .select("vec_id", "embedding")
+    )
     # pin the encoded batch: the anti-join and the append would
     # otherwise each replay the encode pass (fused encode+assign — same
     # single-pass shape as index building). The batch row count and
@@ -923,7 +952,7 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
     # separate count action over the pinned batch.
     obs_enc = Observation()
     new = (
-        _encode_assign(emb, books, centq)
+        _encode_assign(valid, books, centq)
         .observe(
             obs_enc,
             F.count(F.lit(1)).alias("n"),
@@ -931,6 +960,19 @@ def add_to_index(spark, index_path: str, emb: DataFrame, *, dedup: bool = True) 
         )
         .localCheckpoint(True, storageLevel=_SER)
     )
+    got_val = obs_val.get
+    if int(got_val["n_conflict"] or 0):
+        raise ValueError(
+            f"vec_ids {[int(v) for v in got_val['conflict_ids']]} appear "
+            "in one add batch with conflicting embeddings — refusing to "
+            "pick one silently; dedupe the batch upstream "
+            "(exact-duplicate replay rows are fine)"
+        )
+    if int(got_val["n_baddim"] or 0):
+        raise ValueError(
+            f"new vectors have dim {int(got_val['bad_dim'])}, "
+            f"index expects {expect_dim}"
+        )
     got = obs_enc.get
     n = int(got["n"])
     if not n:
