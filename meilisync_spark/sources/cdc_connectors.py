@@ -281,30 +281,54 @@ def normalize_maxwell(
       same-pk ordering, same reasoning as normalize_debezium's ts_ms
       fallback.
     """
-    v = F.from_json(F.col(value_col).cast("string"), maxwell_value_schema(payload_schema))
-    op_src = v.getField("type")
-    op: Column = F.lit(None).cast("string")
-    for src, dst in reversed(list(MAXWELL_OP_MAP.items())):
-        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
-    pos = v.getField("position")
-    file_num = F.regexp_extract(pos, r"\.(\d+):", 1)
-    offset = F.regexp_extract(pos, r":(\d+)$", 1)
-    pos_seq = F.when(
-        (file_num != "") & (offset != ""),
-        file_num.cast("long") * F.lit(MAXWELL_POS_FILE_SHIFT) + offset.cast("long"),
+    # The parsed envelope is bound ONCE through a one-element
+    # ``transform`` lambda (the quality_keep/shingles_col idiom, round
+    # 13): referencing ``from_json(value).field`` per output column
+    # lets Catalyst's per-field schema pruning split the parse into
+    # ~8 separate from_json evaluations per row, and alias
+    # substitution then copies the whole render+parse chain into the
+    # pushed-down op filter — the composed roundtrip row ran the
+    # codec serially 3× below its spread exchange
+    # (plans/r13/maxwell_roundtrip_before.txt). With the lambda
+    # binding every output field reads one lambda variable: one parse
+    # per row by construction, and the substituted filter carries one
+    # parse, not three.
+    parsed = F.from_json(
+        F.col(value_col).cast("string"), maxwell_value_schema(payload_schema)
     )
-    seq_candidates = [pos_seq]
-    if "offset" in df.columns:  # kafka frame
-        seq_candidates.append(F.col("offset"))
-    seq_candidates.extend([v.getField("xid"), v.getField("ts")])
-    out = df.select(
-        F.coalesce(*seq_candidates).alias("seq"),
-        F.timestamp_seconds(v.getField("ts")).alias("ts"),
-        v.getField("table").alias("table"),
-        op.alias("op"),
-        v.getField("data").getField(pk).alias("pk"),
-        v.getField("data").alias("payload"),
-    ).where(F.col("op").isNotNull())
+    kafka_offset = F.col("offset") if "offset" in df.columns else None
+
+    def _build(v):
+        op: Column = F.lit(None).cast("string")
+        for src, dst in reversed(list(MAXWELL_OP_MAP.items())):
+            op = F.when(v.getField("type") == src, F.lit(dst)).otherwise(op)
+        pos = v.getField("position")
+        file_num = F.regexp_extract(pos, r"\.(\d+):", 1)
+        offset = F.regexp_extract(pos, r":(\d+)$", 1)
+        pos_seq = F.when(
+            (file_num != "") & (offset != ""),
+            file_num.cast("long") * F.lit(MAXWELL_POS_FILE_SHIFT)
+            + offset.cast("long"),
+        )
+        seq_candidates = [pos_seq]
+        if kafka_offset is not None:  # kafka frame
+            seq_candidates.append(kafka_offset)
+        seq_candidates.extend([v.getField("xid"), v.getField("ts")])
+        return F.struct(
+            F.coalesce(*seq_candidates).alias("seq"),
+            F.timestamp_seconds(v.getField("ts")).alias("ts"),
+            v.getField("table").alias("table"),
+            op.alias("op"),
+            v.getField("data").getField(pk).alias("pk"),
+            v.getField("data").alias("payload"),
+        )
+
+    bound = F.element_at(F.transform(F.array(parsed), _build), 1)
+    out = (
+        df.select(bound.alias("_norm"))
+        .select("_norm.*")
+        .where(F.col("op").isNotNull())
+    )
     if tables:
         out = out.where(F.col("table").isin(*tables))
     return out
@@ -375,27 +399,46 @@ def normalize_canal(
     is the daemon's processing time, the wrong clock for event-time
     semantics (T6).
     """
-    v = F.from_json(F.col(value_col).cast("string"), canal_value_schema())
-    op_src = v.getField("type")
-    op: Column = F.lit(None).cast("string")
-    for src, dst in reversed(list(CANAL_OP_MAP.items())):
-        op = F.when(op_src == src, F.lit(dst)).otherwise(op)
-    base_seq = v.getField("id")
-    seq_base_candidates = [base_seq]
-    if "offset" in df.columns:  # kafka frame
-        seq_base_candidates.append(F.col("offset"))
-    cols = [
-        F.coalesce(*seq_base_candidates).alias("_msg_seq"),
-        F.timestamp_millis(v.getField("es")).alias("ts"),
-        v.getField("table").alias("table"),
-        op.alias("op"),
-        F.posexplode(v.getField("data")).alias("_pos", "_row"),
-    ]
-    exploded = (
-        df.where(
-            op.isNotNull() & ~F.coalesce(v.getField("isDdl"), F.lit(False))
+    # Parsed envelope bound once through a one-element transform (round
+    # 13, same idiom as normalize_maxwell): per-field references
+    # otherwise split the parse into ~6 pruned from_json evaluations
+    # per message, and the DML filter's alias substitution duplicated
+    # the parse again. The keep-flag rides the bound struct so the
+    # filter reads a struct field of the single parse.
+    parsed = F.from_json(F.col(value_col).cast("string"), canal_value_schema())
+    kafka_offset = F.col("offset") if "offset" in df.columns else None
+
+    def _build(v):
+        op_src = v.getField("type")
+        op: Column = F.lit(None).cast("string")
+        for src, dst in reversed(list(CANAL_OP_MAP.items())):
+            op = F.when(op_src == src, F.lit(dst)).otherwise(op)
+        seq_base_candidates = [v.getField("id")]
+        if kafka_offset is not None:  # kafka frame
+            seq_base_candidates.append(kafka_offset)
+        return F.struct(
+            F.coalesce(*seq_base_candidates).alias("_msg_seq"),
+            F.timestamp_millis(v.getField("es")).alias("ts"),
+            v.getField("table").alias("table"),
+            op.alias("op"),
+            (
+                op.isNotNull()
+                & ~F.coalesce(v.getField("isDdl"), F.lit(False))
+            ).alias("_keep"),
+            v.getField("data").alias("_data"),
         )
-        .select(*cols)
+
+    bound = F.element_at(F.transform(F.array(parsed), _build), 1)
+    exploded = (
+        df.select(bound.alias("_p"))
+        .where(F.col("_p").getField("_keep"))
+        .select(
+            F.col("_p").getField("_msg_seq").alias("_msg_seq"),
+            F.col("_p").getField("ts").alias("ts"),
+            F.col("_p").getField("table").alias("table"),
+            F.col("_p").getField("op").alias("op"),
+            F.posexplode(F.col("_p").getField("_data")).alias("_pos", "_row"),
+        )
     )
     typed = F.struct(
         *[
@@ -680,34 +723,14 @@ def normalize_wal2json_v2(
     - op (P4/P5): I/U/D → create/update/delete; B/C/T/M records are
       dropped.
     """
-    v = F.from_json(F.col(value_col).cast("string"), wal2json_v2_value_schema())
-    lsn_seq = _lsn_to_long(v.getField("lsn"))
-    ts = v.getField("timestamp").cast("timestamp")
-    # packed domain shared with v1 (lsn·2^12, position 0 — one change
-    # per message). Fallback ladder: Kafka offset (a real per-change
-    # total order), then FAIL LOUDLY. v1 can fall back to the commit
-    # timestamp because its array position disambiguates changes within
-    # a transaction; v2 without lsn has NOTHING to order two changes of
-    # one transaction — every change shares the commit timestamp, seqs
-    # tie, and last-wins compaction picks a nondeterministic winner.
-    # Silent wrong final row state is never acceptable (same stance as
-    # the v1 >4096-position guard).
-    base_candidates = [lsn_seq]
-    if "offset" in df.columns:  # kafka frame
-        base_candidates.append(F.col("offset"))
-    base_candidates.append(
-        F.raise_error(
-            F.lit(
-                "wal2json v2 message carries no lsn and the frame has no "
-                "Kafka offset: the commit timestamp cannot totally order "
-                "multiple changes of one transaction (tied seqs make "
-                "last-wins nondeterministic). Enable include-lsn on the "
-                "replication slot, or consume through Kafka."
-            )
-        ).cast("long")
-    )
-    seq = F.coalesce(*base_candidates) * F.lit(WAL2JSON_CHANGE_SHIFT)
-    op = _op_from_map(v.getField("action"), WAL2JSON_V2_OP_MAP)
+    # Two-level lambda binding (round 13, same idiom as
+    # normalize_maxwell): the OUTER transform binds the parsed envelope
+    # (one from_json per row — per-field schema pruning otherwise split
+    # it into ~10 separate parses), the INNER one binds the assembled
+    # row_map (otherwise re-expanded, from_json included, once per
+    # payload field by alias substitution inside the typed struct).
+    parsed = F.from_json(F.col(value_col).cast("string"), wal2json_v2_value_schema())
+    kafka_offset = F.col("offset") if "offset" in df.columns else None
 
     def _as_map(cols: Column) -> Column:
         return F.map_from_arrays(
@@ -715,23 +738,63 @@ def normalize_wal2json_v2(
             F.transform(cols, lambda c: c.getField("value")),
         )
 
-    row_map = F.when(
-        F.size(v.getField("columns")) > 0, _as_map(v.getField("columns"))
-    ).otherwise(_as_map(v.getField("identity")))
-    typed = F.struct(
-        *[
-            F.element_at(row_map, f.name).cast(f.dataType).alias(f.name)
-            for f in payload_schema.fields
-        ]
+    def _build(v):
+        lsn_seq = _lsn_to_long(v.getField("lsn"))
+        ts = v.getField("timestamp").cast("timestamp")
+        # packed domain shared with v1 (lsn·2^12, position 0 — one
+        # change per message). Fallback ladder: Kafka offset (a real
+        # per-change total order), then FAIL LOUDLY. v1 can fall back
+        # to the commit timestamp because its array position
+        # disambiguates changes within a transaction; v2 without lsn
+        # has NOTHING to order two changes of one transaction — every
+        # change shares the commit timestamp, seqs tie, and last-wins
+        # compaction picks a nondeterministic winner. Silent wrong
+        # final row state is never acceptable (same stance as the v1
+        # >4096-position guard).
+        base_candidates = [lsn_seq]
+        if kafka_offset is not None:  # kafka frame
+            base_candidates.append(kafka_offset)
+        base_candidates.append(
+            F.raise_error(
+                F.lit(
+                    "wal2json v2 message carries no lsn and the frame has no "
+                    "Kafka offset: the commit timestamp cannot totally order "
+                    "multiple changes of one transaction (tied seqs make "
+                    "last-wins nondeterministic). Enable include-lsn on the "
+                    "replication slot, or consume through Kafka."
+                )
+            ).cast("long")
+        )
+        seq = F.coalesce(*base_candidates) * F.lit(WAL2JSON_CHANGE_SHIFT)
+        op = _op_from_map(v.getField("action"), WAL2JSON_V2_OP_MAP)
+        row_map = F.when(
+            F.size(v.getField("columns")) > 0, _as_map(v.getField("columns"))
+        ).otherwise(_as_map(v.getField("identity")))
+
+        def _typed(rm):
+            typed = F.struct(
+                *[
+                    F.element_at(rm, f.name).cast(f.dataType).alias(f.name)
+                    for f in payload_schema.fields
+                ]
+            )
+            return F.struct(
+                seq.alias("seq"),
+                ts.alias("ts"),
+                v.getField("table").alias("table"),
+                op.alias("op"),
+                typed.getField(pk).alias("pk"),
+                typed.alias("payload"),
+            )
+
+        return F.element_at(F.transform(F.array(row_map), _typed), 1)
+
+    bound = F.element_at(F.transform(F.array(parsed), _build), 1)
+    out = (
+        df.select(bound.alias("_norm"))
+        .select("_norm.*")
+        .where(F.col("op").isNotNull())
     )
-    out = df.select(
-        seq.alias("seq"),
-        ts.alias("ts"),
-        v.getField("table").alias("table"),
-        op.alias("op"),
-        typed.getField(pk).alias("pk"),
-        typed.alias("payload"),
-    ).where(F.col("op").isNotNull())
     if tables:
         out = out.where(F.col("table").isin(*tables))
     return out
@@ -1119,11 +1182,21 @@ def wal2json_v2_roundtrip(events: DataFrame) -> DataFrame:
     format dispatch, AND that both parsers land in one shared
     ``lsn·2^12``-packed seq domain — end to end against an oracle
     computed straight from the source columns."""
+    from meilisync_spark.pin import SER as _SER
+
     src = _rt_source(events)
     parity = (F.col("event_id") / WAL2JSON_RT_BATCH).cast("long") % 2
     env = _w2j_v1_envelopes(src.where(parity == 0)).unionByName(
         _w2j_v2_envelopes(src.where(parity == 1))
     )
+    # pin the rendered envelopes: normalize_wal2json_auto forks the
+    # union into v1/v2 marker branches, and without a plan barrier each
+    # branch re-runs BOTH render subtrees with the marker probe's
+    # get_json_object substituted over the full to_json render — the
+    # row's decomposition showed three serial map stages re-rendering
+    # the same envelopes (round 13). The pin renders once; the auto
+    # dispatch then probes materialized strings.
+    env = env.localCheckpoint(False, storageLevel=_SER)
     out = normalize_wal2json_auto(env, _RT_PAYLOAD, pk="user_id")
     return out.select(
         "seq", "ts", "table", "op", "pk",
