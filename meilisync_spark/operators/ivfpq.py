@@ -37,7 +37,8 @@ IVFPQ_SHORTLIST = 64
 
 
 def _adc_scored(
-    probed: DataFrame, tables, q_ids, *, exclude_self: bool = True
+    probed: DataFrame, tables, q_ids, *, exclude_self: bool = True,
+    carry_rank: bool = False,
 ) -> DataFrame:
     """ADC-score a ``(q_id, vec_id, codes)`` frame against per-query
     distance tables (numpy, broadcast in the closure): one Arrow batch
@@ -48,10 +49,15 @@ def _adc_scored(
     only when the query ids ARE corpus vec_ids (the benchmark rows);
     the serving path disables it for foreign query batches whose
     caller-chosen ids would otherwise silently mask the corpus vector
-    sharing the number."""
+    sharing the number.
+
+    ``carry_rank`` passes an int ``cell_rank`` input column through to
+    the output — the fused nprobe-curve probe tags every candidate with
+    its cell's probe rank so one scoring pass serves several nprobe
+    settings (see :func:`ann_nprobe_recall`)."""
     import numpy as np  # noqa: F401 — tables is a numpy array in the closure
 
-    def score(batches, _tables=tables, _q_ids=q_ids):
+    def score(batches, _tables=tables, _q_ids=q_ids, _carry=carry_rank):
         import numpy as _np
         import pandas as _pd
 
@@ -64,11 +70,15 @@ def _adc_scored(
             d = _np.zeros(len(ids), dtype=_np.int64)
             for s in range(C.shape[1]):
                 d += _tables[qidx, s, C[:, s]]
-            yield _pd.DataFrame({"q_id": qs, "neighbor_id": ids, "adc_dist": d})
+            out = {"q_id": qs, "neighbor_id": ids, "adc_dist": d}
+            if _carry:
+                out["cell_rank"] = pdf["cell_rank"].to_numpy()
+            yield _pd.DataFrame(out)
 
-    out = probed.mapInPandas(
-        score, schema="q_id long, neighbor_id long, adc_dist long"
-    )
+    schema = "q_id long, neighbor_id long, adc_dist long"
+    if carry_rank:
+        schema += ", cell_rank int"
+    out = probed.mapInPandas(score, schema=schema)
     return out.where(F.col("neighbor_id") != F.col("q_id")) if exclude_self else out
 
 
@@ -382,18 +392,32 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
         .select("vec_id", "embedding")
         .localCheckpoint(False, storageLevel=_SER)
     )
-    # the two variant branches (train m=16 books → cell-restricted ADC
-    # probe → recall) are independent given the pinned inputs, so they
-    # overlap on driver threads (guide §2.6) — same pattern as the two
-    # quantizer trainings in ivfpq_index
+    # Both variants (train m=16 books → cell-restricted ADC probe →
+    # recall) score in ONE union action (round 13; previously two
+    # driver threads each running its own recall agg action): the
+    # trainings are in-process under the driver cap, each variant's
+    # encode rides its _cell_adc_topk checkpoint, and the final union
+    # collect overlaps both probe subtrees inside one job. m=16
+    # (4-dim subspaces): double the code budget to 16 bytes so the
+    # comparison isolates WHAT is encoded from quantizer resolution —
+    # raw codes still collapse per cell at any budget. ADC ranks come
+    # from the variant's own encoding under the cell-restricted probe;
+    # ground truth stays exact cosine on the ORIGINAL twin vectors.
+    # Hybrid schedule (round 13, both alternatives measured): the BUILD
+    # half of each variant (train m=16 books, encode + eager codes
+    # checkpoint, query collects inside _cell_adc_topk) still runs on a
+    # driver thread — serializing those jobs measured 1.33× — but the
+    # two recall scorings now ride ONE union collect instead of two
+    # separate agg actions, so the final probe subtrees overlap inside
+    # a single job.
     from threading import Thread
 
     from pyspark import inheritable_thread_target
 
-    recs: dict = {}
+    built: dict = {}
     errors: list = []
 
-    def _variant(name: str, frame):
+    def _build_variant(name: str, frame):
         try:
             # m=16 (4-dim subspaces): double the code budget to 16
             # bytes so the comparison isolates WHAT is encoded from
@@ -403,19 +427,13 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
             # ADC ranks come from the variant's own encoding under the
             # cell-restricted probe; ground truth stays exact cosine on
             # the ORIGINAL twin vectors
-            adc = _cell_adc_topk(frame, cells, books, k)
-            # join the shared ground-truth thread only when scoring
-            # actually needs it (Thread.join is safe from both threads)
-            recs[name] = float(
-                _recall_against_brute(ce, adc, k, brute=get_brute())
-                .agg(F.avg("recall")).first()[0]
-            )
+            built[name] = _cell_adc_topk(frame, cells, books, k)
         except BaseException as e:  # re-raised on the caller thread
             errors.append(e)
 
     threads = [
-        Thread(target=inheritable_thread_target(lambda n=n, f=f: _variant(n, f)),
-               daemon=True)
+        Thread(target=inheritable_thread_target(
+            lambda n=n, f=f: _build_variant(n, f)), daemon=True)
         for n, f in (("raw", ce), ("residual", residual))
     ]
     for t in threads:
@@ -424,7 +442,17 @@ def ivfpq_residual_adc_recall(emb: DataFrame, k: int = 5):
         t.join()
     if errors:
         raise errors[0]
-    rows = [(n, recs[n]) for n in ("raw", "residual")]
+    brute = get_brute()
+    per_variant = [
+        _recall_against_brute(ce, built[name], k, brute=brute).agg(
+            F.lit(name).alias("variant"),
+            F.avg("recall").alias("mean_recall"),
+        )
+        for name in ("raw", "residual")
+    ]
+    union = per_variant[0].unionByName(per_variant[1])
+    got = {r.variant: float(r.mean_recall) for r in union.collect()}
+    rows = [(n, got[n]) for n in ("raw", "residual")]
     return spark.createDataFrame(rows, "variant string, mean_recall double")
 
 
@@ -1280,18 +1308,16 @@ def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5,
     the brute-force ground truth stay inside the clock. ``None`` keeps
     the build-per-invocation temp-dir form.
 
-    Probe cost shape (round 12): the brute-force ground truth is ONE
-    pinned |Q|×k frame shared by all three probes (it does not depend
-    on nprobe — recomputing it per probe re-scanned the corpus three
-    times for the identical 40 rows), and the three probes themselves
-    are independent reads of disjoint partition sets of the SAME
-    at-rest index, so they run on driver threads (guide §2.6) instead
-    of back to back."""
+    Probe cost shape (round 12/13): the brute-force ground truth is ONE
+    pinned |Q|×k frame shared by all three settings (it does not depend
+    on nprobe), and the three settings probe NESTED cell sets — so the
+    whole curve is ONE pruned scan of the nprobe=4 cells tagged with
+    each cell's probe rank, one ADC pass, and three
+    filter→shortlist→refine subtrees scored in a single union action
+    (round 13; previously three threaded query_index trees re-reading
+    1+2+4=7 cells where the union needs 4)."""
     import shutil
     import tempfile
-    from threading import Thread
-
-    from pyspark import inheritable_thread_target
 
     from meilisync_spark.operators.similarity import (
         _pinned_brute_async,
@@ -1321,35 +1347,96 @@ def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5,
             path = f"{work}/index"
             save_index(ce, path, kcells=20)
         brute = get_brute()
-        recs: dict = {}
-        errors: list = []
-        # one file-listing/schema read shared by all three probes
-        idx = spark.read.parquet(path)
+        # FUSED curve probe (round 13): the three nprobe settings probe
+        # NESTED cell sets (cells@1 ⊂ cells@2 ⊂ cells@4) and a
+        # candidate's ADC distance depends only on its codes — so one
+        # pruned scan of the nprobe=4 cells, tagged with each cell's
+        # probe rank, serves all three settings. Each variant filters
+        # ``cell_rank <= n``, shortlists, exact-refines and scores
+        # against the shared brute pin inside ONE union plan / ONE
+        # action — previously three threaded query_index trees, each
+        # with its own scan, python pass, windows and joins (and 3+2+1
+        # = 6 cells of probe IO where the union needs 4).
+        import numpy as np
 
-        def _probe(nprobe: int):
-            try:
-                topk = query_index(
-                    spark, path, queries, k=k, nprobe=nprobe, refine=ce, idx=idx
-                )
-                recs[nprobe] = float(
-                    _recall_against_brute(ce, topk, k, brute=brute)
-                    .agg(F.avg("recall")).first()[0]
-                )
-            except BaseException as e:  # re-raised on the caller thread
-                errors.append(e)
+        from meilisync_spark.functions.vectors import cosine
 
-        threads = [
-            Thread(target=inheritable_thread_target(lambda n=n: _probe(n)),
-                   daemon=True)
-            for n in (1, 2, 4)
+        nprobes = (1, 2, 4)
+        books, centq = load_index_meta(path)
+        m = books.shape[0]
+        q_ids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+        Q = _quantize([v for _, v in queries])
+        dists = ((Q[:, None, :] - centq[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(dists, axis=1)[:, : max(nprobes)]
+        q_cells = [
+            (int(q), int(c), r + 1)
+            for q, row in zip(q_ids, order)
+            for r, c in enumerate(row)
         ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if errors:
-            raise errors[0]
-        rows = [(n, recs[n]) for n in (1, 2, 4)]
+        Qs = _split(Q, m)
+        tables = np.stack(
+            [((Qs[s][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+             for s in range(m)],
+            axis=1,
+        )
+        idx = spark.read.parquet(path)
+        clusters = sorted({c for _, c, _ in q_cells})
+        cells_df = spark.createDataFrame(
+            q_cells, "q_id long, q_cluster int, cell_rank int"
+        )
+        probed = (
+            idx.where(F.col("cluster").isin(clusters))
+            .join(F.broadcast(cells_df), F.col("cluster") == F.col("q_cluster"))
+            .select("q_id", "vec_id", "codes", "cell_rank")
+        )
+        # pin the scored candidates: the three variants consume this
+        # subtree through their broadcast builds, and Spark does not
+        # share duplicated subtrees — unpinned, each variant re-ran
+        # the pruned scan + python scoring pass. ≤ |Q|·max(nprobe)
+        # cells of (q_id, neighbor_id, adc_dist, cell_rank) rows.
+        scored = _adc_scored(probed, tables, q_ids, carry_rank=True)\
+            .localCheckpoint(True, storageLevel=_SER)
+        qdf = spark.createDataFrame(
+            [(int(q), [float(x) for x in v]) for q, v in queries],
+            "q_id long, q_emb array<double>",
+        )
+        c = ce.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        )
+        per_n = []
+        for n in nprobes:
+            wsl = Window.partitionBy("q_id").orderBy(
+                F.asc("adc_dist"), F.asc("neighbor_id")
+            )
+            sl = (
+                scored.where(F.col("cell_rank") <= n)
+                .withColumn("rank", F.row_number().over(wsl))
+                .where(F.col("rank") <= IVFPQ_SHORTLIST)
+                .select("q_id", "neighbor_id")
+            )
+            cand = sl.join(F.broadcast(qdf), "q_id")
+            rer = c.join(F.broadcast(cand), "neighbor_id").withColumn(
+                "cosine", cosine(F.col("q_emb"), F.col("c_emb"))
+            )
+            wr = Window.partitionBy("q_id").orderBy(
+                F.desc("cosine"), F.asc("neighbor_id")
+            )
+            topk = (
+                rer.withColumn("rank", F.row_number().over(wr))
+                .where(F.col("rank") <= k)
+                .select("q_id", "neighbor_id", "rank", "cosine")
+            )
+            per_n.append(
+                _recall_against_brute(ce, topk, k, brute=brute).agg(
+                    F.lit(n).alias("nprobe"),
+                    F.avg("recall").alias("mean_recall"),
+                )
+            )
+        union = per_n[0]
+        for v in per_n[1:]:
+            union = union.unionByName(v)
+        rows = [(int(r.nprobe), float(r.mean_recall))
+                for r in sorted(union.collect())]
     finally:
         if work is not None:
             shutil.rmtree(work, ignore_errors=True)
