@@ -35,6 +35,17 @@ from meilisync_spark.operators.pq import (
 
 IVFPQ_SHORTLIST = 64
 
+# The at-rest index layout is fixed by ANN_INDEX_FORMAT_VERSION, so
+# readers supply the schema instead of paying a footer-inference job
+# per open (round 13: one "parquet at" job removed from every probe,
+# dedup-probe and stats read; a layout change bumps the version and
+# this schema together).
+INDEX_SCHEMA = "vec_id long, codes array<int>, cluster int"
+
+
+def _read_index(spark, index_path: str) -> DataFrame:
+    return spark.read.schema(INDEX_SCHEMA).parquet(index_path)
+
 
 def _adc_scored(
     probed: DataFrame, tables, q_ids, *, exclude_self: bool = True,
@@ -545,7 +556,7 @@ def ivfpq_persisted_topk(
     if books is None:
         books = ivfpq_persist_index(emb, index_path)
     m = books.shape[0]
-    idx = spark.read.parquet(index_path)
+    idx = _read_index(spark, index_path)
 
     q_rows = sorted(
         emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
@@ -803,7 +814,7 @@ def query_index(
         axis=1,
     )
     if idx is None:
-        idx = spark.read.parquet(index_path)
+        idx = _read_index(spark, index_path)
     scored = _adc_scored(
         _pruned_probe(idx, q_cells), tables, q_ids,
         exclude_self=queries_are_corpus_ids,
@@ -1040,7 +1051,7 @@ def _dedup_probe(spark, index_path: str, touched: list) -> DataFrame:
     tests/test_plans.py::test_add_to_index_dedup_probe_prunes), so the
     idempotence check costs O(touched cells), never O(index)."""
     return (
-        spark.read.parquet(index_path)
+        _read_index(spark, index_path)
         .where(F.col("cluster").isin(touched))
         .select(F.col("vec_id").alias("seen_id"))
     )
@@ -1055,7 +1066,7 @@ def index_stats(spark, index_path: str) -> DataFrame:
     recorded report trained_rows=0 (everything counts as added)."""
     meta = _load_meta_dict(index_path)
     trained = {int(c): int(n) for c, n in meta.get("trained_cells", {}).items()}
-    counts = spark.read.parquet(index_path).groupBy("cluster").count().collect()
+    counts = _read_index(spark, index_path).groupBy("cluster").count().collect()
     rows = []
     for r in counts:
         c, n = int(r.cluster), int(r["count"])
@@ -1379,7 +1390,7 @@ def ann_nprobe_recall(spark, emb: DataFrame, k: int = 5,
              for s in range(m)],
             axis=1,
         )
-        idx = spark.read.parquet(path)
+        idx = _read_index(spark, path)
         clusters = sorted({c for _, c, _ in q_cells})
         cells_df = spark.createDataFrame(
             q_cells, "q_id long, q_cluster int, cell_rank int"
